@@ -1,0 +1,257 @@
+"""Generic relational operators.
+
+Covers the scalar/projection/predicate inventory of SURVEY.md §2.3
+(P1-P10) as first-class, individually-tested operators, plus the
+standard engine surface the reference implicitly delegates to BigQuery
+(WHERE filters, DISTINCT, ORDER BY/LIMIT, window functions, semi/anti
+joins) — SURVEY §2.3/§2.6 notes these exist nowhere in the reference
+but a general engine must expose them.
+
+Also hosts ``salted_join``, the explicit skew-mitigation strategy for
+hot keys (the reference's single-country generator,
+``cloud_function/create_campaigns/csv/main.py:29``, makes the master
+join's (country, date_time) key skew-prone at scale; AQE skew-join
+handles it adaptively, salting handles it deterministically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.determinism import dsum, sql_dsum
+from datapipeline_gcp_spark.schemas import load_testdata
+
+# ---------------------------------------------------------------------------
+# Skew-aware join (scale utility)
+# ---------------------------------------------------------------------------
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed key distributions.
+
+    The left (large, skewed) side gets a random salt in [0, buckets);
+    the right side is replicated ``salt_buckets`` times via an exploded
+    literal array, so every (key, salt) partition joins locally. Use for
+    known-hot keys when AQE's runtime skew splitting is insufficient
+    (e.g. a single country carrying most rows). Row multiplicity is
+    unchanged — each left row matches exactly the right rows it would
+    have matched un-salted.
+    """
+    salt = "__salt"
+    left_s = left.withColumn(
+        salt, (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    right_s = right.withColumn(
+        salt,
+        F.explode(F.array([F.lit(i) for i in range(salt_buckets)])),
+    )
+    joined = left_s.join(right_s, on=keys + [salt], how=how)
+    return joined.drop(salt)
+
+
+# ---------------------------------------------------------------------------
+# P-row operators over the driver testdata, each with a DuckDB oracle
+# ---------------------------------------------------------------------------
+
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P6/P7 + WHERE: projection with rename, cast, date scalar fns,
+    and a pushed-down predicate. ``explain`` shows PushedFilters on the
+    parquet scan and a 4-column ReadSchema (column pruning)."""
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.filter(F.col("l_shipdate") < "1995-06-01").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("quantity_int"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("ship_ts_str"),
+        F.substring(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"), 1, 10).alias(
+            "ship_day_str"
+        ),
+    )
+
+
+_SCAN_FILTER_ORACLE = """
+SELECT
+  l_orderkey AS order_id,
+  l_extendedprice AS price,
+  CAST(l_quantity AS BIGINT) AS quantity_int,
+  CAST(l_shipdate AS DATE) AS ship_date,
+  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts_str,
+  SUBSTR(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'), 1, 10) AS ship_day_str
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-06-01'
+"""
+
+
+def case_when_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5: CASE WHEN conditional + arithmetic expressions, then a
+    grouped count over the conditional class."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    classed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, F.lit("high"))
+        .when(F.col("o_totalprice") > 100000, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+        (F.col("o_totalprice") * 0.1).alias("commission"),
+    )
+    return classed.groupBy("price_band").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("commission").alias("total_commission"),
+    )
+
+
+_CASE_WHEN_ORACLE = f"""
+WITH classed AS (
+  SELECT
+    o_orderkey,
+    CASE WHEN o_totalprice > 200000 THEN 'high'
+         WHEN o_totalprice > 100000 THEN 'mid'
+         ELSE 'low' END AS price_band,
+    o_totalprice * 0.1 AS commission
+  FROM orders
+)
+SELECT price_band, COUNT(o_orderkey) AS n_orders,
+       {sql_dsum('commission')} AS total_commission
+FROM classed GROUP BY 1
+"""
+
+
+def join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 semantics: composite-key equi-join, many-to-one, joining a
+    rollup back to its detail rows on (user_id, event_type) — the same
+    shape as the reference's campaigns⋈transactions on
+    (country, date_time) (``m_data_model.sql:17``)."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    rollup = ev.groupBy("user_id", "event_type").agg(
+        F.count("event_id").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    return ev.join(rollup, on=["user_id", "event_type"], how="inner").select(
+        "event_id", "user_id", "event_type", "value", "n_events", "total_value"
+    )
+
+
+_COMPOSITE_JOIN_ORACLE = f"""
+WITH rollup AS (
+  SELECT user_id, event_type, COUNT(event_id) AS n_events,
+         {sql_dsum('value')} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_type, e.value, r.n_events, r.total_value
+FROM events e
+JOIN rollup r ON e.user_id = r.user_id AND e.event_type = r.event_type
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: top-3 parts per brand by retail price
+    (ROW_NUMBER with a deterministic p_partkey tie-break)."""
+    p = load_testdata(spark, sf_dir, ("part",))["part"]
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.withColumn("rank_in_brand", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank_in_brand")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice, rank_in_brand
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+         ) AS BIGINT) AS rank_in_brand
+  FROM part
+) WHERE rank_in_brand <= 3
+"""
+
+
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY ... LIMIT with a unique-key tie-break
+    (Spark plans TakeOrderedAndProject — no full sort at scale)."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_ORDERBY_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-level DISTINCT (dedup of a projection)."""
+    c = load_testdata(spark, sf_dir, ("customer",))["customer"]
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+_DISTINCT_ORACLE = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS): customers
+    with at least one high-value order, labeled against those without.
+    """
+    t = load_testdata(spark, sf_dir, ("customer", "orders"))
+    big = t["orders"].filter(F.col("o_totalprice") > 250000)
+    with_big = (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey")
+        .withColumn("has_big_order", F.lit(True))
+    )
+    without_big = (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey")
+        .withColumn("has_big_order", F.lit(False))
+    )
+    return with_big.unionAll(without_big)
+
+
+_SEMI_ANTI_ORACLE = """
+SELECT c_custkey, TRUE AS has_big_order FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+UNION ALL
+SELECT c_custkey, FALSE AS has_big_order FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+"""
+
+
+QUERIES = {
+    "scan_filter_project": scan_filter_project,
+    "case_when_projection": case_when_projection,
+    "join_composite_key": join_composite_key,
+    "topk_per_group": topk_per_group,
+    "orderby_limit": orderby_limit,
+    "distinct_projection": distinct_projection,
+    "semi_anti_join": semi_anti_join,
+}
+
+ORACLES = {
+    "scan_filter_project": _SCAN_FILTER_ORACLE,
+    "case_when_projection": _CASE_WHEN_ORACLE,
+    "join_composite_key": _COMPOSITE_JOIN_ORACLE,
+    "topk_per_group": _TOPK_ORACLE,
+    "orderby_limit": _ORDERBY_LIMIT_ORACLE,
+    "distinct_projection": _DISTINCT_ORACLE,
+    "semi_anti_join": _SEMI_ANTI_ORACLE,
+}
