@@ -171,9 +171,12 @@ QUERIES = {
     "b_product_performance": _q(b_product_performance, master_from_testdata),
 }
 
-ORACLES = {
+#: Oracle SQL per business table, templated on the master relation —
+#: rendered against the testdata master for the driver, and against the
+#: reference-shaped raw tables in the end-to-end pipeline tests.
+ORACLE_TEMPLATES = {
     "b_sales_kpi": f"""
-WITH m AS ({MASTER_ORACLE})
+WITH m AS ({{master}})
 SELECT
   transaction_country AS country,
   CAST(transaction_datetime AS DATE) AS date,
@@ -185,7 +188,7 @@ FROM m
 GROUP BY 1, 2
 """,
     "b_performance_metrics": f"""
-WITH m AS ({MASTER_ORACLE})
+WITH m AS ({{master}})
 SELECT
   transaction_country AS country,
   CAST(transaction_datetime AS DATE) AS date,
@@ -201,7 +204,7 @@ FROM m
 GROUP BY 1, 2
 """,
     "b_customer_retention": f"""
-WITH m AS ({_RETENTION_MASTER_SQL})
+WITH m AS ({{master}})
 SELECT
   transaction_country AS country,
   CAST(transaction_datetime AS DATE) AS date,
@@ -214,7 +217,7 @@ FROM m
 GROUP BY 1, 2
 """,
     "b_profitability_kpi": f"""
-WITH m AS ({MASTER_ORACLE})
+WITH m AS ({{master}})
 SELECT
   product_id,
   transaction_country AS country,
@@ -226,7 +229,7 @@ FROM m
 GROUP BY 1, 2
 """,
     "b_product_performance": f"""
-WITH m AS ({MASTER_ORACLE})
+WITH m AS ({{master}})
 SELECT
   product_id,
   transaction_country AS country,
@@ -241,4 +244,40 @@ SELECT
 FROM m
 GROUP BY 1, 2, 3
 """,
+}
+
+#: Reference-shaped master join as ANSI SQL over the three raw tables —
+#: the oracle counterpart of ``master.master_join``.
+REFERENCE_MASTER_SQL = """
+SELECT
+  c.campaign_id,
+  c.cost AS campaign_cost,
+  t.transaction_id,
+  t.income,
+  t.country AS transaction_country,
+  s.customer_id,
+  s.product_id,
+  s.quantity,
+  s.price,
+  s.category,
+  t.date_time AS transaction_datetime
+FROM r_campaigns AS c
+JOIN r_transactions AS t
+  ON c.country = t.country AND c.date_time = t.date_time
+JOIN r_sales AS s
+  ON t.transaction_id = s.transaction_id
+"""
+
+
+def oracle_for(name: str, master_sql: str) -> str:
+    """Render a business table's oracle SQL against any master relation."""
+    return ORACLE_TEMPLATES[name].format(master=master_sql)
+
+
+ORACLES = {
+    name: oracle_for(
+        name,
+        _RETENTION_MASTER_SQL if name == "b_customer_retention" else MASTER_ORACLE,
+    )
+    for name in ORACLE_TEMPLATES
 }

@@ -1,0 +1,117 @@
+"""Sinks (SURVEY.md §2.2 K1-K5).
+
+- K1/K2 ``append_table`` — the Spark-native form of the reference's
+  ``WRITE_APPEND`` + ``CREATE_IF_NEEDED`` loads and query-to-table
+  operators (``cloud_composer/datapipeline_gcp.py:236-238,409-441``):
+  ``df.write.mode("append").saveAsTable`` against the session catalog,
+  with optional partitioning — the physical-layout decision BigQuery hid
+  from the reference and the one that matters most at 100 TB.
+- K4 ``archive_files`` — the "smart cleaner": move loaded landing files
+  to an archive dir after a successful load
+  (``datapipeline_gcp.py:258-269``; ``gsutil mv`` → same-FS rename).
+- K5 ``write_manifest`` — the Pub/Sub publish of processed object names
+  (``messaging/producer/main.py:6-8``) becomes an optional manifest
+  file per batch (the file-arrival event itself is carried by the
+  streaming file source, see ``streaming``).
+
+Layering policy: raw tables partition by ``load_date`` (ingestion time);
+master/business tables by their ``date`` column. Partition columns are
+how Catalyst prunes 100 TB down to the days a query touches.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import json
+import os
+import shutil
+import threading
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Concurrent appends into the SAME catalog table race on CREATE TABLE
+# (saveAsTable's create-if-needed is not atomic against the metastore;
+# the losing writer can append its data, then fail the metadata op —
+# and a retry then double-appends). Per-table locks serialize the
+# metastore-touching write itself; Spark still parallelizes each job's
+# tasks, so this costs nothing at scale — different tables still load
+# fully concurrently.
+_TABLE_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
+_LOCKS_GUARD = threading.Lock()
+
+
+def _table_lock(table: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _TABLE_LOCKS[table]
+
+
+def ensure_layers(spark: SparkSession) -> None:
+    """Create the three layer databases (the reference's BigQuery
+    datasets raw_layer/master_layer/business_layer)."""
+    for db in ("raw_layer", "master_layer", "business_layer"):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+def append_table(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """K1/K2 — append rows to a catalog table, creating it if needed.
+
+    Matches the reference's load semantics exactly: append-only,
+    create-if-needed, fixed schema. Reruns double rows by design
+    (documented reference behavior — see ``plans.runner`` for the
+    overwrite-by-run-date alternative).
+    """
+    writer = df.write.format(fmt).mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    with _table_lock(table):
+        writer.saveAsTable(table)
+
+
+def overwrite_partitions(
+    df: DataFrame, table: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Idempotent alternative to ``append_table``: dynamic partition
+    overwrite — only the partitions present in ``df`` are replaced, so a
+    rerun for one run-date cannot double rows or touch other dates.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with _table_lock(table):
+            if not spark.catalog.tableExists(table):
+                df.write.format(fmt).partitionBy(*partition_by).saveAsTable(table)
+            else:
+                df.write.format(fmt).mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def archive_files(path_glob: str, archive_dir: str) -> list[str]:
+    """K4 — move files matching the glob into the archive directory
+    (same-filesystem rename, like the reference's ``gsutil mv``
+    landing→loaded). Returns archived paths. Call only after the load
+    action committed — ordering the reference also respects."""
+    os.makedirs(archive_dir, exist_ok=True)
+    moved = []
+    for path in sorted(globlib.glob(path_glob)):
+        dest = os.path.join(archive_dir, os.path.basename(path))
+        shutil.move(path, dest)
+        moved.append(dest)
+    return moved
+
+
+def write_manifest(paths: list[str], manifest_dir: str, batch_id: str) -> str:
+    """K5 — record which files a batch processed (the Pub/Sub
+    object-name messages, persisted instead of published)."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    out = os.path.join(manifest_dir, f"batch_{batch_id}.json")
+    with open(out, "w") as fh:
+        json.dump({"batch_id": batch_id, "files": paths}, fh)
+    return out

@@ -1,0 +1,145 @@
+"""Landing-file readers (SURVEY.md §2.1).
+
+- S1 CSV: header row, comma-separated, explicit schema — the Spark-native
+  form of the reference's BQ load with ``skip_leading_rows=1``
+  (``cloud_composer/datapipeline_gcp.py:224-256``).
+- S2 TSV: tab-separated, NO header — the format the reference routed
+  through an ephemeral Dataproc cluster + external PySpark script
+  (``datapipeline_gcp.py:77-83,320-325``; file format produced at
+  ``cloud_function/create_campaigns/txt/main.py:30``). Here it is just a
+  reader option; no cluster lifecycle exists.
+- S3 snapshot: the Cloud SQL ``SELECT *``-export-then-load path
+  (``datapipeline_gcp.py:36,85-93,372-388``) — a CSV snapshot reader,
+  plus a JDBC reader for live databases (needs a JDBC driver jar on the
+  classpath; gated, since none ships in this environment).
+- S5 batch sensor: glob-nonempty existence check with timeout
+  (``datapipeline_gcp.py:204-218``).
+
+All readers take explicit StructTypes (``schemas.TYPED`` /
+``schemas.AS_LANDED``) — never ``inferSchema``, which would add a full
+extra pass over 100 TB of text and produce drifting types.
+
+Scale note: a glob of many small CSVs parallelizes by file;
+``spark.sql.files.maxPartitionBytes`` governs split sizing for large
+files. Schema is enforced at read so malformed rows fail fast
+(``mode=FAILFAST`` default here; pass ``permissive=True`` to quarantine
+instead — corrupt rows land in ``_corrupt_record``).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _reader(spark: SparkSession, schema: T.StructType, permissive: bool):
+    mode = "PERMISSIVE" if permissive else "FAILFAST"
+    if permissive:
+        schema = T.StructType(
+            schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    return spark.read.schema(schema).option("mode", mode)
+
+
+def read_csv(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType,
+    header: bool = True,
+    permissive: bool = False,
+) -> DataFrame:
+    """S1 — CSV landing files with a header row and declared schema."""
+    return (
+        _reader(spark, schema, permissive)
+        .option("header", header)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path_glob)
+    )
+
+
+def read_tsv(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType,
+    permissive: bool = False,
+) -> DataFrame:
+    """S2 — tab-separated, headerless landing files."""
+    return (
+        _reader(spark, schema, permissive)
+        .option("sep", "\t")
+        .option("header", False)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path_glob)
+    )
+
+
+def read_snapshot_csv(
+    spark: SparkSession, path_glob: str, schema: T.StructType
+) -> DataFrame:
+    """S3 (snapshot form) — a database table exported to CSV, loaded like
+    S1 but headerless by default (the reference's Cloud SQL export writes
+    no header, ``datapipeline_gcp.py:85-93``)."""
+    return read_csv(spark, path_glob, schema, header=False)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    schema: T.StructType | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **properties: str,
+) -> DataFrame:
+    """S3 (live form) — JDBC table read.
+
+    For scale, pass ``partition_column`` (+ bounds) so Spark issues
+    ``num_partitions`` range-partitioned queries instead of one giant
+    serial result set. Requires the database's JDBC driver jar on the
+    Spark classpath; raises a clear error otherwise.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("numPartitions", num_partitions)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound/upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    try:
+        return reader.load()
+    except Exception as ex:  # driver jar missing is the common failure here
+        raise RuntimeError(
+            "JDBC read failed — is the database's JDBC driver jar on the "
+            "classpath? (spark.jars / --jars). Underlying error: " + str(ex)
+        ) from ex
+
+
+def sense_files(path_glob: str, timeout_s: float = 15.0, poll_s: float = 1.0) -> bool:
+    """S5/E4 — batch-mode existence sensor: poll a glob until it matches
+    or the timeout elapses (the reference's GCS prefix sensor with its
+    15 s timeout, ``datapipeline_gcp.py:204-218``). Returns whether files
+    exist — callers branch, mirroring the reference DAG's failure branch.
+    """
+    deadline = time.monotonic() + timeout_s
+    while True:
+        if globlib.glob(path_glob):
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(poll_s)

@@ -25,10 +25,17 @@ SF_CORRECTNESS = f"{TESTDATA_ROOT}/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # Warehouse + derby metastore live in a temp dir so catalog-table
+    # tests never pollute the repo working tree.
+    wh = tmp_path_factory.mktemp("warehouse")
     s = get_session(
         app_name="datapipeline_gcp_spark-tests",
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_TEST_MEM", "16g")},
+        warehouse_dir=str(wh),
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_TEST_MEM", "16g"),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={wh}",
+        },
     )
     yield s
     s.stop()
