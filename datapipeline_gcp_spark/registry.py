@@ -16,6 +16,7 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.business",
     "datapipeline_gcp_spark.operators.report",
     "datapipeline_gcp_spark.operators.relational",
+    "datapipeline_gcp_spark.streaming.windows",
 ]
 
 

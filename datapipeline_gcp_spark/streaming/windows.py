@@ -1,0 +1,187 @@
+"""Windowed aggregations over record streams (SURVEY.md §2.7 design
+decision: the reference does no record-level streaming math — these are
+the standard streaming capabilities a general engine must expose, built
+on ``window()`` / ``session_window()`` / ``withWatermark``).
+
+Every builder works on BOTH batch and streaming DataFrames (Spark's
+window functions are mode-agnostic), which is how they are verified:
+the batch form is oracle-checked against DuckDB SQL, and the streaming
+tests assert stream(availableNow) ≡ batch on the same rows.
+
+Scale: streaming state is keyed by (window, group keys); the watermark
+bounds state size — without it a 100 TB stream accumulates state
+forever. ``DEFAULT_WATERMARK`` is deliberately explicit in the
+streaming wrappers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.determinism import dsum, sql_dsum
+from datapipeline_gcp_spark.schemas import load_testdata
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def _project_window(df: DataFrame, extra: list[str]) -> DataFrame:
+    return df.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *extra,
+    )
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling windows: each event in exactly one [start, start+width)
+    bucket, keyed by event_type."""
+    agg = events.groupBy(F.window("ts", width), "event_type").agg(
+        F.count("event_id").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    return _project_window(agg, ["event_type", "n_events", "total_value"])
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping
+    buckets (2 here)."""
+    agg = events.groupBy(F.window("ts", width, slide), "event_type").agg(
+        F.count("event_id").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    return _project_window(agg, ["event_type", "n_events", "total_value"])
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps are
+    < gap; the window end is last-event-time + gap."""
+    agg = events.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("event_id").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    return agg.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_tumbling(
+    events_stream: DataFrame,
+    width: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming form: watermark bounds state and admits late data up to
+    the bound; append-mode emits a window once the watermark passes its
+    end."""
+    return tumbling_agg(events_stream.withWatermark("ts", watermark), width)
+
+
+def streaming_session(
+    events_stream: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    return session_agg(events_stream.withWatermark("ts", watermark), gap)
+
+
+# ---------------------------------------------------------------------------
+# Driver-testdata wiring (batch mode) + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ("events",))["events"]
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_events(spark, sf_dir))
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_events(spark, sf_dir))
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(_events(spark, sf_dir))
+
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  COUNT(event_id) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# Slide 30 min ⇒ an event belongs to the windows starting at
+# trunc30(ts) and trunc30(ts) - 30 min.
+_SLIDING_ORACLE = f"""
+WITH exploded AS (
+  SELECT e.*, s.window_start
+  FROM events e,
+  UNNEST([
+    time_bucket(INTERVAL 30 MINUTE, ts),
+    time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+  ]) AS s(window_start)
+)
+SELECT
+  window_start,
+  window_start + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  COUNT(event_id) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM exploded
+GROUP BY 1, 2, 3
+"""
+
+# Gaps-and-islands: a new session starts where the gap from the previous
+# event is >= 10 min (Spark's session window is end-exclusive: an event
+# exactly gap after the last one opens a new session).
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING
+    ) AS session_no
+  FROM flagged
+)
+SELECT
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+  user_id,
+  COUNT(event_id) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+QUERIES = {
+    "events_tumbling_window": events_tumbling,
+    "events_sliding_window": events_sliding,
+    "events_session_window": events_session,
+}
+
+ORACLES = {
+    "events_tumbling_window": _TUMBLING_ORACLE,
+    "events_sliding_window": _SLIDING_ORACLE,
+    "events_session_window": _SESSION_ORACLE,
+}

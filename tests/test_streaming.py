@@ -1,0 +1,152 @@
+"""Streaming tests (SURVEY.md §5.4): file-arrival ingestion with archive
+semantics, and stream ≡ batch for the windowed aggregations."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_gcp_spark import schemas
+from datapipeline_gcp_spark.sources import generators as gen
+from datapipeline_gcp_spark.streaming import ingest, windows
+
+from tests.conftest import SF_CORRECTNESS, assert_frames_match
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return {
+        "landing": str(tmp_path / "landing"),
+        "archive": str(tmp_path / "archive"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_stream_ingest_appends_and_archives(spark, stream_dirs):
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_stream_campaigns")
+
+    df1 = gen.gen_campaigns(spark, n=200, seed=1)
+    gen.write_landing_file(df1, stream_dirs["landing"], "campaigns", "csv", "20230601")
+    # a transactions file in the same dir must NOT be picked up (routing)
+    gen.write_landing_file(
+        gen.gen_transactions(spark, n=50, seed=2),
+        stream_dirs["landing"], "transactions", "csv", "20230601",
+    )
+
+    q = ingest.stream_landing_table(
+        spark, stream_dirs["landing"], "campaigns", "csv", schemas.CAMPAIGNS,
+        "raw_layer.r_stream_campaigns", stream_dirs["archive"], stream_dirs["ckpt"],
+    )
+    ingest.drain(q)
+    assert spark.table("raw_layer.r_stream_campaigns").count() == 200
+    archived = os.listdir(stream_dirs["archive"])
+    assert any(f.startswith("campaigns_") for f in archived)
+    assert not any(f.startswith("transactions_") for f in archived)
+
+    # second file arrives → incremental batch picks up only the new file
+    df2 = gen.gen_campaigns(spark, n=100, seed=3)
+    gen.write_landing_file(df2, stream_dirs["landing"], "campaigns", "csv", "20230602")
+    q = ingest.stream_landing_table(
+        spark, stream_dirs["landing"], "campaigns", "csv", schemas.CAMPAIGNS,
+        "raw_layer.r_stream_campaigns", stream_dirs["archive"], stream_dirs["ckpt"],
+    )
+    ingest.drain(q)
+    assert spark.table("raw_layer.r_stream_campaigns").count() == 300
+    # stream-vs-batch equivalence on content
+    got = set(
+        r.campaign_id
+        for r in spark.table("raw_layer.r_stream_campaigns").select("campaign_id").collect()
+    )
+    want = set(r.campaign_id for r in df1.unionAll(df2).select("campaign_id").collect())
+    assert got == want
+    # manifest recorded per batch
+    assert os.listdir(f"{stream_dirs['archive']}/_manifests")
+
+
+def test_stream_router_routes_by_table(spark, stream_dirs):
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    for t in ("r_route_campaigns", "r_route_transactions"):
+        spark.sql(f"DROP TABLE IF EXISTS raw_layer.{t}")
+    gen.write_landing_file(
+        gen.gen_campaigns(spark, n=60, seed=4),
+        stream_dirs["landing"], "campaigns", "csv", "20230601",
+    )
+    gen.write_landing_file(
+        gen.gen_transactions(spark, n=40, seed=5),
+        stream_dirs["landing"], "transactions", "txt", "20230601",
+    )
+    qs = ingest.stream_landing_router(
+        spark,
+        stream_dirs["landing"],
+        {
+            ("campaigns", "csv"): (schemas.CAMPAIGNS, "raw_layer.r_route_campaigns"),
+            ("transactions", "txt"): (
+                schemas.TRANSACTIONS, "raw_layer.r_route_transactions",
+            ),
+        },
+        stream_dirs["archive"],
+        stream_dirs["ckpt"],
+    )
+    ingest.drain(qs)
+    assert spark.table("raw_layer.r_route_campaigns").count() == 60
+    assert spark.table("raw_layer.r_route_transactions").count() == 40
+
+
+def test_parse_landing_filename(spark):
+    df = spark.createDataFrame(
+        [("/data/landing/csv/campaigns_20230601_ab12cd34.csv",)], ["path"]
+    )
+    table, ext = ingest.parse_landing_filename(F.col("path"))
+    row = df.select(table.alias("t"), ext.alias("e")).first()
+    assert (row.t, row.e) == ("campaigns", "csv")
+
+
+def _events_stream(spark):
+    """events.parquet as a stream (TIMESTAMP(NANOS) → read ns as long,
+    convert to µs timestamps — same path as schemas.load_testdata)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_CORRECTNESS)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_fn",
+    [
+        (windows.streaming_tumbling, windows.events_tumbling),
+        (windows.streaming_session, windows.events_session),
+    ],
+    ids=["tumbling", "session"],
+)
+def test_streaming_equals_batch(spark, tmp_path, stream_fn, batch_fn, request):
+    name = f"stream_out_{request.node.callspec.id}"
+    agg = stream_fn(_events_stream(spark))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    want = batch_fn(spark, SF_CORRECTNESS).toPandas()
+    assert_frames_match(got, want, name)
