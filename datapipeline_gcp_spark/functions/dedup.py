@@ -1,0 +1,406 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The standard corpus-dedup ladder for training-data pipelines:
+
+- **exact**: group on a normalized-content fingerprint, keep the lowest
+  id — one shuffle on the fingerprint.
+- **MinHash+LSH**: 3-word shingles → k-permutation MinHash signature →
+  banded LSH buckets → candidate pairs via a bucket self-join. The
+  classic near-dup design (Broder; used by most large corpus pipelines):
+  no O(n²) comparison — cost is one explode (bands) + one shuffle on
+  (band, key), so it scales linearly with corpus size at fixed bucket
+  occupancy.
+- **SimHash**: 32-bit sign-of-sum signature; candidates share at least
+  one of four 8-bit blocks (any pair within Hamming distance 3 must —
+  pigeonhole); verify by popcount(xor).
+- **n-gram Jaccard**: exact Jaccard over distinct shingle sets inside
+  cheap blocks (here (lang, source)) — the verify step for candidates,
+  or standalone blocked dedup.
+
+Everything is built-in column/array expressions (md5-derived integer
+hashing, higher-order array functions) — no Python UDFs, so signatures
+compute at scan speed and are identical across engines; every operator
+is oracle-checked against DuckDB running the same algorithm.
+
+The ``documents`` fixture has no duplicates, so the registered queries
+run over a deterministic fixture-adaptation: documents ∪ exact copies
+(every 7th doc) ∪ near copies with a 4-token suffix (every 10th doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.schemas import load_testdata
+
+P = 1_000_000_007  # hash field modulus (fits 64-bit intermediate math)
+NUM_HASHES = 32
+BANDS, ROWS = 8, 4  # 8 bands × 4 rows = 32 signature positions
+SIMHASH_BITS = 32
+
+
+# ---------------------------------------------------------------------------
+# Column builders (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def normalized(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (joined with spaces). Documents shorter than
+    n tokens yield one shorter shingle (concat_ws skips the missing
+    positions — mirrored behavior in the oracle)."""
+    tokens = F.split(normalized(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def base_hash(c: Column) -> Column:
+    """String → integer in [0, P): first 60 bits of md5, reduced mod P.
+    md5 is identical everywhere, which is what makes signatures
+    engine-independent (Spark's hash()/xxhash64 have no DuckDB twin)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % P
+
+
+def minhash_signature(shingle_arr: Column, k: int = NUM_HASHES) -> Column:
+    """k-permutation MinHash: h_i(s) = ((2i+1)·bh(s) + 7919i + 1) mod P;
+    signature[i] = min over shingles. (2i+1)·bh < 2^36 — no overflow."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda s: (((2 * i + 1) * base_hash(s)) + (7919 * i + 1)) % P,
+            )
+        ),
+    )
+
+
+def add_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("shingles", shingles(F.col(text_col))).withColumn(
+        "minhash", minhash_signature(F.col("shingles"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = BANDS, rows: int = ROWS
+) -> DataFrame:
+    """Banded LSH: documents sharing any band of their signature become a
+    candidate pair. Returns (doc_a, doc_b, sig_match_frac) with
+    doc_a < doc_b; sig_match_frac estimates Jaccard (fraction of equal
+    signature positions)."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.array_join(F.slice(F.col("minhash"), b * rows + 1, rows), ","),
+    )
+    exploded = sigs.select(
+        F.col(id_col), F.col("minhash"), F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(NUM_HASHES))
+    )
+    return pairs.select("doc_a", "doc_b", match_frac.alias("sig_match_frac"))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per distinct normalized content — the kept
+    (minimum) id and the duplicate count. Single hash aggregation."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fp_exact"))
+        .groupBy("fp_exact")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(id_col).alias("n_copies"),
+        )
+    )
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-of-sums SimHash over distinct tokens: bit j is set when the
+    sum over tokens of ±1 (by bit j of the token hash) is positive."""
+    tokens = F.array_distinct(F.split(normalized(text), " "))
+    hashes = F.transform(tokens, base_hash)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s + F.when((h.bitwiseAND(F.pow(F.lit(2.0), j).cast("long"))) > 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Candidates share one of four 8-bit blocks (pigeonhole guarantees
+    every pair within Hamming distance 3 shares a block); verified by
+    popcount(xor) ≤ max_hamming."""
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda b: (F.col("simhash").cast("long") / F.pow(F.lit(2.0), b * 8).cast("long"))
+        .cast("long")
+        % 256,
+    )
+    exploded = df.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(blocks).alias("block_idx", "block_val")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_idx") == F.col("b.block_idx"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over distinct 3-gram shingle sets, restricted to
+    cheap blocks — blocked-quadratic, never corpus-quadratic."""
+    with_sh = df.select(
+        *(F.col(c) for c in block_cols), F.col(id_col), shingles(F.col(text_col)).alias("sh")
+    )
+    a, b = with_sh.alias("a"), with_sh.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture adaptation: documents ∪ exact copies ∪ near copies
+# ---------------------------------------------------------------------------
+
+_NEAR_SUFFIX = "near duplicate suffix tokens"
+
+
+def neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    exact = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 500_000)
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _NEAR_SUFFIX)))
+    )
+    return docs.unionAll(exact).unionAll(near)
+
+
+_FIXTURE_SQL = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 500000, text, lang, source, n_chars
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 1000000, concat(text, ' {_NEAR_SUFFIX}'), lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — the same algorithms in DuckDB's dialect
+# ---------------------------------------------------------------------------
+
+_D_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_D_BH = "(CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT) % 1000000007)"
+
+_D_SHINGLES = f"""
+list_distinct(list_transform(
+  generate_series(1, greatest(len(string_split({_D_NORM}, ' ')) - 2, 1)),
+  i -> concat_ws(' ',
+        string_split({_D_NORM}, ' ')[i],
+        string_split({_D_NORM}, ' ')[i+1],
+        string_split({_D_NORM}, ' ')[i+2])
+))
+"""
+
+_D_MINHASH = f"""
+list_transform(generate_series(0, {NUM_HASHES - 1}),
+  i -> list_min(list_transform(sh,
+        s -> ((2*i+1) * {_D_BH.format(s='s')} + (7919*i+1)) % 1000000007)))
+"""
+
+_EXACT_ORACLE = f"""
+WITH fixture AS ({_FIXTURE_SQL})
+SELECT md5({_D_NORM}) AS fp_exact,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(doc_id) AS n_copies
+FROM fixture
+GROUP BY 1
+"""
+
+_MINHASH_ORACLE = f"""
+WITH fixture AS ({_FIXTURE_SQL}),
+sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM fixture),
+sigs AS (SELECT doc_id, {_D_MINHASH} AS minhash FROM sh),
+exploded AS (
+  SELECT doc_id, minhash, u.band AS band_idx,
+         array_to_string(minhash[u.band*{ROWS}+1 : u.band*{ROWS}+{ROWS}], ',')
+           AS band_key
+  FROM sigs, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band) u
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.minhash AS sig_a, b.minhash AS sig_b
+  FROM exploded a JOIN exploded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  list_sum(list_transform(generate_series(1, {NUM_HASHES}),
+    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / {float(NUM_HASHES)}
+    AS sig_match_frac
+FROM pairs
+"""
+
+_D_SIMHASH = f"""
+list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), j ->
+  CASE WHEN list_sum(list_transform(hashes, h ->
+         CASE WHEN (h & CAST(power(2, j) AS BIGINT)) > 0 THEN 1 ELSE -1 END)) > 0
+       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END))
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH fixture AS ({_FIXTURE_SQL}),
+tok AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split({_D_NORM}, ' ')),
+                        t -> {_D_BH.format(s='t')}) AS hashes
+  FROM fixture
+),
+sigs AS (SELECT doc_id, CAST({_D_SIMHASH} AS BIGINT) AS simhash FROM tok),
+exploded AS (
+  SELECT doc_id, simhash, u.b AS block_idx,
+         (simhash // CAST(power(2, u.b*8) AS BIGINT)) % 256 AS block_val
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) u
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM exploded a JOIN exploded b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+_JACCARD_ORACLE = f"""
+WITH fixture AS ({_FIXTURE_SQL}),
+sh AS (SELECT lang, source, doc_id, {_D_SHINGLES} AS sh FROM fixture)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    >= 0.2
+"""
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(neardup_fixture(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = add_minhash(neardup_fixture(spark, sf_dir))
+    return lsh_candidate_pairs(sigs)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = neardup_fixture(spark, sf_dir).withColumn("simhash", simhash(F.col("text")))
+    return simhash_pairs(df)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        neardup_fixture(spark, sf_dir), block_cols=["lang", "source"]
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": _EXACT_ORACLE,
+    "dedup_minhash_lsh": _MINHASH_ORACLE,
+    "dedup_simhash": _SIMHASH_ORACLE,
+    "dedup_ngram_jaccard": _JACCARD_ORACLE,
+}

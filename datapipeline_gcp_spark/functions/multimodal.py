@@ -1,0 +1,204 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched pandas functions.
+
+The Spark-side plumbing is real and tested: schema, partitioning,
+``mapInPandas`` batch iteration, feature-vector output shape. The codec
+step is a deterministic stand-in (``numpy.frombuffer`` over the payload
+bytes) because no image/audio libraries ship in this environment — the
+integration point for a real decoder is ``register_decoder`` and the
+default raises ``NotImplementedError`` with instructions, per the
+repo's stub policy.
+
+Scale notes: payloads ride through scans as opaque bytes (parquet keeps
+them column-chunked; pruning a query that doesn't touch ``payload``
+skips the bytes entirely). Feature extraction is mapInPandas so each
+task processes Arrow record batches — tune batch row count via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
+MB-scale so a batch stays in executor memory. Decoded features are
+small fixed-width vectors, so the expensive bytes never shuffle: filter
+and aggregate on features, join back to payloads by key only when
+re-materialization is genuinely needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_gcp_spark.schemas import load_testdata
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("declared_lang", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_KINDS = ("image", "audio", "video")
+
+
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic asset fixture: each document's UTF-8 bytes become
+    an opaque payload with cycling modality and typed metadata."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in _KINDS]),
+            (F.pmod(F.col("doc_id"), F.lit(len(_KINDS))) + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.col("lang").alias("declared_lang"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoder registry: the real-codec integration point
+# ---------------------------------------------------------------------------
+
+_DECODERS: dict[str, Callable] = {}
+
+
+def register_decoder(kind: str, fn: Callable) -> None:
+    """Install a real codec for a modality: ``fn(payload: bytes) ->
+    numpy.ndarray``. E.g. PIL/libvips for images, soundfile for audio,
+    PyAV frame sampling for video — none are available in this build
+    environment, so nothing is registered by default."""
+    _DECODERS[kind] = fn
+
+
+def decode_payload(kind: str, payload: bytes, fake: bool = True):
+    """Decode one payload. With ``fake=True`` (the default here) the
+    payload bytes themselves are treated as the decoded sample buffer —
+    deterministic and library-free, keeping every downstream stage
+    (feature extraction, resize, dedup-by-feature) real and testable.
+    ``fake=False`` requires a registered real decoder."""
+    import numpy as np
+
+    if not fake:
+        if kind not in _DECODERS:
+            raise NotImplementedError(
+                f"no real decoder registered for kind={kind!r}; install a codec "
+                "library and call register_decoder(kind, fn). This environment "
+                "ships no image/audio/video codecs (stub policy)."
+            )
+        return _DECODERS[kind](payload)
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Payload → feature vectors via Arrow-batched mapInPandas.
+
+    The worker is a nested, fully self-contained closure: cloudpickle
+    then serializes it BY VALUE, so executors never need this package on
+    their PYTHONPATH — the engine's entry points must work when the
+    caller imported it by file path (module-level functions pickle by
+    reference and fail to import on the workers). Real registered
+    decoders (``register_decoder``) require the package installed on
+    executors; the deterministic fake path has no such dependency.
+    """
+    feature_names = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decode (fake codec) + 8-bin normalized byte histogram
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                hist = _np.histogram(buf, bins=8, range=(0, 256))[0]
+                total = max(int(buf.size), 1)
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "kind": kind,
+                        "byte_len": int(buf.size),
+                        "mean_byte": float(buf.mean()) if buf.size else 0.0,
+                        "max_byte": int(buf.max()) if buf.size else 0,
+                        "feature": (hist / total).astype(float).tolist(),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=feature_names)
+
+    return assets.mapInPandas(worker, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata stats over the binary column — pure column ops
+    (md5/length work on binary JVM-side), oracle-checked."""
+    assets = assets_from_documents(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        "kind",
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.length(F.col("payload")).cast("bigint").alias("payload_len"),
+    )
+
+
+_STATS_ORACLE = """
+SELECT
+  doc_id AS asset_id,
+  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+  source,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS payload_md5,
+  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+FROM documents
+"""
+
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode → feature pipeline (fake codec). Rows-only check: the
+    per-byte histogram is not reasonably SQL-expressible; unit tests
+    assert the feature math directly."""
+    return extract_features(assets_from_documents(spark, sf_dir))
+
+
+QUERIES = {
+    "multimodal_asset_stats": multimodal_asset_stats,
+    "multimodal_feature_extract": multimodal_feature_extract,
+}
+
+ORACLES = {"multimodal_asset_stats": _STATS_ORACLE}

@@ -17,6 +17,10 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.report",
     "datapipeline_gcp_spark.operators.relational",
     "datapipeline_gcp_spark.streaming.windows",
+    "datapipeline_gcp_spark.functions.text",
+    "datapipeline_gcp_spark.functions.dedup",
+    "datapipeline_gcp_spark.functions.similarity",
+    "datapipeline_gcp_spark.functions.multimodal",
 ]
 
 

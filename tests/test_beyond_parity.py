@@ -1,0 +1,120 @@
+"""Semantic tests for the training-data operators: the oracle check
+proves Spark ≡ DuckDB; these prove the algorithms actually do their job
+(planted duplicates are found, features are correct, stubs fail loudly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.functions import dedup, multimodal, similarity, text
+
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    groups = dedup.dedup_exact(spark, SF_SMOKE).toPandas()
+    planted = (groups["n_copies"] == 2).sum()
+    # every 7th doc got an exact copy
+    n_docs = (groups["n_copies"] >= 1).count()
+    assert planted > 0
+    assert groups["n_copies"].max() == 2
+    # kept id is always the original (lowest) id
+    assert (groups.loc[groups.n_copies == 2, "keep_doc_id"] < 500_000).all()
+
+
+def test_minhash_lsh_recall_on_planted_neardups(spark):
+    pairs = dedup.dedup_minhash_lsh(spark, SF_SMOKE).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    planted = set(docs.loc[docs.doc_id % 10 == 0, "doc_id"])
+    found = set()
+    for _, r in pairs.iterrows():
+        if r.doc_b == r.doc_a + 1_000_000:
+            found.add(int(r.doc_a))
+    recall = len(found & planted) / max(len(planted), 1)
+    assert recall >= 0.9, f"LSH recall {recall} too low for 4-token-suffix dups"
+    # near-dup pairs score high on signature agreement
+    # (a, a+500000) with a < 500000 — i.e., original vs its exact copy;
+    # diff==500000 alone also matches copy-vs-nearcopy pairs like
+    # (500280, 1000280), which are NOT identical texts
+    exact_pairs = pairs[(pairs.doc_b == pairs.doc_a + 500_000) & (pairs.doc_a < 500_000)]
+    assert (exact_pairs.sig_match_frac == 1.0).all()
+
+
+def test_simhash_hamming_zero_for_exact_copies(spark):
+    pairs = dedup.dedup_simhash(spark, SF_SMOKE).toPandas()
+    exact = pairs[(pairs.doc_b - pairs.doc_a == 500_000) & (pairs.doc_a < 500_000)]
+    assert len(exact) > 0
+    assert (exact.hamming == 0).all()
+
+
+def test_ngram_jaccard_scores_planted_pairs_high(spark):
+    pairs = dedup.dedup_ngram_jaccard(spark, SF_SMOKE).toPandas()
+    near = pairs[(pairs.doc_b - pairs.doc_a) == 1_000_000]
+    exact = pairs[(pairs.doc_b - pairs.doc_a == 500_000) & (pairs.doc_a < 500_000)]
+    assert (exact.jaccard == 1.0).all()
+    # a 4-token suffix dilutes short docs more — bound the floor, check
+    # the bulk is high
+    assert len(near) > 0 and (near.jaccard > 0.6).all()
+    assert near.jaccard.median() > 0.85
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    """Independent ground truth: numpy cosine top-k for one query."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    mat = np.array(emb.embedding.tolist(), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+    q = mat[ids == 0][0]
+    scores = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    scores[ids == 0] = -np.inf
+    want = set(ids[np.argsort(-np.round(scores, 9))][:10])
+    got = similarity.ann_bruteforce_topk(spark, SF_SMOKE).toPandas()
+    got0 = set(got.loc[got.query_id == 0, "vec_id"])
+    assert got0 == want
+
+
+def test_lsh_topk_is_subset_of_bucket_and_scores_match_bruteforce(spark):
+    bf = similarity.ann_bruteforce_topk(spark, SF_SMOKE).toPandas()
+    lsh = similarity.ann_lsh_topk(spark, SF_SMOKE).toPandas()
+    merged = lsh.merge(bf, on=["query_id", "vec_id"], suffixes=("_lsh", "_bf"))
+    # every LSH result's score agrees with the brute-force score
+    assert (merged.score_lsh == merged.score_bf).all()
+
+
+def test_cosine_neardup_finds_perturbed_copies(spark):
+    pairs = similarity.embedding_cosine_neardup(spark, SF_SMOKE).toPandas()
+    assert len(pairs) > 0
+    # planted pairs (vec, vec+100000) dominate and score near 1
+    planted = pairs[(pairs.vec_b - pairs.vec_a) == 100_000]
+    assert len(planted) > 0
+    assert (planted.score > 0.99).all()
+
+
+def test_text_quality_score_bounds(spark):
+    pdf = text.text_metrics(spark, SF_SMOKE).toPandas()
+    assert ((pdf.quality_score >= 0) & (pdf.quality_score <= 1.0)).all()
+    assert (pdf.n_tokens > 0).all()
+    assert (pdf.n_chars_calc == pdf.n_chars).all()  # fixture consistency
+
+
+def test_feature_extract_math(spark):
+    feats = multimodal.multimodal_feature_extract(spark, SF_SMOKE).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    row = feats[feats.asset_id == 0].iloc[0]
+    buf = np.frombuffer(docs.loc[docs.doc_id == 0, "text"].iloc[0].encode(), np.uint8)
+    assert row.byte_len == buf.size
+    assert row.mean_byte == pytest.approx(float(buf.mean()))
+    assert len(row.feature) == 8
+    assert sum(row.feature) == pytest.approx(1.0)
+
+
+def test_real_decoder_stub_raises(spark):
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        multimodal.decode_payload("image", b"\x89PNG", fake=False)
+    multimodal.register_decoder("image", lambda b: np.frombuffer(b, np.uint8) * 2)
+    try:
+        out = multimodal.decode_payload("image", b"\x01\x02", fake=False)
+        assert list(out) == [2, 4]
+    finally:
+        multimodal._DECODERS.clear()
