@@ -72,21 +72,82 @@ def base_hash(c: Column) -> Column:
 
 def minhash_signature(shingle_arr: Column, k: int = NUM_HASHES) -> Column:
     """k-permutation MinHash: h_i(s) = ((2i+1)·bh(s) + 7919i + 1) mod P;
-    signature[i] = min over shingles. (2i+1)·bh < 2^36 — no overflow."""
+    signature[i] = min over shingles. (2i+1)·bh < 2^36 — no overflow.
+
+    Pass an already-hashed integer array (see ``add_minhash``) — md5 is
+    the expensive part, and inlining it here would recompute it for each
+    of the k permutations.
+    """
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
             F.transform(
                 shingle_arr,
-                lambda s: (((2 * i + 1) * base_hash(s)) + (7919 * i + 1)) % P,
+                lambda h: (((2 * i + 1) * h) + (7919 * i + 1)) % P,
             )
         ),
     )
 
 
 def add_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("shingles", shingles(F.col(text_col))).withColumn(
-        "minhash", minhash_signature(F.col("shingles"))
+    """Shingle → md5-hash once (materialized as its own projection so
+    CollapseProject keeps it single-evaluation) → k-permutation
+    signature over the integer array."""
+    hashed = df.withColumn(
+        "sh_hashes", F.transform(shingles(F.col(text_col)), base_hash)
+    )
+    return hashed.withColumn("minhash", minhash_signature(F.col("sh_hashes")))
+
+
+def within_block_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    item_cols: list[str],
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """All unordered pairs of rows sharing a block: groupBy the block
+    key, collect the (sorted) member structs, expand i<j combinations
+    in-array. Output columns ``a``/``b`` are the member structs.
+
+    This is the scale-shape for candidate generation: ONE shuffle keyed
+    by block, each expensive per-row column (signature, norm, shingle
+    set) computed exactly once — a self-join would re-evaluate the whole
+    upstream plan per side. Quadratic cost stays block-local by
+    construction; ``max_block_size`` drops degenerate blocks (a hot
+    bucket at 100 TB) — dropped blocks are counted in the
+    ``_dropped_blocks`` accumulator rather than silently ignored.
+    """
+    # item_cols[0] must be the unique id → deterministic member order
+    grouped = df.groupBy(*block_cols).agg(
+        F.array_sort(F.collect_list(F.struct(*item_cols))).alias("members")
+    )
+    grouped = grouped.withColumn("block_n", F.size("members"))
+    if max_block_size is not None:
+        grouped = grouped.filter(F.col("block_n") <= max_block_size)
+    grouped = grouped.filter(F.col("block_n") >= 2)
+    members = F.col("members")
+    combos = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(combos).alias("p")).select("p.a", "p.b")
+
+
+def dropped_block_count(
+    df: DataFrame, block_cols: list[str], max_block_size: int
+) -> int:
+    """How many blocks ``within_block_pairs`` would drop at this cap —
+    the no-silent-caps companion (log it when using a cap)."""
+    return (
+        df.groupBy(*block_cols)
+        .count()
+        .filter(F.col("count") > max_block_size)
+        .count()
     )
 
 
@@ -96,7 +157,9 @@ def lsh_candidate_pairs(
     """Banded LSH: documents sharing any band of their signature become a
     candidate pair. Returns (doc_a, doc_b, sig_match_frac) with
     doc_a < doc_b; sig_match_frac estimates Jaccard (fraction of equal
-    signature positions)."""
+    signature positions). Signatures are computed once (block-collect
+    pair expansion, not a self-join); the cross-band DISTINCT runs on
+    the compact (ids, frac) projection, not on signature arrays."""
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.array_join(F.slice(F.col("minhash"), b * rows + 1, rows), ","),
@@ -104,34 +167,28 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.col("minhash"), F.posexplode(band_arr).alias("band_idx", "band_key")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.minhash").alias("sig_a"),
-            F.col("b.minhash").alias("sig_b"),
-        )
-        .distinct()
+    pairs = within_block_pairs(
+        exploded, ["band_idx", "band_key"], [id_col, "minhash"]
     )
     match_frac = (
         F.size(
             F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                F.zip_with(
+                    F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
+                ),
                 lambda v: v,
             )
         )
         / F.lit(float(NUM_HASHES))
     )
-    return pairs.select("doc_a", "doc_b", match_frac.alias("sig_match_frac"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            match_frac.alias("sig_match_frac"),
+        )
+        .distinct()
+    )
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -183,26 +240,18 @@ def simhash_pairs(
     exploded = df.select(
         F.col(id_col), F.col("simhash"), F.posexplode(blocks).alias("block_idx", "block_val")
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.block_idx") == F.col("b.block_idx"),
-                F.col("a.block_val") == F.col("b.block_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
+    pairs = within_block_pairs(exploded, ["block_idx", "block_val"], [id_col, "simhash"])
+    return (
+        pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("bigint").alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -217,21 +266,15 @@ def ngram_jaccard_pairs(
     with_sh = df.select(
         *(F.col(c) for c in block_cols), F.col(id_col), shingles(F.col(text_col)).alias("sh")
     )
-    a, b = with_sh.alias("a"), with_sh.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    pairs = within_block_pairs(with_sh, block_cols, [id_col, "sh"])
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(b, on=cond)
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        jac.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -252,7 +295,15 @@ def neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 1_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" " + _NEAR_SUFFIX)))
     )
-    return docs.unionAll(exact).unionAll(near)
+    # Signature computation is expression-heavy per row; a small corpus
+    # parquet arrives as ONE input split, which would serialize all that
+    # work on a single core. Spread rows across the cluster first — at
+    # real scale the source is already many splits and this is ~free.
+    return (
+        docs.unionAll(exact)
+        .unionAll(near)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
 
 _FIXTURE_SQL = f"""

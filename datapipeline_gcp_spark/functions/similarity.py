@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datapipeline_gcp_spark.functions.dedup import within_block_pairs
 from datapipeline_gcp_spark.schemas import load_testdata
 
 N_PLANES = 16
@@ -119,9 +120,13 @@ def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
 
 def _prep(spark: SparkSession, sf_dir: str, with_bucket: bool) -> DataFrame:
     emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
-    out = emb.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("vd")
-    ).withColumn("vnorm", norm(F.col("vd")))
+    out = (
+        # small corpus parquet = one input split; spread the per-row
+        # norm/bucket arithmetic across cores (free at real scale)
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("vd"))
+        .withColumn("vnorm", norm(F.col("vd")))
+    )
     if with_bucket:
         out = out.withColumn("bucket", lsh_bucket(F.col("vd")))
     return out
@@ -139,11 +144,30 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Recall < 1 by design; determinism is exact."""
+    bucket. Recall < 1 by design; determinism is exact.
+
+    Shaped as block-collect pair expansion (both orientations, then
+    keep the query side) so norms and buckets are computed once — a
+    bucket self-join would evaluate the whole prep plan per side.
+    """
     vecs = _prep(spark, sf_dir, with_bucket=True)
-    return _topk(
-        _scored_pairs(vecs.filter(F.col("vec_id") < N_QUERIES), vecs, join_on="bucket")
+    pairs = within_block_pairs(vecs, ["bucket"], ["vec_id", "vd", "vnorm"])
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("q"), F.col("b").alias("c")),
+                F.struct(F.col("b").alias("q"), F.col("a").alias("c")),
+            )
+        ).alias("p")
+    ).select("p.q", "p.c")
+    scored = both.filter(F.col("q.vec_id") < N_QUERIES).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("vec_id"),
+        F.round(
+            cosine(F.col("q.vd"), F.col("c.vd"), F.col("q.vnorm"), F.col("c.vnorm")), 9
+        ).alias("score"),
     )
+    return _topk(scored)
 
 
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,21 +192,14 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vnorm", norm(F.col("vd")))
         .withColumn("bucket", lsh_bucket(F.col("vd")))
     )
-    a, b = allv.alias("a"), allv.alias("b")
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a.bucket") == F.col("b.bucket"),
-            F.col("a.vec_id") < F.col("b.vec_id"),
-        ],
-    ).select(
+    pairs = within_block_pairs(allv, ["bucket"], ["vec_id", "vd", "vnorm"])
+    return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         F.round(
             cosine(F.col("a.vd"), F.col("b.vd"), F.col("a.vnorm"), F.col("b.vnorm")), 9
         ).alias("score"),
-    )
-    return pairs.filter(F.col("score") >= 0.9)
+    ).filter(F.col("score") >= 0.9)
 
 
 # ---------------------------------------------------------------------------

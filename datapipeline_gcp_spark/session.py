@@ -61,6 +61,12 @@ def get_session(
         # default; keep timestamps physical INT96-free for interop.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        # Local mode = single JVM: driver memory is the only heap knob.
+        # Spark's 1g default OOMs real work; overridable via env or
+        # extra_conf (a cluster deployment sets executor memory instead).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
