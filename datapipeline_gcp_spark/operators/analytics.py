@@ -1,0 +1,169 @@
+"""OLAP analytics surface: grouping sets (rollup/cube), pivot/unpivot,
+and analytic window functions (lag/lead/running aggregates).
+
+The reference never uses these (SURVEY.md §2.5-§2.6 notes their
+absence), but they are table-stakes for a general analytics engine and
+all map to single Catalyst operators: rollup/cube plan as one Expand +
+hash aggregate (one shuffle); window functions as one sort within the
+partition-key shuffle. Running sums use the decimal-internal trick with
+an explicit ROWS frame and a unique-key tie-break so results are
+deterministic (a RANGE frame over tied timestamps would make running
+values order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.determinism import dec, dsum, sql_dsum
+from datapipeline_gcp_spark.schemas import load_testdata
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ("orders",))["orders"]
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotals per status and a grand
+    total; grouping flags exported explicitly (engine-portable, unlike
+    the composite grouping_id bit order)."""
+    o = _orders(spark, sf_dir)
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  o_orderstatus, o_orderpriority,
+  COUNT(o_orderkey) AS n_orders,
+  {sql_dsum('o_totalprice')} AS total_price,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+    )
+
+
+_CUBE_ORACLE = _ROLLUP_ORACLE.replace("GROUP BY ROLLUP", "GROUP BY CUBE")
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (explicit value list
+    — an unlisted status would silently widen the schema otherwise)."""
+    o = _orders(spark, sf_dir)
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F").alias("total_f"),
+        F.col("O").alias("total_o"),
+        F.col("P").alias("total_p"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT
+  o_orderpriority,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) lineitem's four measures into long form."""
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: lag/lead, rank, and a deterministic
+    running total (explicit ROWS frame + unique-key tie-break)."""
+    o = _orders(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.sum(dec("o_totalprice")).over(wf).cast("double").alias("running_total"),
+    )
+
+
+_WINDOW_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_totalprice,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+QUERIES = {
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "pivot_agg": pivot_agg,
+    "unpivot_measures": unpivot_measures,
+    "window_analytics": window_analytics,
+}
+
+ORACLES = {
+    "rollup_agg": _ROLLUP_ORACLE,
+    "cube_agg": _CUBE_ORACLE,
+    "pivot_agg": _PIVOT_ORACLE,
+    "unpivot_measures": _UNPIVOT_ORACLE,
+    "window_analytics": _WINDOW_ORACLE,
+}

@@ -1,0 +1,164 @@
+"""As-of join — the time-series operator Spark lacks natively.
+
+``asof_join(left, right, on, by)``: for every left row, attach the most
+recent right row with ``right.ts <= left.ts`` within the same ``by``
+group. The reference's J1 is the degenerate exact-equality case
+(``m_data_model.sql:17`` joins on timestamp equality); this is the
+general form every time-series/analytics engine ships.
+
+Implementation is a union-and-sweep composition of built-in operators —
+the scalable shape for as-of:
+
+1. Tag right rows (marker 0) and left rows (marker 1), union them.
+2. One window sort per ``by`` group over (ts, marker): ``last_value``
+   with ``ignoreNulls`` carries the latest right payload forward.
+3. Keep left rows; the carried columns are the as-of match.
+
+Cost: ONE shuffle on the group key + a sort within partitions —
+identical to a sort-merge join, with no range-explosion (a naive
+range-join produces O(|L|·|R|) intermediate pairs per group). Skewed
+groups behave like any skewed window (AQE does not split windows; for a
+pathological group, pre-split by time-bucketing the carry column).
+
+The oracle is DuckDB's native ``ASOF JOIN`` — an independent
+implementation agreeing on every row is strong evidence for the
+composition's semantics. Right-side ties on (by, ts) are resolved
+before joining (keep the max event_id) because ASOF's choice among
+exact-tie duplicates is otherwise unspecified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.determinism import dsum, sql_dsum
+from datapipeline_gcp_spark.schemas import load_testdata
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right ``value_cols``
+    at or before its timestamp (NULLs when no right row precedes)."""
+    marker = "__is_left"
+    carried = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
+
+    r = right.select(
+        *by_cols,
+        F.col(ts_col),
+        F.lit(0).alias(marker),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by_cols and c != ts_col],
+    )
+    l = left.select(
+        *by_cols,
+        F.col(ts_col),
+        F.lit(1).alias(marker),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        *[F.col(c) for c in left.columns if c not in by_cols and c != ts_col],
+    )
+    unioned = r.unionByName(l)
+    # right rows sort before left rows at equal ts (marker 0 < 1), so an
+    # exact-timestamp right row IS visible to the left row — ASOF <=.
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(ts_col), F.col(marker))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = unioned.select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__carry_{c}")
+            for c in carried
+        ],
+    )
+    out_cols = (
+        [F.col(c) for c in by_cols]
+        + [F.col(ts_col)]
+        + [F.col(c) for c in left.columns if c not in by_cols and c != ts_col]
+        + [F.col(f"__carry_{c}").alias(c) for c in carried]
+    )
+    return swept.filter(F.col(marker) == 1).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Registered query: clicks as-of joined to the user's latest purchase
+# ---------------------------------------------------------------------------
+
+
+def _events_split(spark: SparkSession, sf_dir: str):
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+    left_t, right_t = types[0], types[-1]
+    left = ev.filter(F.col("event_type") == left_t).select(
+        "user_id", "ts", F.col("event_id").alias("left_event_id"),
+        F.col("value").alias("left_value"),
+    )
+    # dedupe right side on (user_id, ts): keep max event_id — exact-tie
+    # duplicates make ASOF's pick unspecified
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        ev.filter(F.col("event_type") == right_t)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("event_id").alias("right_event_id"),
+                F.col("value").alias("right_value"))
+    )
+    return left, right, left_t, right_t
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left, right, _lt, _rt = _events_split(spark, sf_dir)
+    joined = asof_join(
+        left, right, ts_col="ts", by_cols=["user_id"],
+        value_cols=["right_event_id", "right_value"],
+    )
+    return joined.select(
+        "user_id",
+        F.col("left_event_id"),
+        F.col("left_value"),
+        F.col("right_event_id_right").alias("matched_event_id"),
+        F.col("right_value_right").alias("matched_value"),
+        F.col("ts_right").alias("matched_ts"),
+    )
+
+
+# The oracle discovers the same first/last event types dynamically so the
+# SQL stays correct across scale factors.
+_ASOF_ORACLE = """
+WITH types AS (
+  SELECT min(event_type) AS lt, max(event_type) AS rt FROM events
+),
+l AS (
+  SELECT user_id, ts, event_id AS left_event_id, value AS left_value
+  FROM events, types WHERE event_type = lt
+),
+r0 AS (
+  SELECT user_id, ts, event_id AS right_event_id, value AS right_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events, types WHERE event_type = rt
+),
+r AS (SELECT user_id, ts, right_event_id, right_value FROM r0 WHERE rn = 1)
+SELECT
+  l.user_id,
+  l.left_event_id,
+  l.left_value,
+  r.right_event_id AS matched_event_id,
+  r.right_value AS matched_value,
+  r.ts AS matched_ts
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+QUERIES = {"asof_join_events": asof_join_events}
+ORACLES = {"asof_join_events": _ASOF_ORACLE}

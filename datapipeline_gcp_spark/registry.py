@@ -16,6 +16,8 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.business",
     "datapipeline_gcp_spark.operators.report",
     "datapipeline_gcp_spark.operators.relational",
+    "datapipeline_gcp_spark.operators.asof",
+    "datapipeline_gcp_spark.operators.analytics",
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.functions.text",
     "datapipeline_gcp_spark.functions.dedup",

@@ -61,7 +61,7 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):

@@ -1,0 +1,59 @@
+"""applyInPandasWithState dedup: stream(availableNow) output must equal
+batch first-occurrence dedup, and state must persist across batches
+(a restarted stream with new data re-emits nothing already seen)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.streaming.stateful import streaming_first_seen
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, src, ckpt, name):
+    # foreachBatch sink: the memory sink cannot resume from a checkpoint,
+    # and resuming is exactly what the second run exercises
+    collected = []
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, value double"
+    ).parquet(src)
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: collected.append(df.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    return pd.concat(collected) if collected else pd.DataFrame(
+        columns=["user_id", "event_id", "value"]
+    )
+
+
+def test_streaming_dedup_matches_batch_and_keeps_state(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    batch1 = [
+        (1, 100, 1.0), (1, 101, 2.0), (1, 100, 3.0),  # dup within batch
+        (2, 100, 4.0),  # same id, different user → kept
+    ]
+    _write_batch(spark, src, batch1)
+    out1 = _run_stream(spark, src, ckpt, "dedup_out_1")
+    assert sorted(zip(out1.user_id, out1.event_id)) == [(1, 100), (1, 101), (2, 100)]
+    # first occurrence kept (value of the first row, not the dup's)
+    assert out1.loc[(out1.user_id == 1) & (out1.event_id == 100), "value"].iloc[0] == 1.0
+
+    # batch 2: replays (1,100) across batches + brings new ids
+    _write_batch(spark, src, [(1, 100, 9.0), (1, 102, 5.0), (3, 7, 6.0)])
+    out2 = _run_stream(spark, src, ckpt, "dedup_out_2")
+    assert sorted(zip(out2.user_id, out2.event_id)) == [(1, 102), (3, 7)]
