@@ -18,6 +18,9 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.relational",
     "datapipeline_gcp_spark.operators.asof",
     "datapipeline_gcp_spark.operators.analytics",
+    "datapipeline_gcp_spark.operators.rangejoin",
+    "datapipeline_gcp_spark.operators.tpch",
+    "datapipeline_gcp_spark.sources.generators",
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.functions.text",
     "datapipeline_gcp_spark.functions.dedup",

@@ -70,7 +70,9 @@ def gen_campaigns(
     country, date_time = _slot_cols(F.col("slot"), n_slots)
     return df.select(
         (F.lit(10_000_000) + F.col("id")).alias("campaign_id"),
-        (F.round(F.lit(10.0) + F.pmod(F.col("id") * 9973 + seed, F.lit(99000)) / 100.0, 2)).alias(
+        # k/100.0 is already an exact-2-dp value; no round() — its
+        # double re-rounding is the one step engines may disagree on
+        (F.lit(10.0) + F.pmod(F.col("id") * 9973 + seed, F.lit(99000)) / 100.0).alias(
             "cost"
         ),
         country.alias("country"),
@@ -99,7 +101,7 @@ def gen_transactions(
     )
     country, date_time = _slot_cols(F.col("slot"), total_slots)
     income = F.when(F.pmod(F.col("id"), F.lit(11)) == 0, F.lit(0.0)).otherwise(
-        F.round(F.lit(10.0) + F.pmod(F.col("id") * 7919 + seed, F.lit(99000)) / 100.0, 2)
+        F.lit(10.0) + F.pmod(F.col("id") * 7919 + seed, F.lit(99000)) / 100.0
     )
     return df.select(
         (F.lit(1_000_000_000) + F.col("id")).alias("transaction_id"),
@@ -129,7 +131,7 @@ def gen_sales(
         F.pmod(tid * 13 + F.col("line") + seed, F.lit(150)).alias("customer_id"),
         F.pmod(tid * 17 + F.col("line") * 5, F.lit(50)).alias("product_id"),
         (F.pmod(tid + F.col("line"), F.lit(10)) + 1).cast("int").alias("quantity"),
-        F.round(F.lit(1.0) + F.pmod(tid * 31 + F.col("line"), F.lit(49900)) / 100.0, 2).alias(
+        (F.lit(1.0) + F.pmod(tid * 31 + F.col("line"), F.lit(49900)) / 100.0).alias(
             "price"
         ),
         F.concat(F.lit("cat_"), F.pmod(tid + F.col("line") * 3, F.lit(8))).alias(
@@ -137,6 +139,65 @@ def gen_sales(
         ),
         F.col("date_time"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the generators themselves are oracle-checked (S7 in
+# the correctness gate) — DuckDB reproduces the exact arithmetic over
+# generate_series, so every generated cell matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_GEN_N = 1000
+_COUNTRY_SQL = (
+    "CASE WHEN slot % 10 < 6 THEN 'Peru' "
+    "ELSE (['Chile','Colombia','Mexico','Argentina','Bolivia'])"
+    "[((slot % 10 - 6) % 5) + 1] END"
+)
+_TS_SQL = (
+    "TIMESTAMP '2023-06-01 09:00:00' + INTERVAL 1 SECOND * ((slot * 2971) % 10800)"
+)
+
+
+def generator_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_campaigns(spark, n=_GEN_N)
+
+
+_CAMPAIGNS_ORACLE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_GEN_N - 1})) AS id),
+s AS (SELECT id, (id * 7 + 42) % 200 AS slot FROM ids)
+SELECT
+  10000000 + id AS campaign_id,
+  10.0 + ((id * 9973 + 42) % 99000) / 100.0 AS cost,
+  {_COUNTRY_SQL} AS country,
+  {_TS_SQL} AS date_time
+FROM s
+"""
+
+
+def generator_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen_transactions(spark, n=_GEN_N)
+
+
+_TRANSACTIONS_ORACLE = f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_GEN_N - 1})) AS id),
+s AS (SELECT id, (id * 11 + 42) % 240 AS slot FROM ids)
+SELECT
+  1000000000 + id AS transaction_id,
+  CASE WHEN id % 11 = 0 THEN 0.0
+       ELSE 10.0 + ((id * 7919 + 42) % 99000) / 100.0 END AS income,
+  {_COUNTRY_SQL} AS country,
+  {_TS_SQL} AS date_time
+FROM s
+"""
+
+QUERIES = {
+    "generator_campaigns": generator_campaigns,
+    "generator_transactions": generator_transactions,
+}
+ORACLES = {
+    "generator_campaigns": _CAMPAIGNS_ORACLE,
+    "generator_transactions": _TRANSACTIONS_ORACLE,
+}
 
 
 def gen_stations(spark: SparkSession, n: int = 100) -> DataFrame:

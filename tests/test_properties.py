@@ -1,0 +1,74 @@
+"""Property-based spot checks (SURVEY.md §5.5): algebraic invariants
+that must hold by construction, over hypothesis-varied generator
+parameters. Few examples + small n — each example runs Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.functions.dedup import within_block_pairs
+from datapipeline_gcp_spark.operators.business import b_performance_metrics
+from datapipeline_gcp_spark.operators.master import master_join
+from datapipeline_gcp_spark.sources import generators as gen
+
+_SETTINGS = dict(max_examples=3, deadline=None)
+
+
+@given(n=st.integers(50, 300), seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_profit_identity_per_group(spark, n, seed):
+    """A2 invariant: total_profit == total_income - total_campaign_cost
+    in every group, up to output-cast ulps (each aggregate is exact in
+    decimal space, then independently rounded to DOUBLE)."""
+    c = gen.gen_campaigns(spark, n=n, seed=seed)
+    t = gen.gen_transactions(spark, n=n, seed=seed + 1)
+    s = gen.gen_sales(spark, t, seed=seed + 2)
+    m = master_join(c, t, s)
+    pdf = b_performance_metrics(m).toPandas()
+    if len(pdf):
+        # each aggregate is exact in decimal space but independently
+        # rounded to DOUBLE on output, so the identity holds to ulps,
+        # not bit-exactly
+        assert (
+            (pdf.total_profit - (pdf.total_income - pdf.total_campaign_cost))
+            .abs()
+            .max()
+            < 1e-6
+        )
+        # ratio invariant: avg transaction value * distinct count == total
+        assert (
+            (pdf.average_transaction_value * pdf.transaction_count - pdf.total_income)
+            .abs()
+            .max()
+            < 1e-6
+        )
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_master_join_key_alignment(spark, seed):
+    """Generators must produce joinable (country, date_time) slots —
+    the FIXTURES.md 'critical' property."""
+    c = gen.gen_campaigns(spark, n=100, seed=seed)
+    t = gen.gen_transactions(spark, n=100, seed=seed)
+    s = gen.gen_sales(spark, t, seed=seed)
+    assert master_join(c, t, s).count() > 0
+
+
+@given(sizes=st.lists(st.integers(1, 6), min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_within_block_pairs_combinatorics(spark, sizes):
+    """Pair expansion yields exactly C(n,2) ordered pairs per block."""
+    rows = [
+        (block, block * 1000 + i)
+        for block, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "block int, item_id bigint")
+    pairs = within_block_pairs(df, ["block"], ["item_id"]).select(
+        F.col("a.item_id").alias("ia"), F.col("b.item_id").alias("ib")
+    ).toPandas()
+    want = sum(n * (n - 1) // 2 for n in sizes)
+    assert len(pairs) == want
+    assert (pairs.ia < pairs.ib).all()
