@@ -1,0 +1,106 @@
+"""The Python extension surface (SURVEY.md §2.8): the reference has no
+UDFs; this module documents and tests the engine's three sanctioned
+Python extension points with operators that built-in functions
+genuinely cannot express:
+
+- scalar ``pandas_udf`` — Unicode NFKC normalization (Spark has no
+  normalization builtin; Arrow-vectorized, one Python call per batch).
+- grouped-map ``applyInPandas`` — per-group robust z-score
+  (median/MAD), awkward as SQL, natural as a per-group pandas frame.
+- ``mapInPandas`` — see ``functions.multimodal`` (feature extraction).
+- ``applyInPandasWithState`` — see ``streaming.stateful`` (dedup).
+
+Row-at-a-time Python UDFs are deliberately absent: per-row serde in the
+hot path is the one pattern that cannot survive 100 TB. All workers are
+self-contained closures (no executor package install).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.schemas import load_testdata
+
+
+def with_nfkc_normalized(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_nfkc"
+) -> DataFrame:
+    """Append ``out_col``: NFKC-normalized, whitespace-collapsed text.
+
+    NFKC folds compatibility forms (full-width chars, ligatures,
+    non-breaking spaces) — a standard corpus-cleaning pass before
+    tokenization/dedup, with no Spark builtin equivalent.
+    """
+
+    @F.pandas_udf("string")
+    def nfkc(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        ws = re.compile(r"\s+")
+        return s.map(
+            lambda t: ws.sub(" ", unicodedata.normalize("NFKC", t)).strip()
+            if t is not None
+            else None
+        )
+
+    return df.withColumn(out_col, nfkc(F.col(text_col)))
+
+
+def robust_zscore_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Per-group robust z-score: (x - median) / (1.4826 · MAD), with a
+    zero-MAD fallback to 0.0. Grouped-map pandas: each group arrives as
+    one frame; output schema = input + ``out_col``.
+
+    Scale note: one shuffle on the group key, and a group must fit in a
+    worker's memory — the same contract as any grouped-map; for
+    million-row groups switch to a two-pass windowed approximation
+    (percentile_approx) instead.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype(float)
+        med = v.median()
+        mad = (v - med).abs().median()
+        scale = 1.4826 * mad
+        pdf[out_col] = 0.0 if scale == 0 else ((v - med) / scale)
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(per_group, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (rows-only: both operators hinge on Python-side
+# semantics — unicodedata tables, pandas median — with no exact SQL twin;
+# unit tests pin the math against known cases and numpy)
+# ---------------------------------------------------------------------------
+
+
+def udf_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    return with_nfkc_normalized(docs).select("doc_id", "text_nfkc")
+
+
+def udf_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return robust_zscore_per_group(
+        ev.select("user_id", "event_id", "value"), ["user_id"], "value"
+    )
+
+
+QUERIES = {
+    "udf_nfkc_normalize": udf_nfkc_normalize,
+    "udf_robust_zscore": udf_robust_zscore,
+}
+ORACLES: dict[str, str] = {}

@@ -174,5 +174,17 @@ def build_reference_pipeline(
         p.step(name, business(name), deps=[mst], group="business", **kw)
         for name in biz.BUILDERS
     ]
-    p.step("end", deps=biz_steps)
+    # CBO statistics on the master table (join-key + group-key columns)
+    # run alongside the business queries — they feed the NEXT run's plans.
+    stats = p.step(
+        "analyze_master",
+        lambda c: sinks.analyze_table(
+            c.spark,
+            "master_layer.m_data_model",
+            ["transaction_country", "transaction_id", "product_id"],
+        ),
+        deps=[mst],
+        **kw,
+    )
+    p.step("end", deps=biz_steps + [stats])
     return p

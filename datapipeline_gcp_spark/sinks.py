@@ -93,6 +93,17 @@ def overwrite_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
+    """Compute table (and optionally column) statistics for the
+    cost-based optimizer. At 100 TB, join reordering and broadcast
+    decisions are only as good as these stats; run after large loads.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
 def archive_files(path_glob: str, archive_dir: str) -> list[str]:
     """K4 — move files matching the glob into the archive directory
     (same-filesystem rename, like the reference's ``gsutil mv``

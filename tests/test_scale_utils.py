@@ -1,0 +1,84 @@
+"""Tests for the scale utilities: salted joins must be result-identical
+to plain joins, compaction must preserve content while reducing files,
+and permissive reads must quarantine corrupt rows instead of failing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark import schemas
+from datapipeline_gcp_spark.operators.relational import salted_join
+from datapipeline_gcp_spark.sources import readers
+from datapipeline_gcp_spark.streaming.ingest import compact_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting redistributes work; it must never change the result —
+    including duplicate multiplicity on a skewed many-to-many join."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_totalprice",
+    )
+    plain = li.join(orders, on=["l_orderkey"], how="inner")
+    salted = salted_join(li, orders, keys=["l_orderkey"], salt_buckets=8)
+    assert plain.count() == salted.count()
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.select(*plain.columns).collect()))
+    assert a == b
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.frag")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    # simulate streaming appends: many tiny files
+    for i in range(6):
+        df.filter(F.col("id") % 6 == i).repartition(4).write.mode(
+            "append"
+        ).saveAsTable("raw_layer.frag")
+    before_files = len(glob.glob(_table_dir(spark, "raw_layer.frag") + "/*.parquet"))
+    before = sorted(r.id for r in spark.table("raw_layer.frag").collect())
+    compact_table(spark, "raw_layer.frag", target_file_rows=10_000)
+    after_files = len(glob.glob(_table_dir(spark, "raw_layer.frag") + "/*.parquet"))
+    after = sorted(r.id for r in spark.table("raw_layer.frag").collect())
+    assert after == before
+    assert after_files < before_files
+    assert after_files == 1
+
+
+def _table_dir(spark, table):
+    row = spark.sql(f"DESCRIBE FORMATTED {table}").filter(
+        F.col("col_name") == "Location"
+    ).first()
+    return row.data_type.removeprefix("file:")
+
+
+def test_permissive_read_quarantines_corrupt_rows(spark, tmp_path):
+    path = tmp_path / "bad.csv"
+    path.write_text(
+        "campaign_id,cost,country,date_time\n"
+        "1,10.5,Peru,2023-06-01 09:00:00\n"
+        "not_a_number,xx,Chile,whenever\n"
+        "2,20.0,Chile,2023-06-01 10:00:00\n"
+    )
+    df = readers.read_csv(
+        spark, str(path), schemas.CAMPAIGNS, permissive=True
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0].campaign_id is None
+    # failfast mode raises instead
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        readers.read_csv(spark, str(path), schemas.CAMPAIGNS).collect()
