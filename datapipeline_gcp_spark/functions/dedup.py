@@ -10,9 +10,11 @@ The standard corpus-dedup ladder for training-data pipelines:
   no O(n²) comparison — cost is one explode (bands) + one shuffle on
   (band, key), so it scales linearly with corpus size at fixed bucket
   occupancy.
-- **SimHash**: 32-bit sign-of-sum signature; candidates share at least
-  one of four 8-bit blocks (any pair within Hamming distance 3 must —
-  pigeonhole); verify by popcount(xor).
+- **SimHash**: 60-bit sign-of-sum signature; candidates share at least
+  one of four 15-bit blocks (any pair within Hamming distance 3 must —
+  pigeonhole); verify by popcount(xor). 15-bit blocks keep buckets
+  small on clustered corpora (8-bit blocks collapsed ~4k similar docs
+  into one bucket → tens of millions of candidate pairs).
 - **n-gram Jaccard**: exact Jaccard over distinct shingle sets inside
   cheap blocks (here (lang, source)) — the verify step for candidates,
   or standalone blocked dedup.
@@ -37,7 +39,7 @@ from datapipeline_gcp_spark.schemas import load_testdata
 P = 1_000_000_007  # hash field modulus (fits 64-bit intermediate math)
 NUM_HASHES = 32
 BANDS, ROWS = 8, 4  # 8 bands × 4 rows = 32 signature positions
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # full md5-60 bits; 4 x 15-bit blocks
 
 
 # ---------------------------------------------------------------------------
@@ -70,33 +72,36 @@ def base_hash(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % P
 
 
-def minhash_signature(shingle_arr: Column, k: int = NUM_HASHES) -> Column:
-    """k-permutation MinHash: h_i(s) = ((2i+1)·bh(s) + 7919i + 1) mod P;
-    signature[i] = min over shingles. (2i+1)·bh < 2^36 — no overflow.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, minhash): k-permutation MinHash —
+    h_i(s) = ((2i+1)·bh(s) + 7919i + 1) mod P, signature[i] = min over
+    shingles. (2i+1)·bh < 2^36 — no overflow.
 
-    Pass an already-hashed integer array (see ``add_minhash``) — md5 is
-    the expensive part, and inlining it here would recompute it for each
-    of the k permutations.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingle_arr,
-                lambda h: (((2 * i + 1) * h) + (7919 * i + 1)) % P,
-            )
-        ),
+    Shaped for whole-stage codegen: explode the per-shingle hashes to
+    rows, then ONE hash aggregation with k ``min`` expressions (the i
+    constants are Python literals, so every permutation is compiled).
+    The higher-order-array formulation (transform × array_min inside a
+    lambda) computes identical values but runs interpreted per element —
+    measured ~10× slower at sf0.1. Map-side partial mins keep the
+    shuffle tiny (one row per (doc, partition))."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.transform(shingles(F.col(text_col)), base_hash)).alias("h"),
     )
-
-
-def add_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Shingle → md5-hash once (materialized as its own projection so
-    CollapseProject keeps it single-evaluation) → k-permutation
-    signature over the integer array."""
-    hashed = df.withColumn(
-        "sh_hashes", F.transform(shingles(F.col(text_col)), base_hash)
+    mins = [
+        F.min((F.col("h") * (2 * i + 1) + (7919 * i + 1)) % P).alias(f"m{i}")
+        for i in range(k)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(k)]).alias("minhash"))
     )
-    return hashed.withColumn("minhash", minhash_signature(F.col("sh_hashes")))
 
 
 def within_block_pairs(
@@ -204,25 +209,42 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Sign-of-sums SimHash over distinct tokens: bit j is set when the
-    sum over tokens of ±1 (by bit j of the token hash) is positive."""
-    tokens = F.array_distinct(F.split(normalized(text), " "))
-    hashes = F.transform(tokens, base_hash)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda s, h: s + F.when((h.bitwiseAND(F.pow(F.lit(2.0), j).cast("long"))) > 0, 1).otherwise(-1),
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, simhash): sign-of-sums SimHash over distinct tokens — bit j
+    is set when the sum over tokens of ±1 (by bit j of the token hash)
+    is positive. Same explode → codegen'd-aggregation shape as MinHash:
+    one SUM per bit with literal constants, then the bits reassemble
+    into the signature. Token hashes use the raw 60 md5 bits (no mod-P
+    reduction — a reduced hash would zero the high bits)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.array_distinct(F.split(normalized(F.col(text_col)), " ")),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
             )
-            > 0,
-            F.pow(F.lit(2.0), j).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+        ).alias("h"),
     )
+    sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    bit_value = [
+        F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        for j in range(bits)
+    ]
+    agged = exploded.groupBy(id_col).agg(*sums)
+    total = bit_value[0]
+    for bv in bit_value[1:]:
+        total = total + bv
+    return agged.select(F.col(id_col), total.alias("simhash"))
 
 
 def simhash_pairs(
@@ -231,11 +253,11 @@ def simhash_pairs(
     """Candidates share one of four 8-bit blocks (pigeonhole guarantees
     every pair within Hamming distance 3 shares a block); verified by
     popcount(xor) ≤ max_hamming."""
-    blocks = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda b: (F.col("simhash").cast("long") / F.pow(F.lit(2.0), b * 8).cast("long"))
-        .cast("long")
-        % 256,
+    # shiftright, not division: `/` on longs goes through DOUBLE, which
+    # is lossy beyond 2^53 — silently wrong block values for 60-bit
+    # signatures (the oracle's integer `//` caught this)
+    blocks = F.array(
+        *[F.shiftright(F.col("simhash"), b * 15) % 32768 for b in range(4)]
     )
     exploded = df.select(
         F.col(id_col), F.col("simhash"), F.posexplode(blocks).alias("block_idx", "block_val")
@@ -263,8 +285,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct 3-gram shingle sets, restricted to
     cheap blocks — blocked-quadratic, never corpus-quadratic."""
+    # intersect integer hash sets, not string arrays — same Jaccard
+    # (md5-60 collisions are negligible), much cheaper comparisons
     with_sh = df.select(
-        *(F.col(c) for c in block_cols), F.col(id_col), shingles(F.col(text_col)).alias("sh")
+        *(F.col(c) for c in block_cols),
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col)), base_hash)
+        ).alias("sh"),
     )
     pairs = within_block_pairs(with_sh, block_cols, [id_col, "sh"])
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -377,20 +405,21 @@ list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}), j ->
   CASE WHEN list_sum(list_transform(hashes, h ->
          CASE WHEN (h & CAST(power(2, j) AS BIGINT)) > 0 THEN 1 ELSE -1 END)) > 0
        THEN CAST(power(2, j) AS BIGINT) ELSE 0 END))
-"""
+"""  # power(2, j) is a power of two — exact in double up to 2^59
 
 _SIMHASH_ORACLE = f"""
 WITH fixture AS ({_FIXTURE_SQL}),
 tok AS (
   SELECT doc_id,
          list_transform(list_distinct(string_split({_D_NORM}, ' ')),
-                        t -> {_D_BH.format(s='t')}) AS hashes
+                        t -> CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT))
+           AS hashes
   FROM fixture
 ),
 sigs AS (SELECT doc_id, CAST({_D_SIMHASH} AS BIGINT) AS simhash FROM tok),
 exploded AS (
   SELECT doc_id, simhash, u.b AS block_idx,
-         (simhash // CAST(power(2, u.b*8) AS BIGINT)) % 256 AS block_val
+         (simhash // CAST(power(2, u.b*15) AS BIGINT)) % 32768 AS block_val
   FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) u
 ),
 pairs AS (
@@ -405,7 +434,10 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 
 _JACCARD_ORACLE = f"""
 WITH fixture AS ({_FIXTURE_SQL}),
-sh AS (SELECT lang, source, doc_id, {_D_SHINGLES} AS sh FROM fixture)
+sh AS (SELECT lang, source, doc_id,
+       list_distinct(list_transform({_D_SHINGLES},
+                     s -> {_D_BH.format(s='s')})) AS sh
+FROM fixture)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -427,13 +459,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = add_minhash(neardup_fixture(spark, sf_dir))
+    sigs = minhash_signatures(neardup_fixture(spark, sf_dir))
     return lsh_candidate_pairs(sigs)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = neardup_fixture(spark, sf_dir).withColumn("simhash", simhash(F.col("text")))
-    return simhash_pairs(df)
+    return simhash_pairs(simhash_signatures(neardup_fixture(spark, sf_dir)))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
