@@ -97,10 +97,26 @@ _SPARK_FMT = "date_format(date_time, 'yyyy-MM-dd HH:mm:ss')"
 _DUCKDB_FMT = "strftime(date_time, '%Y-%m-%d %H:%M:%S')"
 
 
-def render(transactions_src: str, campaigns_src: str, dialect: str = "spark") -> str:
+def render(
+    transactions_src: str,
+    campaigns_src: str,
+    dialect: str = "spark",
+    as_landed: bool = False,
+) -> str:
     """Render the report SQL for a dialect over two source relations
-    (each a SELECT producing the raw transactions/campaigns shape)."""
-    fmt = _SPARK_FMT if dialect == "spark" else _DUCKDB_FMT
+    (each a SELECT producing the raw transactions/campaigns shape).
+
+    ``as_landed=True`` is byte-fidelity with the reference: ``date_time``
+    is an all-string column and SUBSTR slices it directly
+    (``load_campaigns_csv.py:11-12`` — P2's shape), and the explicit
+    ``CAST(income AS ...)`` does real STRING→numeric work (the §1.3
+    semantics trap). In typed mode the timestamp is formatted first.
+    The as-landed SQL is dialect-independent (pure string ops + casts).
+    """
+    if as_landed:
+        fmt = "date_time"
+    else:
+        fmt = _SPARK_FMT if dialect == "spark" else _DUCKDB_FMT
     return _TEMPLATE.format(
         fmt_dt=fmt, transactions_src=transactions_src, campaigns_src=campaigns_src
     )
