@@ -62,11 +62,17 @@ def stream_landing_table(
     checkpoint_dir: str,
     max_files_per_trigger: int = 100,
     available_now: bool = True,
+    on_batch=None,
 ) -> StreamingQuery:
     """One (table, format) ingestion stream: landing glob → raw table
     append → archive the batch's files. Returns the started query;
     with ``available_now`` it drains what exists and finishes (the
-    test/poll mode, E3's ``trigger(availableNow=True)``)."""
+    test/poll mode, E3's ``trigger(availableNow=True)``).
+
+    ``on_batch(spark, batch_id)`` runs after each committed batch — the
+    E3 "trigger downstream" hook (the reference POSTs the Airflow REST
+    API to run the dependent DAG; here the dependent transform runs
+    in-process, e.g. refresh the master join for the new rows)."""
     path = f"{landing_dir}/{fmt}"
     os.makedirs(path, exist_ok=True)
     reader = (
@@ -97,6 +103,8 @@ def stream_landing_table(
             # the clone's relation cache only — refresh the outer session's
             # view of the table or subsequent reads see a stale file list.
             spark.catalog.refreshTable(target_table)
+            if on_batch is not None:
+                on_batch(spark, batch_id)
         finally:
             batch.unpersist()
 

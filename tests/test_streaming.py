@@ -96,6 +96,35 @@ def test_stream_router_routes_by_table(spark, stream_dirs):
     assert spark.table("raw_layer.r_route_transactions").count() == 40
 
 
+def test_on_batch_hook_refreshes_downstream(spark, stream_dirs):
+    """E3 semantics: a committed batch triggers the dependent transform
+    (the reference's DAG-trigger REST call, in-process)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    for t in ("r_hook_campaigns", "hook_rollup"):
+        spark.sql(f"DROP TABLE IF EXISTS raw_layer.{t}")
+    gen.write_landing_file(
+        gen.gen_campaigns(spark, n=30, seed=6),
+        stream_dirs["landing"], "campaigns", "csv", "20230601",
+    )
+    seen_batches = []
+
+    def refresh(sess, batch_id):
+        seen_batches.append(batch_id)
+        sess.table("raw_layer.r_hook_campaigns").groupBy("country").count().write.mode(
+            "overwrite"
+        ).saveAsTable("raw_layer.hook_rollup")
+
+    q = ingest.stream_landing_table(
+        spark, stream_dirs["landing"], "campaigns", "csv", schemas.CAMPAIGNS,
+        "raw_layer.r_hook_campaigns", stream_dirs["archive"], stream_dirs["ckpt"],
+        on_batch=refresh,
+    )
+    ingest.drain(q)
+    assert seen_batches == [0]
+    rollup = spark.table("raw_layer.hook_rollup").toPandas()
+    assert rollup["count"].sum() == 30
+
+
 def test_parse_landing_filename(spark):
     df = spark.createDataFrame(
         [("/data/landing/csv/campaigns_20230601_ab12cd34.csv",)], ["path"]

@@ -1,0 +1,110 @@
+"""Simulate the external driver: vanilla SparkSession (NO engine confs —
+the real driver builds its own session), import the contract module by
+file path, run entry() smoke + every queries() entry vs its oracle_sql()
+in DuckDB at sf0.01 with row-count + schema + order-insensitive value
+comparison (floats via repr — the engine guarantees bitwise determinism).
+
+Usage:  cd /tmp && python /root/repo/tools/driver_sim.py
+        SIM_SF=/root/testdata/sf0.1 python tools/driver_sim.py
+Run from OUTSIDE the repo dir to catch worker-import/pickling issues.
+Exit code 0 iff everything matches. This is the project verify harness
+(see .claude/skills/verify/SKILL.md).
+"""
+
+import datetime as dt
+import importlib.util
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def canon(v):
+    if v is None or v is pd.NaT:
+        return "∅"
+    if isinstance(v, float):
+        return "∅" if math.isnan(v) else repr(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, dt.datetime):
+        if v.time() == dt.time(0, 0) and v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def rows(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(tuple(canon(v) for v in r) for r in pdf[cols].itertuples(index=False))
+
+
+def main():
+    # vanilla session — the driver's, not the engine's
+    spark = SparkSession.builder.master("local[32]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    mod = load_entry()
+
+    t0 = time.time()
+    n = mod.entry(spark).count()
+    print(f"SMOKE entry(): {n} rows in {time.time()-t0:.1f}s -> {'OK' if n > 0 else 'FAIL'}")
+
+    import os; sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    fails = 0
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            spdf = qs[name](spark, sf).toPandas()
+            if name not in os_:
+                print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+                continue
+            opdf = con.execute(os_[name]).df()
+            problems = []
+            if sorted(spdf.columns) != sorted(opdf.columns):
+                problems.append(f"cols {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
+            elif len(spdf) != len(opdf):
+                problems.append(f"rowcount {len(spdf)} vs {len(opdf)}")
+            else:
+                a, b = rows(spdf), rows(opdf)
+                if a != b:
+                    d = [(x, y) for x, y in zip(a, b) if x != y][:2]
+                    problems.append(f"values differ, e.g. {d}")
+            status = "MATCH" if not problems else "MISMATCH " + "; ".join(problems)
+            if problems:
+                fails += 1
+            print(f"{status:9s} {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+        except Exception as ex:
+            fails += 1
+            print(f"ERROR     {name}: {str(ex)[:200]}")
+    print(f"\n{'ALL MATCH' if fails == 0 else f'{fails} FAILURES'} out of {len(qs)} queries")
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
