@@ -64,6 +64,28 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_ORACLE = _ROLLUP_ORACLE.replace("GROUP BY ROLLUP", "GROUP BY CUBE")
 
+# Arbitrary GROUPING SETS (neither a rollup nor a full cube): the
+# (status, priority) detail, the per-priority margin, and the grand
+# total — one Expand + one hash aggregate in Spark, same as rollup/cube.
+# The string is dialect-shared ANSI, run verbatim by both engines.
+_GROUPING_SETS_SQL = f"""
+SELECT
+  o_orderstatus, o_orderpriority,
+  COUNT(o_orderkey) AS n_orders,
+  {sql_dsum('o_totalprice')} AS total_price,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube (DataFrame API has no grouping-
+    sets builder — SQL is the idiomatic Spark spelling)."""
+    _orders(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
 
 def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order status into columns per priority (explicit value list
@@ -155,6 +177,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 QUERIES = {
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
+    "grouping_sets_agg": grouping_sets_agg,
     "pivot_agg": pivot_agg,
     "unpivot_measures": unpivot_measures,
     "window_analytics": window_analytics,
@@ -163,6 +186,7 @@ QUERIES = {
 ORACLES = {
     "rollup_agg": _ROLLUP_ORACLE,
     "cube_agg": _CUBE_ORACLE,
+    "grouping_sets_agg": _GROUPING_SETS_SQL,
     "pivot_agg": _PIVOT_ORACLE,
     "unpivot_measures": _UNPIVOT_ORACLE,
     "window_analytics": _WINDOW_ORACLE,

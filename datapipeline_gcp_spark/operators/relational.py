@@ -236,6 +236,53 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY §2.6 notes the reference has neither;
+    an engine needs them): nations present in both the customer and
+    supplier bases vs customer-only nations."""
+    t = load_testdata(spark, sf_dir, ("customer", "supplier"))
+    cust_n = t["customer"].select(F.col("c_nationkey").alias("nation_key"))
+    supp_n = t["supplier"].select(F.col("s_nationkey").alias("nation_key"))
+    both = cust_n.intersect(supp_n).withColumn("membership", F.lit("both"))
+    cust_only = cust_n.subtract(supp_n).withColumn(
+        "membership", F.lit("customer_only")
+    )
+    return both.unionAll(cust_only)
+
+
+_SET_OPS_ORACLE = """
+WITH cn AS (SELECT c_nationkey AS nation_key FROM customer),
+     sn AS (SELECT s_nationkey AS nation_key FROM supplier)
+SELECT nation_key, 'both' AS membership
+FROM (SELECT nation_key FROM cn INTERSECT SELECT nation_key FROM sn)
+UNION ALL
+SELECT nation_key, 'customer_only' AS membership
+FROM (SELECT nation_key FROM cn EXCEPT SELECT nation_key FROM sn)
+"""
+
+
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery as a filter threshold: orders above
+    90% of the global max price. DataFrame spelling = broadcast the
+    1-row aggregate and filter against it (the plan Catalyst builds for
+    the SQL subquery too). MAX (not AVG) keeps the threshold exact —
+    no float-accumulation drift between engines."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    mx = o.agg(F.max("o_totalprice").alias("max_price"))
+    return (
+        o.join(F.broadcast(mx))
+        .filter(F.col("o_totalprice") > 0.9 * F.col("max_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_SCALAR_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+"""
+
+
 QUERIES = {
     "scan_filter_project": scan_filter_project,
     "case_when_projection": case_when_projection,
@@ -244,6 +291,8 @@ QUERIES = {
     "orderby_limit": orderby_limit,
     "distinct_projection": distinct_projection,
     "semi_anti_join": semi_anti_join,
+    "set_intersect_except": set_intersect_except,
+    "scalar_subquery_filter": scalar_subquery_filter,
 }
 
 ORACLES = {
@@ -254,4 +303,6 @@ ORACLES = {
     "orderby_limit": _ORDERBY_LIMIT_ORACLE,
     "distinct_projection": _DISTINCT_ORACLE,
     "semi_anti_join": _SEMI_ANTI_ORACLE,
+    "set_intersect_except": _SET_OPS_ORACLE,
+    "scalar_subquery_filter": _SCALAR_SUBQUERY_ORACLE,
 }

@@ -60,6 +60,36 @@ LIMIT 10
 """
 
 
+TPCH_Q5 = f"""
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+TPCH_Q6 = f"""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def _run(spark: SparkSession, sf_dir: str, sql: str, tables) -> DataFrame:
     load_testdata(spark, sf_dir, tables)
     return spark.sql(sql)
@@ -73,6 +103,27 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, TPCH_Q3, ("customer", "orders", "lineitem"))
 
 
-QUERIES = {"tpch_q1": tpch_q1, "tpch_q3": tpch_q3}
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir, TPCH_Q5,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, TPCH_Q6, ("lineitem",))
+
+
+QUERIES = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+}
 # the SAME SQL strings are the oracles — dialect-shared ANSI
-ORACLES = {"tpch_q1": TPCH_Q1, "tpch_q3": TPCH_Q3}
+ORACLES = {
+    "tpch_q1": TPCH_Q1,
+    "tpch_q3": TPCH_Q3,
+    "tpch_q5": TPCH_Q5,
+    "tpch_q6": TPCH_Q6,
+}

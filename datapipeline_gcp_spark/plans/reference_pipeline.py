@@ -40,12 +40,21 @@ def _load_raw(ctx: Context, fmt: str, table: str, schema, landing_dir: str, mode
     """Read one (table, format) landing glob and land it in raw_layer."""
     glob = f"{landing_dir}/{fmt}/{table}_{ctx.run_date}_*.{fmt}"
     reader = readers.read_tsv if fmt == "txt" else readers.read_csv
-    df = reader(ctx.spark, glob, schema).withColumn("load_date", F.lit(ctx.run_date))
+    df = (
+        reader(ctx.spark, glob, schema)
+        .withColumn("load_date", F.lit(ctx.run_date))
+        # src_format keeps the CSV and TXT loads of the same run date on
+        # disjoint partitions: in overwrite_run mode each format replaces
+        # only its own prior rows instead of racing the other load for
+        # the (run_date) partition (last-writer-wins was nondeterministic
+        # under the concurrent ingestion groups).
+        .withColumn("src_format", F.lit(fmt))
+    )
     target = f"raw_layer.r_{table}"
     if mode == "overwrite_run":
-        sinks.overwrite_partitions(df, target, ["load_date"])
+        sinks.overwrite_partitions(df, target, ["load_date", "src_format"])
     else:
-        sinks.append_table(df, target, partition_by=["load_date"])
+        sinks.append_table(df, target, partition_by=["load_date", "src_format"])
 
 
 def build_reference_pipeline(
@@ -144,7 +153,7 @@ def build_reference_pipeline(
     # --- master join (J1+J2) → m_data_model ------------------------------
     def master(c: Context):
         raw = {
-            t: c.spark.table(f"raw_layer.r_{t}").drop("load_date")
+            t: c.spark.table(f"raw_layer.r_{t}").drop("load_date", "src_format")
             for t in ("campaigns", "transactions", "sales")
         }
         m = master_join(raw["campaigns"], raw["transactions"], raw["sales"])

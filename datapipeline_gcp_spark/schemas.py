@@ -123,6 +123,20 @@ TESTDATA_TABLES = (
 )
 
 
+def pin_utc(spark) -> None:
+    """Pin the session time zone to UTC (runtime-settable).
+
+    Contract semantics are UTC: the oracle (DuckDB) treats parquet
+    timestamps as naive wall-clock values, while Spark's TIMESTAMP is
+    instant-typed and renders in the session time zone. The external
+    driver builds a vanilla session that inherits the JVM's local zone,
+    whatever that happens to be — every engine entry point that touches
+    timestamps calls this so results are identical in any caller's
+    session.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_testdata(spark, sf_dir: str, tables=TESTDATA_TABLES) -> dict:
     """Read the driver-provided parquet tables and register temp views.
 
@@ -136,6 +150,8 @@ def load_testdata(spark, sf_dir: str, tables=TESTDATA_TABLES) -> dict:
     data is µs-resolution, so the conversion is lossless.
     """
     from pyspark.sql import functions as F
+
+    pin_utc(spark)
 
     out = {}
     for name in tables:

@@ -47,6 +47,12 @@ def get_session(
         .master(master or f"local[{cpus}]")
         # --- correctness-critical ---
         .config("spark.sql.session.timeZone", "UTC")
+        # Dynamic partition overwrite is a session-wide invariant: an
+        # INSERT OVERWRITE replaces only the partitions present in the
+        # incoming data. Nothing in the engine wants static truncation,
+        # and per-write toggling of this conf races under the pipeline's
+        # concurrent load legs (see sinks.overwrite_partitions).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- adaptive execution: runtime re-planning, partition
         # coalescing, skew-join splitting. At 100 TB these are the main
         # defense against mis-sized shuffles and hot keys.

@@ -81,16 +81,19 @@ def overwrite_partitions(
     rerun for one run-date cannot double rows or touch other dates.
     """
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    # Dynamic overwrite mode is pinned session-wide (session.get_session)
+    # and re-asserted here — never toggled back. Set-and-restore around
+    # each write races under the pipeline's concurrent load legs: one
+    # leg's restore flips a still-pending overwrite to static, which
+    # truncates every partition of the table instead of just the leg's
+    # own. (The per-writer .option() spelling is ignored by insertInto on
+    # catalog parquet tables, so the session conf is the mechanism.)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        with _table_lock(table):
-            if not spark.catalog.tableExists(table):
-                df.write.format(fmt).partitionBy(*partition_by).saveAsTable(table)
-            else:
-                df.write.format(fmt).mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with _table_lock(table):
+        if not spark.catalog.tableExists(table):
+            df.write.format(fmt).partitionBy(*partition_by).saveAsTable(table)
+        else:
+            df.write.format(fmt).mode("overwrite").insertInto(table)
 
 
 def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:

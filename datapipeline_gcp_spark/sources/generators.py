@@ -35,7 +35,10 @@ COUNTRIES = ("Peru", "Chile", "Colombia", "Mexico", "Argentina", "Bolivia")
 #: Probability weight of the hot country: ids ≡ 0..5 (mod 10) → Peru.
 _HOT_WEIGHT = 6
 
-BASE_TS = dt.datetime(2023, 6, 1, 9, 0, 0)
+# tz-aware: PySpark converts a NAIVE datetime literal to epoch micros via
+# the Python process's local time zone (time.mktime), so the instant
+# itself would drift with the host TZ; an aware literal is fixed.
+BASE_TS = dt.datetime(2023, 6, 1, 9, 0, 0, tzinfo=dt.timezone.utc)
 WINDOW_S = 3 * 3600  # generator emits timestamps within the last 3 h
 
 
@@ -159,6 +162,9 @@ _TS_SQL = (
 
 
 def generator_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import pin_utc
+
+    pin_utc(spark)  # render date_time in UTC in a vanilla driver session
     return gen_campaigns(spark, n=_GEN_N)
 
 
@@ -175,6 +181,9 @@ FROM s
 
 
 def generator_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import pin_utc
+
+    pin_utc(spark)
     return gen_transactions(spark, n=_GEN_N)
 
 

@@ -36,7 +36,7 @@ def _oracle_con(spark):
     """DuckDB over the pipeline's actual raw rows."""
     con = duckdb.connect()
     for t in ("campaigns", "transactions", "sales"):
-        pdf = spark.table(f"raw_layer.r_{t}").drop("load_date").toPandas()
+        pdf = spark.table(f"raw_layer.r_{t}").drop("load_date", "src_format").toPandas()
         con.register(f"r_{t}", pdf)
     return con
 
@@ -93,7 +93,7 @@ def test_append_rerun_doubles_rows(spark, pipeline_run):
     from pyspark.sql import functions as F
 
     raw = {
-        t: spark.table(f"raw_layer.r_{t}").drop("load_date")
+        t: spark.table(f"raw_layer.r_{t}").drop("load_date", "src_format")
         for t in ("campaigns", "transactions", "sales")
     }
     m = master_join(raw["campaigns"], raw["transactions"], raw["sales"]).withColumn(

@@ -75,6 +75,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     qs, os_ = mod.queries(), mod.oracle_sql()
+    only = {n for n in os.environ.get("SIM_ONLY", "").split(",") if n}
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     fails = 0
     for name in sorted(qs):
         t0 = time.time()
