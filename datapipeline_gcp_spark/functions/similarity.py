@@ -7,18 +7,34 @@ Design for scale:
   query set against the candidate corpus — one pass, no shuffle of the
   big side. O(Q·N) but embarrassingly parallel; right answer, bounded
   by scan speed.
-- **LSH buckets** are the scale path: 16 deterministic ±1 hyperplanes →
-  16-bit bucket per vector; queries only compare within their bucket
-  (expected N/65536 of the corpus). The hyperplane dot products are
-  computed over ``floor(v·2^20)`` integer quantization so bucket
-  assignment is bit-exact across engines and partitionings — a sign
-  bit must never depend on float summation order.
-- All exact cosines accumulate in array order with double math
-  (sequential fold in both engines), and are rounded to 9 decimals
+- **LSH buckets** are the scale path: 16 pseudorandom ±1 hyperplanes →
+  a 16-bit signature per vector, split into 2 bands of 8 bits
+  (OR-of-ANDs, the classic LSH amplification): vectors sharing *any*
+  band become candidates. Band occupancy is E[N/256] per band value, so
+  candidate generation is linear at fixed occupancy; both the band
+  count and width are constants to retune per corpus (and
+  ``within_block_pairs``'s ``max_block_size`` caps hot buckets).
+  Hyperplane entries come from a mixed multiplicative hash of the
+  dimension index — ``xor(m, m >> 13)`` of ``(d+1)·2654435761`` — NOT a
+  linear parity like ``(p·a + d·b) % 2``, whose sign patterns collapse
+  to two distinct planes (every even/odd plane identical ⇒ 2 effective
+  buckets ⇒ quadratic candidate blow-up; caught by plan audit in
+  round 1).
+- **Integer-quantized determinism**: hyperplane dot products AND the
+  norm accumulate over ``floor(v·2^20)`` longs, so bucket assignment
+  and norms are bit-exact across engines and partitionings — exact
+  integer sums are reorder-safe, which is what lets the heavy per-row
+  work run as one exploded whole-stage-codegen hash aggregation
+  (posexplode dims → 17 integer SUMs with literal plane constants —
+  the ``minhash_signatures`` shape) instead of interpreted per-element
+  array lambdas (~16×dims lambda evals per row; the round-1 hot loop).
+  Quantization shifts norms by ~1e-6 relative — immaterial for
+  similarity ranking and mirrored exactly in the oracle.
+- Exact pair cosines accumulate in array order with double math
+  (sequential fold in both engines) and are rounded to 9 decimals
   before ranking, with vec_id tie-breaks — fully deterministic top-k.
-
-No UDFs anywhere: zip_with/aggregate/transform are JVM-side higher-order
-functions, so scoring runs inside whole-stage codegen.
+  Per-pair scoring touches only bounded candidate sets, so the
+  interpreted fold there is not a hot loop.
 """
 
 from __future__ import annotations
@@ -30,7 +46,10 @@ from datapipeline_gcp_spark.functions.dedup import within_block_pairs
 from datapipeline_gcp_spark.schemas import load_testdata
 
 N_PLANES = 16
-QUANT = 1 << 20  # integer quantization for bucket sign bits
+BANDS = 2  # 2 bands × 8 bits: P[miss | cos≈0.999 pair] ≈ 1e-2
+BAND_BITS = N_PLANES // BANDS
+QUANT = 1 << 20  # integer quantization for bucket/norm determinism
+MIX = 2654435761  # Knuth multiplicative constant; (d+1)*MIX fits int64
 N_QUERIES = 10  # registered queries use vec_id < N_QUERIES as the query set
 TOP_K = 10
 
@@ -46,42 +65,72 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
-
-
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return dot(a, b) / (norm_a * norm_b)
 
 
-def _plane_sign(p, d) -> Column:
-    """Deterministic ±1 hyperplane entries (p: plane, d: 0-based dim)."""
-    return F.when(((p * 131 + d * 37) % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+def _with_stats(df: DataFrame, with_bucket: bool) -> DataFrame:
+    """Attach ``vnorm`` (and ``bucket``) to a (vec_id, label, vd) frame.
+
+    One posexplode over dimensions, ``qx``/``m`` materialized once per
+    row, then a single hash aggregation: 1 norm sum + 16 plane-dot sums,
+    all exact long arithmetic (qx ≤ 2^21, qx² ≤ 2^42, ×dims ≪ 2^63).
+    Plane p's ±1 entry for dimension d is ``1 - 2·bit_p(mix(d))`` —
+    branch-free, literal p. Narrow stats join back on vec_id.
+    """
+    ex = (
+        df.select("vec_id", F.posexplode("vd").alias("d", "x"))
+        .withColumn("qx", F.floor(F.col("x") * QUANT).cast("long"))
+    )
+    aggs = [F.sum(F.col("qx") * F.col("qx")).alias("qn2")]
+    if with_bucket:
+        m0 = (F.col("d").cast("long") + 1) * F.lit(MIX)
+        ex = ex.withColumn("m", m0.bitwiseXOR(F.shiftright(m0, 13)))
+        aggs += [
+            F.sum(
+                F.col("qx")
+                * (1 - 2 * F.shiftright(F.col("m"), p).bitwiseAND(F.lit(1)))
+            ).alias(f"p{p}")
+            for p in range(N_PLANES)
+        ]
+    stats = ex.groupBy("vec_id").agg(*aggs)
+    out = [F.col("vec_id"), (F.sqrt(F.col("qn2")) / QUANT).alias("vnorm")]
+    if with_bucket:
+        bucket = F.shiftleft((F.col("p0") > 0).cast("long"), 0)
+        for p in range(1, N_PLANES):
+            bucket = bucket + F.shiftleft((F.col(f"p{p}") > 0).cast("long"), p)
+        out.append(bucket.alias("bucket"))
+    return df.join(stats.select(*out), "vec_id")
 
 
-def lsh_bucket(vec: Column) -> Column:
-    """16-bit random-hyperplane bucket over integer-quantized values."""
-    qvec = F.transform(vec, lambda x: F.floor(x * QUANT).cast("long"))
-
-    def plane_dot(p: Column) -> Column:
-        return F.aggregate(
-            F.sequence(F.lit(0), F.size(qvec) - 1),
-            F.lit(0).cast("long"),
-            lambda s, d: s
-            + F.element_at(qvec, (d + 1).cast("int")) * _plane_sign(p, d).cast("long"),
-        )
-
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+def banded(df: DataFrame) -> DataFrame:
+    """Explode the 16-bit bucket into (band_idx, band_val) rows —
+    candidates share ANY band (OR-amplification for recall)."""
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("bucket"), b * BAND_BITS).bitwiseAND(
+                F.lit((1 << BAND_BITS) - 1)
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return df.select(
+        "*", F.posexplode(bands).alias("band_idx", "band_val")
     )
 
 
-def _scored_pairs(queries: DataFrame, cands: DataFrame, join_on=None) -> DataFrame:
+def _prep(spark: SparkSession, sf_dir: str, with_bucket: bool) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = (
+        # small corpus parquet = one input split; spread the per-row
+        # arithmetic across cores (free at real scale)
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("vd"))
+    )
+    return _with_stats(base, with_bucket)
+
+
+def _scored_pairs(queries: DataFrame, cands: DataFrame) -> DataFrame:
     """(query_id, vec_id, score): rounded cosine for every (query,
     candidate) pair; the query side is broadcast."""
     q = queries.select(
@@ -89,18 +138,8 @@ def _scored_pairs(queries: DataFrame, cands: DataFrame, join_on=None) -> DataFra
         F.col("vd").alias("qv"),
         F.col("vnorm").alias("qn"),
     )
-    c = cands.select(
-        F.col("vec_id"), F.col("vd").alias("cv"), F.col("vnorm").alias("cn"),
-        *([F.col("bucket")] if join_on == "bucket" else []),
-    )
-    if join_on == "bucket":
-        q = q.join(
-            queries.select(F.col("vec_id").alias("query_id"), "bucket"), "query_id"
-        )
-        joined = c.join(F.broadcast(q), on="bucket")
-    else:
-        joined = c.crossJoin(F.broadcast(q))
-    return joined.filter(F.col("vec_id") != F.col("query_id")).select(
+    c = cands.select(F.col("vec_id"), F.col("vd").alias("cv"), F.col("vnorm").alias("cn"))
+    return c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
         F.round(
@@ -118,20 +157,6 @@ def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def _prep(spark: SparkSession, sf_dir: str, with_bucket: bool) -> DataFrame:
-    emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
-    out = (
-        # small corpus parquet = one input split; spread the per-row
-        # norm/bucket arithmetic across cores (free at real scale)
-        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .select("vec_id", "label", as_double(F.col("embedding")).alias("vd"))
-        .withColumn("vnorm", norm(F.col("vd")))
-    )
-    if with_bucket:
-        out = out.withColumn("bucket", lsh_bucket(F.col("vd")))
-    return out
-
-
 # ---------------------------------------------------------------------------
 # Registered queries
 # ---------------------------------------------------------------------------
@@ -143,15 +168,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Recall < 1 by design; determinism is exact.
+    """Approximate top-k: candidates restricted to vectors sharing any
+    LSH band with the query. Recall < 1 by design; determinism is exact.
 
     Shaped as block-collect pair expansion (both orientations, then
     keep the query side) so norms and buckets are computed once — a
-    bucket self-join would evaluate the whole prep plan per side.
+    band self-join would evaluate the whole prep plan per side. The
+    cross-band DISTINCT runs on the slim scored projection.
     """
-    vecs = _prep(spark, sf_dir, with_bucket=True)
-    pairs = within_block_pairs(vecs, ["bucket"], ["vec_id", "vd", "vnorm"])
+    vecs = banded(_prep(spark, sf_dir, with_bucket=True))
+    pairs = within_block_pairs(vecs, ["band_idx", "band_val"], ["vec_id", "vd", "vnorm"])
     both = pairs.select(
         F.explode(
             F.array(
@@ -167,15 +193,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("q.vd"), F.col("c.vd"), F.col("q.vnorm"), F.col("c.vnorm")), 9
         ).alias("score"),
     )
-    return _topk(scored)
+    return _topk(scored.distinct())
 
 
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (cosine ≥ 0.9) among vectors sharing an LSH bucket.
+    """Near-dup pairs (cosine ≥ 0.9) among vectors sharing an LSH band.
 
     The embeddings fixture has no natural near-dups (max pair cosine
     ≈ 0.51), so every 10th vector gets a deterministically perturbed
-    copy (±4 % element-wise ramp) at vec_id + 100000.
+    copy (±4 % element-wise ramp) at vec_id + 100000. A planted pair at
+    cosine ≈ 0.999 lands in the same 8-bit band with p ≈ 0.89 per band;
+    missing both bands ≈ 1.1% — the documented approximate-recall
+    trade, mirrored exactly by the oracle.
     """
     vecs = _prep(spark, sf_dir, with_bucket=False)
     perturbed = vecs.filter(F.col("vec_id") % 10 == 0).select(
@@ -186,20 +215,23 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, i: x * (1.0 + 0.02 * (((i * 7) % 5) - 2)),
         ).alias("vd"),
     )
-    allv = (
-        vecs.select("vec_id", "label", "vd")
-        .unionAll(perturbed)
-        .withColumn("vnorm", norm(F.col("vd")))
-        .withColumn("bucket", lsh_bucket(F.col("vd")))
+    allv = _with_stats(
+        vecs.select("vec_id", "label", "vd").unionAll(perturbed), with_bucket=True
     )
-    pairs = within_block_pairs(allv, ["bucket"], ["vec_id", "vd", "vnorm"])
-    return pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.round(
-            cosine(F.col("a.vd"), F.col("b.vd"), F.col("a.vnorm"), F.col("b.vnorm")), 9
-        ).alias("score"),
-    ).filter(F.col("score") >= 0.9)
+    pairs = within_block_pairs(
+        banded(allv), ["band_idx", "band_val"], ["vec_id", "vd", "vnorm"]
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine(F.col("a.vd"), F.col("b.vd"), F.col("a.vnorm"), F.col("b.vnorm")), 9
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= 0.9)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -211,15 +243,20 @@ _D_DOT = (
     "list_reduce(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 )
-_D_NORM = f"sqrt({_D_DOT.format(a='vd', b='vd')})"
+_D_QX = f"CAST(floor(vd[i] * {QUANT}) AS BIGINT)"
+_D_NORM = (
+    f"sqrt(CAST(list_reduce(list_transform(generate_series(1, len(vd)), "
+    f"i -> {_D_QX} * {_D_QX}), (x, y) -> x + y) AS DOUBLE)) / {QUANT}"
+)
+# plane p entry for 1-based dim i: 1 - 2*bit_p(xor(m, m >> 13)), m = i*MIX
+_D_MIX = f"xor(i * {MIX}, (i * {MIX}) >> 13)"
 
 _D_BUCKET = f"""
 list_reduce(list_transform(generate_series(0, {N_PLANES - 1}), p ->
-  CASE WHEN list_reduce(list_transform(generate_series(1, len(vd)), d ->
-         CAST(floor(vd[d] * {QUANT}) AS BIGINT)
-           * (CASE WHEN (p*131 + (d-1)*37) % 2 = 0 THEN 1 ELSE -1 END)),
+  CASE WHEN list_reduce(list_transform(generate_series(1, len(vd)), i ->
+         {_D_QX} * (1 - 2 * (({_D_MIX} >> p) & 1))),
          (x, y) -> x + y) > 0
-       THEN CAST(power(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END),
   (x, y) -> x + y)
 """
 
@@ -230,6 +267,11 @@ FROM (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings)
 
 _D_SCORE = (
     "round(" + _D_DOT.format(a="q.vd", b="c.vd") + " / (q.vnorm * c.vnorm), 9)"
+)
+
+_D_BAND_JOIN = (
+    f"((a.bucket >> (u.b * {BAND_BITS})) & {(1 << BAND_BITS) - 1}) = "
+    f"((b.bucket >> (u.b * {BAND_BITS})) & {(1 << BAND_BITS) - 1})"
 )
 
 _BRUTE_ORACLE = f"""
@@ -252,9 +294,11 @@ WITH vecs AS (
   SELECT *, {_D_BUCKET} AS bucket FROM ({_D_PREP})
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_D_SCORE} AS score
-  FROM vecs q JOIN vecs c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id,
+    round({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm), 9) AS score
+  FROM vecs a JOIN vecs b ON b.vec_id != a.vec_id,
+       (SELECT unnest(generate_series(0, {BANDS - 1})) AS b) u
+  WHERE a.vec_id < {N_QUERIES} AND {_D_BAND_JOIN}
 ),
 ranked AS (
   SELECT *, CAST(ROW_NUMBER() OVER (
@@ -277,9 +321,11 @@ allv AS (
   FROM (SELECT * FROM base UNION ALL SELECT * FROM perturbed)
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
     round({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm), 9) AS score
-  FROM allv a JOIN allv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id,
+       (SELECT unnest(generate_series(0, {BANDS - 1})) AS b) u
+  WHERE {_D_BAND_JOIN}
 )
 SELECT vec_a, vec_b, score FROM pairs WHERE score >= 0.9
 """
