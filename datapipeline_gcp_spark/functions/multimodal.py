@@ -189,16 +189,69 @@ FROM documents
 """
 
 
-def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode → feature pipeline (fake codec). Rows-only check: the
-    per-byte histogram is not reasonably SQL-expressible; unit tests
-    assert the feature math directly."""
-    return extract_features(assets_from_documents(spark, sf_dir))
+N_BINS = 8  # histogram bins over byte values [0, 256) — bin = byte // 32
 
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode → feature pipeline (fake codec), projected to scalar
+    columns for the driver gate: the verification harness canonicalizes
+    rows with a pandas sort, which cannot hash an ``array<double>``
+    column — so the registered query unnests ``feature`` into
+    ``f0..f7`` (9-dp rounded) while ``extract_features`` keeps the
+    array-returning API. The oracle reproduces the whole pipeline in
+    SQL by slicing ``hex(encode(text))`` into per-byte integers —
+    histogram counts and byte sums are exact integer math, so the
+    9-dp-rounded doubles agree bit-for-bit."""
+    feats = extract_features(assets_from_documents(spark, sf_dir))
+    return feats.select(
+        "asset_id",
+        "kind",
+        "byte_len",
+        F.round(F.col("mean_byte"), 9).alias("mean_byte"),
+        "max_byte",
+        *[
+            F.round(F.element_at(F.col("feature"), i + 1), 9).alias(f"f{i}")
+            for i in range(N_BINS)
+        ],
+    )
+
+
+# Bytes of the UTF-8 payload recovered engine-side: hex(encode(text))
+# sliced into 2-char pairs → one BIGINT per byte. All downstream stats
+# are integer-exact, divisions are single IEEE ops — deterministic.
+_FEATURE_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id AS asset_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         hex(encode(text)) AS h
+  FROM documents
+),
+b AS (
+  SELECT asset_id, kind,
+    list_transform(generate_series(1, length(h) // 2),
+      i -> CAST(concat('0x', substr(h, 2*i - 1, 2)) AS BIGINT)) AS bytes
+  FROM raw
+)
+SELECT
+  asset_id,
+  kind,
+  CAST(len(bytes) AS BIGINT) AS byte_len,
+  round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 9) AS mean_byte,
+  CAST(list_max(bytes) AS BIGINT) AS max_byte,
+  {", ".join(
+    f"round(CAST(len(list_filter(bytes, x -> x // 32 = {k})) AS DOUBLE)"
+    f" / len(bytes), 9) AS f{k}"
+    for k in range(N_BINS)
+  )}
+FROM b
+"""
 
 QUERIES = {
     "multimodal_asset_stats": multimodal_asset_stats,
     "multimodal_feature_extract": multimodal_feature_extract,
 }
 
-ORACLES = {"multimodal_asset_stats": _STATS_ORACLE}
+ORACLES = {
+    "multimodal_asset_stats": _STATS_ORACLE,
+    "multimodal_feature_extract": _FEATURE_ORACLE,
+}

@@ -81,9 +81,22 @@ def robust_zscore_per_group(
 
 
 # ---------------------------------------------------------------------------
-# Registered queries (rows-only: both operators hinge on Python-side
-# semantics — unicodedata tables, pandas median — with no exact SQL twin;
-# unit tests pin the math against known cases and numpy)
+# Registered queries — both now oracle-checked:
+#
+# - robust z-score is fully SQL-expressible with DuckDB's median()/mad().
+#   The engines' medians can differ by 1 ulp on even-count groups
+#   (numpy averages the two middles as (a+b)/2; quantile interpolation
+#   computes a + 0.5*(b-a)) and that ulp is amplified by the (x-median)
+#   cancellation, so both sides round to 6 dp — far above the ulp noise,
+#   far below anything a user of a z-score cares about.
+# - NFKC has no DuckDB twin, but the documents fixture is pure
+#   single-spaced ASCII (verified: no control/multi-byte chars), where
+#   NFKC is the identity — the oracle checks the whitespace-collapse +
+#   trim semantics end-to-end on every row, and the NFKC folding itself
+#   (full-width forms, ligatures, NBSP) is pinned by unit tests against
+#   unicodedata. On a non-ASCII corpus this oracle would be wrong BY
+#   DESIGN — it exists to keep the Arrow-UDF plumbing under the hash
+#   gate, not to re-implement Unicode in SQL.
 # ---------------------------------------------------------------------------
 
 
@@ -94,13 +107,35 @@ def udf_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def udf_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
-    return robust_zscore_per_group(
+    out = robust_zscore_per_group(
         ev.select("user_id", "event_id", "value"), ["user_id"], "value"
     )
+    return out.select(
+        "user_id", "event_id", "value", F.round("robust_z", 6).alias("robust_z")
+    )
 
+
+_NFKC_ORACLE = r"""
+SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_nfkc
+FROM documents
+"""
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT user_id, median(value) AS med_v, mad(value) AS mad_v
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+  round(CASE WHEN 1.4826 * s.mad_v = 0 THEN 0.0
+             ELSE (e.value - s.med_v) / (1.4826 * s.mad_v) END, 6) AS robust_z
+FROM events e JOIN stats s USING (user_id)
+"""
 
 QUERIES = {
     "udf_nfkc_normalize": udf_nfkc_normalize,
     "udf_robust_zscore": udf_robust_zscore,
 }
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "udf_nfkc_normalize": _NFKC_ORACLE,
+    "udf_robust_zscore": _ZSCORE_ORACLE,
+}
