@@ -45,16 +45,27 @@ def asof_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right ``value_cols``
-    at or before its timestamp (NULLs when no right row precedes)."""
+    at or before its timestamp (NULLs when no right row precedes).
+
+    The right payload is carried as ONE struct of (value_cols + ts) —
+    the struct itself is non-null for every right row, so
+    ``last(ignorenulls)`` always picks the *latest whole right row*,
+    NULL fields included. Carrying each value column independently
+    would resurrect older non-null values into a newer row whenever a
+    right row legitimately holds NULL in one column — a deviation from
+    ASOF semantics (which returns the matched row as-is)."""
     marker = "__is_left"
+    payload = "__asof_payload"
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
 
     r = right.select(
         *by_cols,
         F.col(ts_col),
         F.lit(0).alias(marker),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        ).alias(payload),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by_cols and c != ts_col],
     )
@@ -62,9 +73,7 @@ def asof_join(
         *by_cols,
         F.col(ts_col),
         F.lit(1).alias(marker),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(r.schema[payload].dataType).alias(payload),
         *[F.col(c) for c in left.columns if c not in by_cols and c != ts_col],
     )
     unioned = r.unionByName(l)
@@ -77,16 +86,13 @@ def asof_join(
     )
     swept = unioned.select(
         "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in carried
-        ],
+        F.last(F.col(payload), ignorenulls=True).over(w).alias("__carry"),
     )
     out_cols = (
         [F.col(c) for c in by_cols]
         + [F.col(ts_col)]
         + [F.col(c) for c in left.columns if c not in by_cols and c != ts_col]
-        + [F.col(f"__carry_{c}").alias(c) for c in carried]
+        + [F.col("__carry").getField(c).alias(c) for c in carried]
     )
     return swept.filter(F.col(marker) == 1).select(*out_cols)
 

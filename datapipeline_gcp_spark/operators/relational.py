@@ -43,7 +43,20 @@ def salted_join(
     (e.g. a single country carrying most rows). Row multiplicity is
     unchanged — each left row matches exactly the right rows it would
     have matched un-salted.
+
+    Supported ``how``: inner and the left-side family (left/leftouter,
+    left_semi, left_anti) — for these, replicating the right side is
+    multiplicity-preserving. Right/full outer joins are rejected: an
+    unmatched right row would surface once per salt bucket.
     """
+    normalized_how = how.lower().replace("_", "")
+    if normalized_how not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salted right side "
+            "is replicated, so unmatched right rows would appear "
+            f"{salt_buckets}x in a right/full outer join. Use AQE skew-join "
+            "handling for those join types."
+        )
     salt = "__salt"
     left_s = left.withColumn(
         salt, (F.rand(seed=42) * salt_buckets).cast("int")

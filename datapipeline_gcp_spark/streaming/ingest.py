@@ -9,11 +9,19 @@ loads the file into its raw table and archives it
 
 Spark-native redesign: the landing directory IS the topic — a streaming
 file source discovers new files; ``foreachBatch`` appends the batch to
-the raw table and only then archives exactly the files that fed the
-batch (``_metadata.file_path``), preserving the reference's
-load-then-archive ordering with exactly-once per-batch semantics (file
-source tracks processed files in the checkpoint; a replayed batch
-re-reads the same files).
+the raw table and records exactly the files that fed it
+(``_metadata.file_path``) in a *pending* manifest. Archival (the move
+out of landing, K4) is **deferred until the batch's checkpoint commit
+is durable**: batch N's files move at the start of batch N+1 (which
+only runs after N committed) or at ``drain()`` after termination.
+Moving inside the batch itself would create a crash window — append
+done, files gone, commit log not yet written — where a restart replays
+the batch from the offset log's recorded paths and finds them missing
+(FileNotFoundException, or silent loss under ignoreMissingFiles).
+With deferral, a replayed batch always finds its input files still in
+landing; the append sink is at-least-once on replay (same trade the
+reference's BQ loads made), and archival remains load-then-archive
+ordered per batch.
 
 Routing (E2): ``stream_landing_router`` runs one stream per (table,
 format), the "simpler, chosen" design from SURVEY §2.7 — each stream's
@@ -51,6 +59,73 @@ def parse_landing_filename(col: F.Column) -> tuple[F.Column, F.Column]:
     return table, ext
 
 
+def _pending_dir(archive_dir: str) -> str:
+    return f"{archive_dir}/_pending"
+
+
+def _record_pending(files: list[str], archive_dir: str, batch_id: int) -> None:
+    """Atomically record the batch's input files (one path per line) at a
+    path keyed by batch id — a replayed batch overwrites the same file,
+    so the record is idempotent."""
+    pdir = _pending_dir(archive_dir)
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, f"batch_{batch_id}.txt.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(files))
+    os.replace(tmp, os.path.join(pdir, f"batch_{batch_id}.txt"))
+
+
+def flush_pending(archive_dir: str, upto_exclusive: int | None = None) -> list[str]:
+    """Archive the files recorded by durably-committed batches.
+
+    Called with ``upto_exclusive=N`` at the start of batch N (every
+    pending manifest with a smaller id belongs to a batch whose
+    checkpoint commit is durable — batch N only fires after N-1
+    committed), and with no bound after query termination. Idempotent:
+    already-moved files are skipped, the final per-batch manifest is
+    (re)written, and the pending record is removed last."""
+    pdir = _pending_dir(archive_dir)
+    if not os.path.isdir(pdir):
+        return []
+    moved: list[str] = []
+    for fname in sorted(os.listdir(pdir)):
+        if not (fname.startswith("batch_") and fname.endswith(".txt")):
+            continue
+        bid = int(fname[len("batch_") : -len(".txt")])
+        if upto_exclusive is not None and bid >= upto_exclusive:
+            continue
+        record = os.path.join(pdir, fname)
+        with open(record) as fh:
+            files = [line.strip() for line in fh if line.strip()]
+        for f in files:
+            if os.path.exists(f):
+                sinks.archive_files(f, archive_dir)
+                moved.append(f)
+        sinks.write_manifest(files, f"{archive_dir}/_manifests", str(bid))
+        os.remove(record)
+    return moved
+
+
+class IngestStream:
+    """A started ingestion query plus its deferred-archival handle.
+
+    ``awaitTermination`` proxies the underlying ``StreamingQuery``;
+    ``flush_archive`` moves the tail batch's files once the query has
+    terminated (its commit log is durable by then). ``drain`` calls
+    both — long-running (non-``availableNow``) callers that stop a
+    stream manually should call ``flush_archive`` themselves."""
+
+    def __init__(self, query: StreamingQuery, archive_dir: str):
+        self.query = query
+        self.archive_dir = archive_dir
+
+    def awaitTermination(self, *args, **kwargs):  # noqa: N802 (Spark API)
+        return self.query.awaitTermination(*args, **kwargs)
+
+    def flush_archive(self) -> list[str]:
+        return flush_pending(self.archive_dir)
+
+
 def stream_landing_table(
     spark: SparkSession,
     landing_dir: str,
@@ -63,13 +138,15 @@ def stream_landing_table(
     max_files_per_trigger: int = 100,
     available_now: bool = True,
     on_batch=None,
-) -> StreamingQuery:
+) -> IngestStream:
     """One (table, format) ingestion stream: landing glob → raw table
-    append → archive the batch's files. Returns the started query;
-    with ``available_now`` it drains what exists and finishes (the
-    test/poll mode, E3's ``trigger(availableNow=True)``).
+    append → record the batch's files for post-commit archival (see the
+    module docstring for the crash-safety argument). Returns the started
+    query wrapped with its archival handle; with ``available_now`` it
+    drains what exists and finishes (the test/poll mode, E3's
+    ``trigger(availableNow=True)``).
 
-    ``on_batch(spark, batch_id)`` runs after each committed batch — the
+    ``on_batch(spark, batch_id)`` runs after each batch's append — the
     E3 "trigger downstream" hook (the reference POSTs the Airflow REST
     API to run the dependent DAG; here the dependent transform runs
     in-process, e.g. refresh the master join for the new rows)."""
@@ -88,17 +165,22 @@ def stream_landing_table(
     stream = stream.select("*", F.col("_metadata.file_path").alias("_src"))
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        # archive predecessors first: their commits are durable, and the
+        # current batch's own files must stay readable until ITS commit
+        # (a replay re-reads them from the offset log's recorded paths)
+        flush_pending(archive_dir, upto_exclusive=batch_id)
         batch = batch.cache()
         try:
             files = [r._src for r in batch.select("_src").distinct().collect()]
-            sinks.append_table(batch.drop("_src"), target_table)
-            for f in files:  # archive only after the append committed (K4)
+            local_files = []
+            for f in files:
                 # _metadata.file_path is a URI ("file:/x" or "file:///x")
                 local = f.split(":", 1)[1] if f.startswith("file:") else f
                 while local.startswith("//"):
                     local = local[1:]
-                sinks.archive_files(local, archive_dir)
-            sinks.write_manifest(files, f"{archive_dir}/_manifests", str(batch_id))
+                local_files.append(local)
+            sinks.append_table(batch.drop("_src"), target_table)
+            _record_pending(local_files, archive_dir, batch_id)
             # foreachBatch runs in a cloned session: its append invalidates
             # the clone's relation cache only — refresh the outer session's
             # view of the table or subsequent reads see a stale file list.
@@ -113,7 +195,7 @@ def stream_landing_table(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return IngestStream(writer.start(), archive_dir)
 
 
 def stream_landing_router(
@@ -123,7 +205,7 @@ def stream_landing_router(
     archive_dir: str,
     checkpoint_root: str,
     available_now: bool = True,
-) -> dict[tuple[str, str], StreamingQuery]:
+) -> dict[tuple[str, str], IngestStream]:
     """E2 — the full router: one stream per (table, fmt) route, e.g.
     ``{("campaigns", "csv"): (schemas.CAMPAIGNS, "raw_layer.r_campaigns")}``.
     Unknown files simply match no glob — the reference's
@@ -145,10 +227,13 @@ def stream_landing_router(
 
 
 def drain(queries) -> None:
-    """Wait for availableNow queries to finish (test helper)."""
+    """Wait for availableNow queries to finish, then archive their tail
+    batches (termination makes the last commit durable)."""
     qs = queries.values() if isinstance(queries, dict) else [queries]
     for q in qs:
         q.awaitTermination()
+        if isinstance(q, IngestStream):
+            q.flush_archive()
 
 
 def compact_table(

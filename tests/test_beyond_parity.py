@@ -99,7 +99,10 @@ def test_text_quality_score_bounds(spark):
 
 
 def test_feature_extract_math(spark):
-    feats = multimodal.multimodal_feature_extract(spark, SF_SMOKE).toPandas()
+    # library API: array-returning feature vector
+    feats = multimodal.extract_features(
+        multimodal.assets_from_documents(spark, SF_SMOKE)
+    ).toPandas()
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
     row = feats[feats.asset_id == 0].iloc[0]
     buf = np.frombuffer(docs.loc[docs.doc_id == 0, "text"].iloc[0].encode(), np.uint8)
@@ -107,6 +110,12 @@ def test_feature_extract_math(spark):
     assert row.mean_byte == pytest.approx(float(buf.mean()))
     assert len(row.feature) == 8
     assert sum(row.feature) == pytest.approx(1.0)
+    # registered (driver-gate) projection: scalar f0..f7 mirror the array
+    reg = multimodal.multimodal_feature_extract(spark, SF_SMOKE).toPandas()
+    rrow = reg[reg.asset_id == 0].iloc[0]
+    assert [rrow[f"f{i}"] for i in range(8)] == pytest.approx(
+        [round(v, 9) for v in row.feature]
+    )
 
 
 def test_real_decoder_stub_raises(spark):

@@ -35,6 +35,22 @@ def test_salted_join_equals_plain_join(spark):
     assert a == b
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Replicating the salted right side is only multiplicity-preserving
+    for inner/left-family joins; right/full outer must raise."""
+    import pytest as _pytest
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "rightouter", "full", "fullouter", "outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(li, orders, keys=["l_orderkey"], how=how)
+    # the left family passes validation and executes
+    assert salted_join(li, orders, keys=["l_orderkey"], how="left_semi").count() > 0
+
+
 def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
     spark.sql("DROP TABLE IF EXISTS raw_layer.frag")

@@ -125,6 +125,44 @@ def test_on_batch_hook_refreshes_downstream(spark, stream_dirs):
     assert rollup["count"].sum() == 30
 
 
+def test_archival_deferred_until_commit(spark, stream_dirs):
+    """Crash-safety: a batch's input files must remain in landing until
+    the batch's checkpoint commit is durable — otherwise a crash between
+    append and commit leaves the offset log pointing at moved files and
+    the replay fails. The observable contract: files are still present
+    while the batch (here, its on_batch hook) is running, and are
+    archived by drain()/the next batch."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_defer_campaigns")
+    gen.write_landing_file(
+        gen.gen_campaigns(spark, n=20, seed=9),
+        stream_dirs["landing"], "campaigns", "csv", "20230601",
+    )
+    landing_csv = f"{stream_dirs['landing']}/csv"
+    seen_during_batch = []
+
+    def snoop(sess, batch_id):
+        seen_during_batch.append(sorted(os.listdir(landing_csv)))
+
+    q = ingest.stream_landing_table(
+        spark, stream_dirs["landing"], "campaigns", "csv", schemas.CAMPAIGNS,
+        "raw_layer.r_defer_campaigns", stream_dirs["archive"], stream_dirs["ckpt"],
+        on_batch=snoop,
+    )
+    ingest.drain(q)
+    # inside the batch, the input file had not been moved yet
+    assert seen_during_batch and any(
+        f.startswith("campaigns_") for f in seen_during_batch[0]
+    )
+    # after drain, it is archived and gone from landing
+    assert any(f.startswith("campaigns_") for f in os.listdir(stream_dirs["archive"]))
+    assert not any(f.startswith("campaigns_") for f in os.listdir(landing_csv))
+    # and no pending record remains
+    assert not os.path.exists(f"{stream_dirs['archive']}/_pending") or not os.listdir(
+        f"{stream_dirs['archive']}/_pending"
+    )
+
+
 def test_parse_landing_filename(spark):
     df = spark.createDataFrame(
         [("/data/landing/csv/campaigns_20230601_ab12cd34.csv",)], ["path"]
