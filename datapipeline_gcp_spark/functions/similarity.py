@@ -196,6 +196,91 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored.distinct())
 
 
+N_CENTROIDS = 32
+N_PROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic
+    coarse-quantize → probe → rerank ANN layout:
+
+    1. **Coarse quantizer**: ``N_CENTROIDS`` centroids. Stand-in here:
+       the first ``N_CENTROIDS`` corpus vectors by vec_id (deterministic,
+       engine-independent); production swaps in offline k-means — the
+       IVF plumbing below (assignment, inverted lists, probing, rerank)
+       is the part this engine owns and is identical either way.
+    2. **Assignment** (builds the inverted lists): every vector goes to
+       its max-cosine centroid. Dots run as exploded integer sums —
+       (vec_id, d, qx) rows joined to the broadcast (d, cent_id, qc)
+       table, one hash aggregation on (vec_id, cent_id); exact long
+       arithmetic, map-side partials, whole-stage codegen. Ranking uses
+       qdot/cnorm (the vector's own norm is constant within its
+       ranking), cent_id tie-break.
+    3. **Probe**: each query searches its ``N_PROBE`` nearest cells —
+       the recall/cost dial (expected corpus fraction probed:
+       N_PROBE/N_CENTROIDS at balanced cells).
+    4. **Rerank**: exact rounded cosine over the probed cells' members,
+       deterministic top-k. A vector lives in exactly one cell, so
+       (query, candidate) pairs are already unique.
+
+    At scale: assignment is the standard O(N·C·D) IVF build cost;
+    inverted lists are co-partitioned by cell so the probe join
+    shuffles only the (tiny) probe table.
+    """
+    vecs = _prep(spark, sf_dir, with_bucket=False)
+    cents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vd").alias("cd"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ex_v = (
+        vecs.select("vec_id", F.posexplode("vd").alias("d", "x"))
+        .withColumn("qx", F.floor(F.col("x") * QUANT).cast("long"))
+        .drop("x")
+    )
+    ex_c = (
+        cents.select("cent_id", F.posexplode("cd").alias("d", "y"))
+        .withColumn("qc", F.floor(F.col("y") * QUANT).cast("long"))
+        .drop("y")
+    )
+    qdots = (
+        ex_v.join(F.broadcast(ex_c), "d")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("qx") * F.col("qc")).alias("qdot"))
+        .join(F.broadcast(cents.select("cent_id", "cnorm")), "cent_id")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("qdot").cast("double") / F.col("cnorm")).desc(), F.col("cent_id")
+    )
+    ranked = qdots.withColumn("crank", F.row_number().over(w))
+    assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    # inverted lists: cell members with their payloads
+    lists = assign.join(vecs, "vec_id").select(
+        "cent_id", "vec_id", F.col("vd").alias("cv"), F.col("vnorm").alias("cn")
+    )
+    qside = probes.join(
+        vecs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vd").alias("qv"),
+            F.col("vnorm").alias("qn"),
+        ),
+        "query_id",
+    )
+    scored = lists.join(F.broadcast(qside), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 9
+        ).alias("score"),
+    )
+    return _topk(scored)
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (cosine ≥ 0.9) among vectors sharing an LSH band.
 
@@ -308,6 +393,49 @@ ranked AS (
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
+_D_QDOT_VC = (
+    f"list_reduce(list_transform(generate_series(1, len(v.vd)), i -> "
+    f"CAST(floor(v.vd[i] * {QUANT}) AS BIGINT) * "
+    f"CAST(floor(c.cd[i] * {QUANT}) AS BIGINT)), (x, y) -> x + y)"
+)
+
+_IVF_ORACLE = f"""
+WITH vecs AS ({_D_PREP}),
+cents AS (
+  SELECT vec_id AS cent_id, vd AS cd, vnorm AS cnorm
+  FROM vecs WHERE vec_id < {N_CENTROIDS}
+),
+qdots AS (
+  SELECT v.vec_id, c.cent_id, {_D_QDOT_VC} AS qdot, c.cnorm
+  FROM vecs v, cents c
+),
+ranked_cells AS (
+  SELECT vec_id, cent_id,
+    ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY CAST(qdot AS DOUBLE) / cnorm DESC, cent_id) AS crank
+  FROM qdots
+),
+assign AS (SELECT vec_id, cent_id FROM ranked_cells WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM ranked_cells
+  WHERE vec_id < {N_QUERIES} AND crank <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+    round({_D_DOT.format(a='q.vd', b='c.vd')} / (q.vnorm * c.vnorm), 9) AS score
+  FROM probes p
+  JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
+  JOIN vecs q ON q.vec_id = p.query_id
+  JOIN vecs c ON c.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
 _NEARDUP_ORACLE = f"""
 WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings),
 perturbed AS (
@@ -333,11 +461,13 @@ SELECT vec_a, vec_b, score FROM pairs WHERE score >= 0.9
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": _BRUTE_ORACLE,
     "ann_lsh_topk": _LSH_ORACLE,
+    "ann_ivf_topk": _IVF_ORACLE,
     "embedding_cosine_neardup": _NEARDUP_ORACLE,
 }

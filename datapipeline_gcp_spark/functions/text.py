@@ -104,6 +104,31 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: GPT-2-style pretokenizer, restricted to RE2-compatible constructs
+#: (no lookahead — DuckDB's regex engine is RE2; Java regex accepts the
+#: same subset, so ONE pattern serves both engines): contraction
+#: suffixes, space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs, whitespace runs.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+
+def with_bpe_pretokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append BPE-ish pretoken counts: ``n_pretokens`` (pieces matched
+    by the GPT-2-style pretokenizer over lowercased text — the unit BPE
+    merges operate on, and a much better LLM-token estimate than
+    chars/4) plus ``chars_per_pretoken``. All regexp_count — JVM-side,
+    scan-speed."""
+    t = F.lower(F.col(text_col))
+    n_pre = F.regexp_count(t, F.lit(BPE_PRETOKEN_PATTERN)).cast("bigint")
+    return df.select(
+        "*",
+        n_pre.alias("n_pretokens"),
+        (F.length(t).cast("double") / n_pre.cast("double")).alias(
+            "chars_per_pretoken"
+        ),
+    )
+
+
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints:
 
@@ -140,6 +165,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprints(_docs(spark, sf_dir))
+
+
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_bpe_pretokens(_docs(spark, sf_dir)).select(
+        "doc_id", "n_pretokens", "chars_per_pretoken"
+    )
 
 
 def _rc(expr: str, pattern: str) -> str:
@@ -204,14 +235,31 @@ SELECT doc_id, text, lang, source, n_chars,
 FROM n
 """
 
+# The pattern is shared verbatim: it is deliberately RE2-compatible, and
+# single-quotes are doubled for the SQL literal.
+_BPE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text),
+      '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_pretokens,
+    CAST(strlen(lower(text)) AS DOUBLE) AS n_chars_d
+  FROM documents
+)
+SELECT doc_id, n_pretokens,
+       n_chars_d / CAST(n_pretokens AS DOUBLE) AS chars_per_pretoken
+FROM p
+"""
+
 QUERIES = {
     "text_metrics": text_metrics,
     "text_language_id": text_language_id,
     "doc_fingerprint": doc_fingerprint,
+    "text_bpe_pretokenize": text_bpe_pretokenize,
 }
 
 ORACLES = {
     "text_metrics": _METRICS_ORACLE,
     "text_language_id": _LANGID_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
+    "text_bpe_pretokenize": _BPE_ORACLE,
 }

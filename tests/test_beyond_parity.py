@@ -82,6 +82,29 @@ def test_lsh_topk_is_subset_of_bucket_and_scores_match_bruteforce(spark):
     assert (merged.score_lsh == merged.score_bf).all()
 
 
+def test_ivf_topk_scores_match_bruteforce_and_recall_reasonable(spark):
+    bf = similarity.ann_bruteforce_topk(spark, SF_SMOKE).toPandas()
+    ivf = similarity.ann_ivf_topk(spark, SF_SMOKE).toPandas()
+    # every IVF result scores identically to brute force for that pair
+    merged = ivf.merge(bf, on=["query_id", "vec_id"], suffixes=("_ivf", "_bf"))
+    assert (merged.score_ivf == merged.score_bf).all()
+    # probing 4/32 cells must recover a meaningful share of the true top-k
+    hits = len(merged)
+    assert hits / len(bf) > 0.2, f"IVF recall {hits}/{len(bf)} too low"
+    # full result shape: k rows per query
+    assert (ivf.groupby("query_id").size() == 10).all()
+
+
+def test_bpe_pretokens_bounds(spark):
+    pdf = text.text_bpe_pretokenize(spark, SF_SMOKE).toPandas()
+    met = text.text_metrics(spark, SF_SMOKE).toPandas()
+    j = pdf.merge(met[["doc_id", "n_tokens", "n_chars_calc"]], on="doc_id")
+    # at least one piece per whitespace token; never more than n_chars
+    assert (j.n_pretokens >= j.n_tokens).all()
+    assert (j.n_pretokens <= j.n_chars_calc).all()
+    assert (j.chars_per_pretoken > 0).all()
+
+
 def test_cosine_neardup_finds_perturbed_copies(spark):
     pairs = similarity.embedding_cosine_neardup(spark, SF_SMOKE).toPandas()
     assert len(pairs) > 0
