@@ -23,7 +23,12 @@ from datapipeline_gcp_spark import registry
 from datapipeline_gcp_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARMUP_DIR = "/root/testdata/sf0.001"
+# Warm at sf0.01, not sf0.001: tiny inputs don't push hot generated
+# methods over the C2 JIT threshold, so the first heavy timed queries
+# were eating multi-second compile pauses (measured: same query 12s
+# first-run vs 1.8s warmed). sf0.01 costs ~1 min more warmup and makes
+# per-query timings reflect plans, not JVM state.
+WARMUP_DIR = "/root/testdata/sf0.01"
 
 #: Headline set: the flagship spine + every aggregate family + the widest
 #: scans. Kept explicit (not "all registry queries") so bench timings stay

@@ -281,6 +281,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean vector (long format: label, d,
+    centroid) — the vector-aggregation primitive behind k-means updates,
+    class prototypes, and cluster summaries.
+
+    Shape: posexplode dims → ONE hash aggregation on (label, d) over
+    quantized longs — exact reorder-safe sums, map-side partials, no
+    array rebuild (long format also keeps the driver gate happy: no
+    array column in the output). Means are two fixed-order divisions of
+    exact integers, so doubles agree across engines bit-for-bit.
+    """
+    emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    ex = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("label", F.posexplode(as_double(F.col("embedding"))).alias("d", "x"))
+        .withColumn("qx", F.floor(F.col("x") * QUANT).cast("long"))
+    )
+    return (
+        ex.groupBy("label", "d")
+        .agg(F.sum("qx").alias("qsum"), F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            F.col("d").cast("bigint").alias("d"),
+            F.round(
+                F.col("qsum").cast("double") / F.col("n_vectors") / QUANT, 9
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (cosine ≥ 0.9) among vectors sharing an LSH band.
 
@@ -436,6 +467,23 @@ ranked AS (
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
+_CENTROIDS_ORACLE = f"""
+WITH ex AS (
+  SELECT label, u.i AS i, u.x AS x FROM (
+    SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+      i -> struct_pack(i := i, x := CAST(embedding[i] AS DOUBLE)))) AS u
+    FROM embeddings
+  )
+)
+SELECT label,
+  CAST(i - 1 AS BIGINT) AS d,
+  round(CAST(sum(CAST(floor(x * {QUANT}) AS BIGINT)) AS DOUBLE)
+        / count(*) / {QUANT}, 9) AS centroid,
+  count(*) AS n_vectors
+FROM ex
+GROUP BY label, i
+"""
+
 _NEARDUP_ORACLE = f"""
 WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings),
 perturbed AS (
@@ -462,10 +510,12 @@ QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_label_centroids": embedding_label_centroids,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
 ORACLES = {
+    "embedding_label_centroids": _CENTROIDS_ORACLE,
     "ann_bruteforce_topk": _BRUTE_ORACLE,
     "ann_lsh_topk": _LSH_ORACLE,
     "ann_ivf_topk": _IVF_ORACLE,

@@ -26,6 +26,7 @@ _MODULES = [
     "datapipeline_gcp_spark.functions.dedup",
     "datapipeline_gcp_spark.functions.similarity",
     "datapipeline_gcp_spark.functions.multimodal",
+    "datapipeline_gcp_spark.functions.curation",
     "datapipeline_gcp_spark.functions.udfs",
 ]
 

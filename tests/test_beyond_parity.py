@@ -114,6 +114,32 @@ def test_cosine_neardup_finds_perturbed_copies(spark):
     assert (planted.score > 0.99).all()
 
 
+def test_corpus_curation_drops_planted_copies_and_low_quality(spark):
+    from datapipeline_gcp_spark.functions import curation, dedup
+
+    out = curation.corpus_curation(spark, SF_SMOKE).toPandas()
+    fixture = dedup.neardup_fixture(spark, SF_SMOKE)
+    n_fixture = fixture.count()
+    # every planted exact copy (+500000 ids) must be deduped away —
+    # its original shares the fingerprint and has the lower id
+    assert not ((out.doc_id >= 500_000) & (out.doc_id < 1_000_000)).any()
+    # filters actually bite but don't wipe the corpus
+    assert 0 < len(out) < n_fixture
+    assert (out.quality_score >= curation.MIN_QUALITY).all()
+    assert (out.n_tokens >= curation.MIN_TOKENS).all()
+
+
+def test_label_centroids_match_numpy(spark):
+    cent = similarity.embedding_label_centroids(spark, SF_SMOKE).toPandas()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    lbl = emb.label.iloc[0]
+    mat = np.array(emb.loc[emb.label == lbl, "embedding"].tolist(), dtype=np.float64)
+    want = np.floor(mat * (1 << 20)).sum(axis=0) / len(mat) / (1 << 20)
+    got = cent[cent.label == lbl].sort_values("d").centroid.to_numpy()
+    assert np.allclose(got, np.round(want, 9), atol=1e-9)
+    assert (cent[cent.label == lbl].n_vectors == len(mat)).all()
+
+
 def test_text_quality_score_bounds(spark):
     pdf = text.text_metrics(spark, SF_SMOKE).toPandas()
     assert ((pdf.quality_score >= 0) & (pdf.quality_score <= 1.0)).all()
