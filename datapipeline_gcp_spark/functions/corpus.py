@@ -1,0 +1,291 @@
+"""Corpus-level training-data operations: eval-contamination detection,
+context-window chunking, deterministic stratified sampling, vocabulary
+construction.
+
+These are the pipeline steps between "clean documents" and "training
+batches" in an LLM data pipeline (the reference stops at warehouse
+aggregation — `modeling_tables/business_layer/*.sql` — because a SQL
+warehouse has nowhere to run them; they are engine-native here):
+
+- **contamination_check**: fraction of an eval document's word
+  n-grams that appear anywhere in the train split — the standard
+  test-set-leak detector (n-gram overlap contamination, as popularized
+  by GPT-3/PaLM data cards). Shuffle-joins the exploded eval shingles
+  against the train shingle set on the shingle hash: at 100 TB neither
+  side is broadcastable, and a hash-partitioned join on the shingle is
+  exactly what AQE handles; the train side is pre-deduplicated
+  (distinct) so the join input is minimal.
+- **doc_chunking**: fixed-size sliding token windows (size 64,
+  stride 48) — context-length packing. Pure array expressions
+  (split → sequence → slice → posexplode), whole-stage codegen, one
+  generator per row, no shuffle at all.
+- **stratified_sample**: per-language Bernoulli sampling by md5 hash
+  threshold — deterministic, engine-independent, reproducible across
+  reruns and engines (``df.sample`` is neither), with the inverse
+  sampling weight carried for unbiased downstream estimation. A pure
+  filter: no shuffle, fully pushed down.
+- **vocab_topk**: document-frequency vocabulary, top 500 tokens with
+  deterministic (df DESC, token ASC) tie-break — partial+final hash
+  aggregate then ``TakeOrderedAndProject`` (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.functions.dedup import (
+    _D_NORM,
+    base_hash,
+    d_shingles_sql,
+    normalized,
+    shingles,
+)
+from datapipeline_gcp_spark.schemas import load_testdata
+
+CONTAM_NGRAM = 5
+CHUNK_SIZE, CHUNK_STRIDE = 64, 48
+VOCAB_K = 500
+#: per-mille keep rates per language stratum (md5-hash Bernoulli)
+SAMPLE_RATES = {"en": 300, "de": 700, "fr": 700}
+SAMPLE_DEFAULT_RATE = 500
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, ("documents",))["documents"]
+
+
+# ---------------------------------------------------------------------------
+# Contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    eval_df: DataFrame, train_df: DataFrame, n: int = CONTAM_NGRAM
+) -> DataFrame:
+    """Per eval document: how many of its distinct word ``n``-grams
+    occur in ANY train document. Returns (doc_id, n_shingles, n_hit,
+    contamination)."""
+    ev = eval_df.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")
+    ).withColumn("h", base_hash(F.col("sh"))).drop("sh")
+    train = (
+        train_df.select(F.explode(shingles(F.col("text"), n)).alias("sh"))
+        .select(base_hash(F.col("sh")).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        ev.join(train, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination", F.col("n_hit").cast("double") / F.col("n_shingles")
+        )
+    )
+
+
+def contamination_eval_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered split: every 10th document is the 'eval' set, the rest
+    'train'. The fixture corpus shares no 5-grams across documents, so
+    planted contamination comes from the deterministic overlap the
+    generator put into same-source documents (if any) — the oracle
+    checks the numbers, the unit test checks a planted copy is flagged
+    at contamination 1.0."""
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
+_CONTAM_ORACLE = f"""
+WITH ev AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5(s.sh),1,15)) AS BIGINT) % 1000000007) AS h
+  FROM documents, unnest({d_shingles_sql(CONTAM_NGRAM)}) AS s(sh)
+  WHERE doc_id % 10 = 0
+),
+train AS (
+  SELECT DISTINCT
+         (CAST(concat('0x', substr(md5(s.sh),1,15)) AS BIGINT) % 1000000007) AS h
+  FROM documents, unnest({d_shingles_sql(CONTAM_NGRAM)}) AS s(sh)
+  WHERE doc_id % 10 <> 0
+)
+SELECT ev.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(train.h) AS BIGINT) AS n_hit,
+       CAST(COUNT(train.h) AS DOUBLE) / COUNT(*) AS contamination
+FROM ev LEFT JOIN train ON ev.h = train.h
+GROUP BY ev.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding token windows: chunk ``i`` covers tokens
+    [i*stride, i*stride + size). Every token is covered; the last chunk
+    may be short. Returns (doc_id, chunk_idx, chunk_text, chunk_tokens).
+    """
+    tokens = F.split(normalized(F.col("text")), " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    chunks = df.select(
+        "doc_id",
+        tokens.alias("toks"),
+        n.alias("n_tok"),
+        F.posexplode(idx).alias("_p", "chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size)
+        ).alias("chunk_text"),
+        F.least(F.lit(size), F.col("n_tok") - F.col("chunk_idx") * stride)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_D_NORM}, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(t[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_SIZE}], ' ')
+         AS chunk_text,
+       CAST(least({CHUNK_SIZE}, len(t) - i*{CHUNK_STRIDE}) AS BIGINT)
+         AS chunk_tokens
+FROM toks, unnest(generate_series(0, (len(t)-1)//{CHUNK_STRIDE})) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_rate: int = SAMPLE_DEFAULT_RATE,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``md5int(doc_id) % 1000 < rate[stratum]`` (rates in per-mille).
+    Hash-threshold sampling is reproducible across engines, reruns and
+    repartitioning — unlike ``DataFrame.sample`` — and adds a
+    ``sample_weight`` = 1000/rate column so downstream aggregates can
+    Horvitz-Thompson re-weight. Returns (doc_id, stratum, bucket,
+    sample_weight)."""
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    bucket = base_hash(F.col("doc_id").cast("string")) % 1000
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("rate", rate)
+        .filter(F.col("bucket") < F.col("rate"))
+        .select(
+            "doc_id",
+            F.col(strata_col).alias("stratum"),
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.lit(1000.0) / F.col("rate")).alias("sample_weight"),
+        )
+    )
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(_docs(spark, sf_dir))
+
+
+def _rate_case() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"(CASE {whens} ELSE {SAMPLE_DEFAULT_RATE} END)"
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id,
+       lang AS stratum,
+       CAST((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+             % 1000000007) % 1000 AS BIGINT) AS bucket,
+       1000.0 / {_rate_case()} AS sample_weight
+FROM documents
+WHERE (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+       % 1000000007) % 1000 < {_rate_case()}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(df: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Top-``k`` tokens by document frequency (distinct documents
+    containing the token), ties broken by token text — deterministic.
+    Token multiset per doc is deduplicated *before* the global
+    aggregate (array_distinct inside the row), so the shuffled explode
+    carries each (doc, token) once."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized(F.col("text")), " "))).alias(
+            "token"
+        ),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(_docs(spark, sf_dir))
+
+
+_VOCAB_ORACLE = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id, list_distinct(string_split({_D_NORM}, ' ')) AS t
+        FROM documents), unnest(t) AS u(token)
+)
+GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT {VOCAB_K}
+"""
+
+
+QUERIES = {
+    "contamination_eval_vs_train": contamination_eval_vs_train,
+    "doc_chunking": doc_chunking,
+    "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_vocab_topk": corpus_vocab_topk,
+}
+
+ORACLES = {
+    "contamination_eval_vs_train": _CONTAM_ORACLE,
+    "doc_chunking": _CHUNK_ORACLE,
+    "corpus_stratified_sample": _SAMPLE_ORACLE,
+    "corpus_vocab_topk": _VOCAB_ORACLE,
+}

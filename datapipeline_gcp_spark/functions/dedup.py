@@ -372,15 +372,18 @@ FROM documents WHERE doc_id % 10 = 0
 _D_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _D_BH = "(CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT) % 1000000007)"
 
-_D_SHINGLES = f"""
-list_distinct(list_transform(
-  generate_series(1, greatest(len(string_split({_D_NORM}, ' ')) - 2, 1)),
-  i -> concat_ws(' ',
-        string_split({_D_NORM}, ' ')[i],
-        string_split({_D_NORM}, ' ')[i+1],
-        string_split({_D_NORM}, ' ')[i+2])
-))
-"""
+def d_shingles_sql(n: int) -> str:
+    """DuckDB expression for distinct word ``n``-grams of ``text`` —
+    the oracle twin of :func:`shingles` (same short-document rule:
+    fewer than ``n`` tokens yields one shorter shingle)."""
+    terms = ", ".join(f"string_split({_D_NORM}, ' ')[i+{j}]" for j in range(n))
+    return f"""list_distinct(list_transform(
+  generate_series(1, greatest(len(string_split({_D_NORM}, ' ')) - {n - 1}, 1)),
+  i -> concat_ws(' ', {terms})
+))"""
+
+
+_D_SHINGLES = d_shingles_sql(3)
 
 _D_MINHASH = f"""
 list_transform(generate_series(0, {NUM_HASHES - 1}),
@@ -397,8 +400,11 @@ FROM fixture
 GROUP BY 1
 """
 
-_MINHASH_ORACLE = f"""
-WITH fixture AS ({_FIXTURE_SQL}),
+# CTE list (no WITH keyword) so downstream oracles — e.g. the
+# connected-components clustering in clusters.py, which needs a
+# WITH RECURSIVE prefix — can compose the same pair pipeline verbatim.
+MINHASH_PAIR_CTES = f"""
+fixture AS ({_FIXTURE_SQL}),
 sh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM fixture),
 sigs AS (SELECT doc_id, {_D_MINHASH} AS minhash FROM sh),
 exploded AS (
@@ -413,12 +419,18 @@ pairs AS (
   FROM exploded a JOIN exploded b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-  list_sum(list_transform(generate_series(1, {NUM_HASHES}),
-    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / {float(NUM_HASHES)}
-    AS sig_match_frac
-FROM pairs
+),
+scored AS (
+  SELECT doc_a, doc_b,
+    list_sum(list_transform(generate_series(1, {NUM_HASHES}),
+      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / {float(NUM_HASHES)}
+      AS sig_match_frac
+  FROM pairs
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {MINHASH_PAIR_CTES}
+SELECT doc_a, doc_b, sig_match_frac FROM scored
 """
 
 _D_SIMHASH = f"""

@@ -22,20 +22,43 @@ from datapipeline_gcp_spark.schemas import load_testdata
 _DEC = "DECIMAL(18,4)"
 _DISC = f"(CAST(1 AS {_DEC}) - CAST(l_discount AS {_DEC}))"
 _CHARGE = f"(CAST(1 AS {_DEC}) + CAST(l_tax AS {_DEC}))"
+# Narrow operand types for the THREE-factor product in Q1's sum_charge: with
+# (18,4) operands the product precision overflows 38 digits, and both engines
+# degrade differently (Spark truncates scale, DuckDB falls back to DOUBLE) —
+# observed as a last-ULP mismatch at sf0.1. l_extendedprice < 10^7 (4 dp) and
+# the (1±x) factors are < 10 (4 dp), so DECIMAL(11,4) × DECIMAL(7,4) ×
+# DECIMAL(7,4) → DECIMAL(27,12) stays exact in both engines.
+_DECN = "DECIMAL(11,4)"
+_DECF = "DECIMAL(6,4)"
+_DISCN = f"(CAST(1 AS {_DECF}) - CAST(l_discount AS {_DECF}))"
+_CHARGEN = f"(CAST(1 AS {_DECF}) + CAST(l_tax AS {_DECF}))"
+
+
+def _dbl(expr: str) -> str:
+    """Exact-decimal → double through a VARCHAR round-trip.
+
+    Spark's decimal→double cast is correctly rounded
+    (``BigDecimal.doubleValue``); DuckDB's goes through an intermediate
+    division and can be 1 ULP off for wide scales (measured:
+    DECIMAL(38,12) '2786415501.094159' → ...586 direct, ...59 via
+    VARCHAR). String→double is correctly rounded in BOTH engines, so the
+    round-trip makes the shared SQL produce bit-identical doubles.
+    """
+    return f"CAST(CAST({expr} AS VARCHAR(64)) AS DOUBLE)"
 
 TPCH_Q1 = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC} * {_CHARGE}) AS DOUBLE)
+  {_dbl(f'SUM(CAST(l_quantity AS {_DEC}))')} AS sum_qty,
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DEC}))')} AS sum_base_price,
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC})')} AS sum_disc_price,
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DECN}) * {_DISCN} * {_CHARGEN})')}
     AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / COUNT(l_extendedprice)
+  {_dbl(f'SUM(CAST(l_quantity AS {_DEC}))')} / COUNT(l_quantity) AS avg_qty,
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DEC}))')} / COUNT(l_extendedprice)
     AS avg_price,
-  CAST(SUM(CAST(l_discount AS {_DEC})) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  {_dbl(f'SUM(CAST(l_discount AS {_DEC}))')} / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,7 +68,7 @@ GROUP BY l_returnflag, l_linestatus
 TPCH_Q3 = f"""
 SELECT
   l_orderkey,
-  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC}) AS DOUBLE) AS revenue,
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC})')} AS revenue,
   CAST(o_orderdate AS DATE) AS order_date,
   o_orderpriority
 FROM customer
@@ -63,7 +86,7 @@ LIMIT 10
 TPCH_Q5 = f"""
 SELECT
   n_name,
-  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC}) AS DOUBLE) AS revenue
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DEC}) * {_DISC})')} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -79,7 +102,7 @@ ORDER BY revenue DESC, n_name
 
 TPCH_Q6 = f"""
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC})) AS DOUBLE)
+  {_dbl(f'SUM(CAST(l_extendedprice AS {_DEC}) * CAST(l_discount AS {_DEC}))')}
     AS revenue,
   COUNT(*) AS line_count
 FROM lineitem

@@ -24,9 +24,11 @@ _MODULES = [
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.functions.text",
     "datapipeline_gcp_spark.functions.dedup",
+    "datapipeline_gcp_spark.functions.clusters",
     "datapipeline_gcp_spark.functions.similarity",
     "datapipeline_gcp_spark.functions.multimodal",
     "datapipeline_gcp_spark.functions.curation",
+    "datapipeline_gcp_spark.functions.corpus",
     "datapipeline_gcp_spark.functions.udfs",
 ]
 

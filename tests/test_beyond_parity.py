@@ -176,3 +176,40 @@ def test_real_decoder_stub_raises(spark):
         assert list(out) == [2, 4]
     finally:
         multimodal._DECODERS.clear()
+
+
+def test_connected_components_on_known_graph(spark):
+    from datapipeline_gcp_spark.functions import clusters
+
+    # two components: {1,2,3,4} (a chain) and {10,11}; 20-21-22 a triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    cc = clusters.connected_components(edges).toPandas()
+    comp = dict(zip(cc.node, cc.component))
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert len(cc) == 9
+
+
+def test_connected_components_raises_on_max_iter(spark):
+    from datapipeline_gcp_spark.functions import clusters
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9, 0, -1)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        # chain of diameter 9 cannot settle in 1 round of min-propagation
+        clusters.connected_components(edges, max_iter=1)
+
+
+def test_cluster_summary_elects_minimum_and_sizes(spark):
+    from datapipeline_gcp_spark.functions import clusters
+
+    edges = spark.createDataFrame([(5, 6), (6, 7), (30, 31)], ["doc_a", "doc_b"])
+    out = clusters.cluster_summary(clusters.connected_components(edges)).toPandas()
+    s5 = out[out.component == 5]
+    assert set(s5.doc_id) == {5, 6, 7} and (s5.cluster_size == 3).all()
+    assert set(s5.loc[s5.keep_flag == 1, "doc_id"]) == {5}
+    s30 = out[out.component == 30]
+    assert set(s30.doc_id) == {30, 31} and (s30.cluster_size == 2).all()
