@@ -39,7 +39,7 @@ from datapipeline_gcp_spark.functions.dedup import (
     base_hash,
     d_shingles_sql,
     normalized,
-    shingles,
+    with_shingles,
 )
 from datapipeline_gcp_spark.schemas import load_testdata
 
@@ -65,13 +65,27 @@ def contamination_check(
 ) -> DataFrame:
     """Per eval document: how many of its distinct word ``n``-grams
     occur in ANY train document. Returns (doc_id, n_shingles, n_hit,
-    contamination)."""
-    ev = eval_df.select(
-        "doc_id", F.explode(shingles(F.col("text"), n)).alias("sh")
-    ).withColumn("h", base_hash(F.col("sh"))).drop("sh")
+    contamination).
+
+    Both sides are spread across the cluster before shingling: the
+    per-row shingle+md5 work is expression-heavy, and a small parquet
+    arrives as ONE input split which would serialize it on a single
+    core (measured 27 s → ~3 s at sf0.1). At real scale the source is
+    already many splits and the repartition is ~free relative to the
+    shingle explode it feeds.
+    """
+    par = eval_df.sparkSession.sparkContext.defaultParallelism
+    eval_df = eval_df.repartition(par, "doc_id")
+    train_df = train_df.repartition(par, "doc_id")
+    ev = (
+        with_shingles(eval_df, "text", n)
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .select("doc_id", base_hash(F.col("s")).alias("h"))
+    )
     train = (
-        train_df.select(F.explode(shingles(F.col("text"), n)).alias("sh"))
-        .select(base_hash(F.col("sh")).alias("h"))
+        with_shingles(train_df, "text", n)
+        .select(F.explode_outer("sh").alias("s"))
+        .select(base_hash(F.col("s")).alias("h"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -136,12 +150,16 @@ def chunk_documents(
     [i*stride, i*stride + size). Every token is covered; the last chunk
     may be short. Returns (doc_id, chunk_idx, chunk_text, chunk_tokens).
     """
-    tokens = F.split(normalized(F.col("text")), " ")
-    n = F.size(tokens)
+    # materialize the split once; n_tok and the chunk index are derived
+    # from the projected column, not from per-column re-splits
+    toked = df.select(
+        "doc_id", F.split(normalized(F.col("text")), " ").alias("toks")
+    )
+    n = F.size(F.col("toks"))
     idx = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
-    chunks = df.select(
+    chunks = toked.select(
         "doc_id",
-        tokens.alias("toks"),
+        "toks",
         n.alias("n_tok"),
         F.posexplode(idx).alias("_p", "chunk_idx"),
     )
@@ -247,7 +265,7 @@ def vocab_topk(df: DataFrame, k: int = VOCAB_K) -> DataFrame:
     carries each (doc, token) once."""
     toks = df.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(normalized(F.col("text")), " "))).alias(
+        F.explode_outer(F.array_distinct(F.split(normalized(F.col("text")), " "))).alias(
             "token"
         ),
     )
@@ -276,8 +294,96 @@ LIMIT {VOCAB_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_with_vocab(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Token→id encoding against a ranked vocabulary (OOV → 0).
+
+    The vocabulary (≤ VOCAB_K rows) is folded into ONE map value and
+    broadcast — the corpus side is a pure per-row ``transform`` with a
+    JVM map lookup per token: **no shuffle of the corpus at all**. The
+    alternative shape (explode tokens → join vocab → re-aggregate by
+    position) keeps every expression in codegen but shuffles the entire
+    exploded corpus twice; at 100 TB the no-shuffle map-side encode wins
+    by far. Returns (doc_id, token_ids [csv string — driver-hashable],
+    n_tokens, n_oov).
+
+    ``vocab`` must carry (token, token_id); ids are 1-based so 0 can
+    mean out-of-vocabulary.
+    """
+    vmap = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("token_id")))
+        ).alias("vmap")
+    )
+    tokens = F.split(normalized(F.col("text")), " ")
+    ids = F.transform(
+        tokens, lambda t: F.coalesce(F.element_at(F.col("vmap"), t), F.lit(0))
+    )
+    return (
+        docs.crossJoin(F.broadcast(vmap))
+        .select("doc_id", ids.alias("ids"))
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.transform(F.col("ids"), lambda x: x.cast("string")))
+            .alias("token_ids"),
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.size(F.filter(F.col("ids"), lambda x: x == 0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+
+
+def ranked_vocab(df: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """vocab_topk + dense 1-based ids. The row_number window runs on the
+    ≤k-row vocabulary result (single partition by construction — it is
+    post-limit, not corpus-scale)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
+    return vocab_topk(df, k).select(
+        "token", F.row_number().over(w).cast("long").alias("token_id")
+    )
+
+
+def corpus_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return encode_with_vocab(docs, ranked_vocab(docs))
+
+
+_ENCODE_ORACLE = f"""
+WITH vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY doc_freq DESC, token) AS token_id
+  FROM ({_VOCAB_ORACLE})
+),
+toks AS (
+  SELECT doc_id, string_split({_D_NORM}, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, u.i AS ord, t[u.i] AS token
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+enc AS (
+  SELECT pos.doc_id, pos.ord, COALESCE(vocab.token_id, 0) AS tid
+  FROM pos LEFT JOIN vocab ON pos.token = vocab.token
+)
+SELECT doc_id,
+       array_to_string(list(tid ORDER BY ord), ',') AS token_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (tid = 0) AS BIGINT) AS n_oov
+FROM enc
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
+    "corpus_vocab_encode": corpus_vocab_encode,
     "doc_chunking": doc_chunking,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_vocab_topk": corpus_vocab_topk,
@@ -285,6 +391,7 @@ QUERIES = {
 
 ORACLES = {
     "contamination_eval_vs_train": _CONTAM_ORACLE,
+    "corpus_vocab_encode": _ENCODE_ORACLE,
     "doc_chunking": _CHUNK_ORACLE,
     "corpus_stratified_sample": _SAMPLE_ORACLE,
     "corpus_vocab_topk": _VOCAB_ORACLE,

@@ -51,11 +51,19 @@ def normalized(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (joined with spaces). Documents shorter than
-    n tokens yield one shorter shingle (concat_ws skips the missing
-    positions — mirrored behavior in the oracle)."""
-    tokens = F.split(normalized(text), " ")
+def shingles_of(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (joined with spaces) from an ALREADY
+    MATERIALIZED token-array column. Documents shorter than n tokens
+    yield one shorter shingle (concat_ws skips the missing positions —
+    mirrored behavior in the oracle).
+
+    ``tokens`` must be a plain column reference, not an inline
+    ``split(...)`` expression: Catalyst substitutes a non-trivial
+    expression into every ``element_at`` inside the lambda, so the
+    regex-split would re-run ~n×tokens times per row (measured 5-6×
+    slowdown end-to-end at sf0.1). Project the split once, then call
+    this on the projected column — :func:`with_shingles` does exactly
+    that."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(
@@ -63,6 +71,23 @@ def shingles(text: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "sh"
+) -> DataFrame:
+    """df + a distinct-shingle array column, with the token split
+    materialized in its own projection (see :func:`shingles_of`)."""
+    return df.withColumn(
+        "_toks", F.split(normalized(F.col(text_col)), " ")
+    ).withColumn(out_col, shingles_of(F.col("_toks"), n)).drop("_toks")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Inline-expression form of :func:`shingles_of` — correct but
+    re-evaluates the split per element; prefer :func:`with_shingles`
+    anywhere the text is document-sized."""
+    return shingles_of(F.split(normalized(text), " "), n)
 
 
 def base_hash(c: Column) -> Column:
@@ -89,9 +114,17 @@ def minhash_signatures(
     lambda) computes identical values but runs interpreted per element —
     measured ~10× slower at sf0.1. Map-side partial mins keep the
     shuffle tiny (one row per (doc, partition))."""
-    exploded = df.select(
+    # explode_outer, NOT explode: the shingle array is provably
+    # non-empty (greatest(...,1) yields ≥1 gram even for short/empty
+    # text), so the two are row-identical — but plain explode carries an
+    # implicit `size(arr) > 0` filter that Catalyst pushes BELOW the
+    # repartition exchange, re-evaluating the whole inline shingle
+    # expression on the unspread input (measured 17.8 s → 0.7 s for the
+    # train side of contamination at sf0.1). Null text would produce a
+    # null row here — filter nulls upstream if the corpus has them.
+    exploded = with_shingles(df, text_col).select(
         F.col(id_col),
-        F.explode(F.transform(shingles(F.col(text_col)), base_hash)).alias("h"),
+        F.explode_outer(F.transform(F.col("sh"), base_hash)).alias("h"),
     )
     mins = [
         F.min((F.col("h") * (2 * i + 1) + (7919 * i + 1)) % P).alias(f"m{i}")
@@ -234,9 +267,12 @@ def simhash_signatures(
     counters hold 16 bits: documents with > 65535 distinct tokens
     (far beyond any real document) would overflow a lane — enforce an
     upstream token cap before raising that bound."""
+    # explode_outer: token array provably non-empty — avoids the
+    # pushed-down size() filter re-evaluating the expression below the
+    # exchange (see minhash_signatures)
     exploded = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.array_distinct(F.split(normalized(F.col(text_col)), " ")),
                 lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
@@ -308,12 +344,10 @@ def ngram_jaccard_pairs(
     cheap blocks — blocked-quadratic, never corpus-quadratic."""
     # intersect integer hash sets, not string arrays — same Jaccard
     # (md5-60 collisions are negligible), much cheaper comparisons
-    with_sh = df.select(
+    with_sh = with_shingles(df, text_col, out_col="_sh").select(
         *(F.col(c) for c in block_cols),
         F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col)), base_hash)
-        ).alias("sh"),
+        F.array_distinct(F.transform(F.col("_sh"), base_hash)).alias("sh"),
     )
     pairs = within_block_pairs(with_sh, block_cols, [id_col, "sh"])
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -174,7 +174,37 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p95/p99 of event value): Spark's
+    sort-based exact ``percentile`` aggregate. Exact quantiles are the
+    right default for bounded group counts (one sort per group inside
+    the hash-aggregate shuffle); at 100 TB with huge groups the escape
+    hatch is ``approx_percentile`` (t-digest, mergeable, one pass) —
+    but its sketch is engine-specific, so the oracle-checked surface is
+    the exact form. Both engines interpolate at (n-1)*p identically
+    (verified bitwise on this data — no rounding needed).
+    """
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    q = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
+    return ev.groupBy("event_type").agg(
+        q[0].alias("p50"), q[1].alias("p95"), q[2].alias("p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "events_percentiles": events_percentiles,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
     "grouping_sets_agg": grouping_sets_agg,
@@ -184,6 +214,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_percentiles": _PERCENTILE_ORACLE,
     "rollup_agg": _ROLLUP_ORACLE,
     "cube_agg": _CUBE_ORACLE,
     "grouping_sets_agg": _GROUPING_SETS_SQL,

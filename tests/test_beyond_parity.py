@@ -213,3 +213,89 @@ def test_cluster_summary_elects_minimum_and_sizes(spark):
     assert set(s5.loc[s5.keep_flag == 1, "doc_id"]) == {5}
     s30 = out[out.component == 30]
     assert set(s30.doc_id) == {30, 31} and (s30.cluster_size == 2).all()
+
+
+def test_chunking_covers_all_tokens_and_overlaps(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    out = corpus.chunk_documents(df, size=64, stride=48).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # 100 tokens, stride 48 -> chunks at 0, 48, 96
+    assert list(d1.chunk_idx) == [0, 1, 2]
+    assert list(d1.chunk_tokens) == [64, 52, 4]
+    # overlap: chunk 1 starts at token 48, chunk 0 ends at token 63
+    assert d1.iloc[1].chunk_text.split()[0] == "t48"
+    assert d1.iloc[0].chunk_text.split()[-1] == "t63"
+    # short doc: single short chunk
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_tokens == 3
+
+
+def test_contamination_flags_planted_copy(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    base = " ".join(f"w{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely different text about other things entirely")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(10, base), (11, "nothing here overlaps with any training document at all")],
+        ["doc_id", "text"],
+    )
+    out = corpus.contamination_check(ev, train).toPandas().set_index("doc_id")
+    assert out.loc[10, "contamination"] == 1.0
+    assert out.loc[11, "contamination"] == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx") for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    a = corpus.stratified_sample(df).toPandas()
+    b = corpus.stratified_sample(df.repartition(7)).toPandas()
+    # reproducible regardless of partitioning
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    en = a[a.stratum == "en"]
+    xx = a[a.stratum == "xx"]
+    # en rate 300/1000, default 500/1000; binomial tolerance
+    assert 0.25 < len(en) / 1000 < 0.35
+    assert 0.45 < len(xx) / 1000 < 0.55
+    assert (en.sample_weight == 1000.0 / 300).all()
+    assert (xx.sample_weight == 2.0).all()
+
+
+def test_vocab_topk_orders_by_doc_freq_then_token(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "banana apple")],
+        ["doc_id", "text"],
+    )
+    out = corpus.vocab_topk(df, k=2).toPandas()
+    # apple in 3 docs (multiset deduped per doc), banana in 2
+    assert list(out.token) == ["apple", "banana"]
+    assert list(out.doc_freq) == [3, 2]
+
+
+def test_vocab_encode_ids_and_oov(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple durian")], ["doc_id", "text"]
+    )
+    vocab = spark.createDataFrame(
+        [("apple", 1), ("banana", 2)], ["token", "token_id"]
+    )
+    out = corpus.encode_with_vocab(docs, vocab).toPandas().set_index("doc_id")
+    assert out.loc[1, "token_ids"] == "1,2" and out.loc[1, "n_oov"] == 0
+    # durian is OOV -> id 0
+    assert out.loc[2, "token_ids"] == "1,0" and out.loc[2, "n_oov"] == 1
+    assert (out.n_tokens == 2).all()
