@@ -194,6 +194,88 @@ FROM toks, unnest(generate_series(0, (len(t)-1)//{CHUNK_STRIDE})) AS u(i)
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+PACK_SHARDS = 64
+
+
+def pack_chunks(
+    chunks: DataFrame, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Contiguous sequence packing: assign chunks (in deterministic
+    (doc_id, chunk_idx) order) to fixed token-budget bins — the step
+    that turns variable-length chunks into uniform training sequences.
+
+    Bin id = ``floor(running_token_total_before_chunk / budget)``
+    (concat-then-split packing: a chunk may straddle a bin boundary;
+    the trainer's loader handles the split, this operator decides
+    placement). The running total is a window cumsum with an explicit
+    ROWS frame — but windowed *within a hash shard*, never globally: a
+    global packing order would funnel 100 TB through one partition.
+    Shards pack independently (doc_id-hashed, so a document's chunks
+    stay together in order); integer token math makes the result exact
+    in any engine. Returns (shard, doc_id, chunk_idx, chunk_tokens,
+    offset_in_shard, bin_id).
+    """
+    from pyspark.sql import Window
+
+    # md5-derived shard (engine-shared hash; see base_hash)
+    shard = base_hash(F.col("doc_id").cast("string")) % shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        chunks.withColumn("shard", shard.cast("long"))
+        .select(
+            "shard",
+            "doc_id",
+            "chunk_idx",
+            "chunk_tokens",
+            F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0))
+            .cast("long")
+            .alias("offset_in_shard"),
+        )
+        .withColumn("bin_id", F.expr(f"offset_in_shard DIV {budget}"))
+    )
+
+
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_chunks(chunk_documents(_docs(spark, sf_dir)))
+
+
+_PACK_ORACLE_TMPL = """
+WITH chunks AS ({chunk_oracle}),
+sharded AS (
+  SELECT *,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+          % 1000000007) % PACK_SHARDS_SLOT AS shard
+  FROM chunks
+),
+packed AS (
+  SELECT shard, doc_id, chunk_idx, chunk_tokens,
+         CAST(COALESCE(SUM(chunk_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS offset_in_shard
+  FROM sharded
+)
+SELECT shard, doc_id, chunk_idx, chunk_tokens, offset_in_shard,
+       offset_in_shard // PACK_BUDGET_SLOT AS bin_id
+FROM packed
+"""
+
+_PACK_ORACLE = (
+    _PACK_ORACLE_TMPL.replace("PACK_SHARDS_SLOT", str(PACK_SHARDS))
+    .replace("PACK_BUDGET_SLOT", str(PACK_BUDGET))
+    .format(chunk_oracle=_CHUNK_ORACLE)
+)
+
+
+# ---------------------------------------------------------------------------
 # Stratified sampling
 # ---------------------------------------------------------------------------
 
@@ -384,6 +466,7 @@ GROUP BY doc_id
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_vocab_encode": corpus_vocab_encode,
+    "corpus_pack_chunks": corpus_pack_chunks,
     "doc_chunking": doc_chunking,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_vocab_topk": corpus_vocab_topk,
@@ -392,6 +475,7 @@ QUERIES = {
 ORACLES = {
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_vocab_encode": _ENCODE_ORACLE,
+    "corpus_pack_chunks": _PACK_ORACLE,
     "doc_chunking": _CHUNK_ORACLE,
     "corpus_stratified_sample": _SAMPLE_ORACLE,
     "corpus_vocab_topk": _VOCAB_ORACLE,

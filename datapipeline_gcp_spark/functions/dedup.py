@@ -540,11 +540,74 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def verified_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production two-stage dedup: MinHash-LSH generates candidate
+    pairs (corpus-linear), then exact Jaccard over shingle hash sets
+    verifies ONLY those candidates — never all pairs, never all blocks.
+    Returns (doc_a, doc_b, sig_match_frac, jaccard) for verified pairs.
+
+    Scale shape: candidates ≪ corpus², and the verify step is two
+    shuffle joins of the candidate list against the per-doc shingle-set
+    table (each join keyed on a doc id — AQE turns them into broadcast
+    joins whenever the candidate list is small, which it is by
+    construction at healthy thresholds)."""
+    cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col))
+    shs = with_shingles(df, text_col, out_col="_sh").select(
+        F.col(id_col),
+        F.array_distinct(F.transform(F.col("_sh"), base_hash)).alias("shs"),
+    )
+    a = shs.select(F.col(id_col).alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = shs.select(F.col(id_col).alias("doc_b"), F.col("shs").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_match_frac",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return verified_neardup_pairs(neardup_fixture(spark, sf_dir))
+
+
+_VERIFIED_ORACLE = f"""
+WITH {MINHASH_PAIR_CTES},
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_D_SHINGLES},
+                       s -> {_D_BH.format(s='s')})) AS shs
+  FROM fixture
+)
+SELECT scored.doc_a, scored.doc_b, scored.sig_match_frac,
+  CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+    / CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+    AS jaccard
+FROM scored
+JOIN shs a ON scored.doc_a = a.doc_id
+JOIN shs b ON scored.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+    / CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+    >= 0.5
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_verified": dedup_verified,
 }
 
 ORACLES = {
@@ -552,4 +615,5 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_ORACLE,
     "dedup_simhash": _SIMHASH_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
+    "dedup_verified": _VERIFIED_ORACLE,
 }

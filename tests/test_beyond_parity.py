@@ -299,3 +299,48 @@ def test_vocab_encode_ids_and_oov(spark):
     # durian is OOV -> id 0
     assert out.loc[2, "token_ids"] == "1,0" and out.loc[2, "n_oov"] == 1
     assert (out.n_tokens == 2).all()
+
+
+def test_pack_chunks_offsets_and_bins(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 64), (1, 1, 64), (1, 2, 10), (2, 0, 30)],
+        ["doc_id", "chunk_idx", "chunk_tokens"],
+    )
+    out = corpus.pack_chunks(chunks, budget=100, shards=1).toPandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # single shard: offsets are the running total in (doc_id, chunk_idx) order
+    assert list(out.offset_in_shard) == [0, 64, 128, 138]
+    assert list(out.bin_id) == [0, 0, 1, 1]
+    assert (out.shard == 0).all()
+
+
+def test_pack_chunks_shard_locality(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    chunks = spark.createDataFrame(
+        [(d, i, 50) for d in range(20) for i in range(3)],
+        ["doc_id", "chunk_idx", "chunk_tokens"],
+    )
+    out = corpus.pack_chunks(chunks, budget=120, shards=4).toPandas()
+    # a document's chunks all land in one shard, in order
+    for d, grp in out.groupby("doc_id"):
+        assert grp.shard.nunique() == 1
+        g = grp.sort_values("chunk_idx")
+        assert list(g.offset_in_shard) == sorted(g.offset_in_shard)
+    # offsets within a shard are gapless (each chunk is 50 tokens)
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp.offset_in_shard) == [50 * i for i in range(len(grp))]
+
+
+def test_verified_pairs_subset_of_candidates_with_true_jaccard(spark):
+    from datapipeline_gcp_spark.functions import dedup
+
+    pairs = dedup.dedup_verified(spark, SF_SMOKE).toPandas()
+    # exact copies: jaccard exactly 1.0 and full signature agreement
+    exact = pairs[(pairs.doc_b - pairs.doc_a == 500_000) & (pairs.doc_a < 500_000)]
+    assert len(exact) > 0
+    assert (exact.jaccard == 1.0).all() and (exact.sig_match_frac == 1.0).all()
+    # every surviving pair really clears the verify threshold
+    assert (pairs.jaccard >= 0.5).all()
