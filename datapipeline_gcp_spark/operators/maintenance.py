@@ -1,0 +1,193 @@
+"""Table maintenance: MERGE-style upsert (SCD type 1) and slowly-
+changing-dimension history (SCD type 2) as batch DataFrame operators.
+
+The reference maintains its layer tables purely by append
+(`cloud_composer/datapipeline_gcp.py` WRITE_APPEND dispositions); a
+warehouse would reach for MERGE for dimension maintenance. Spark on
+parquet has no MERGE primitive (that is a table-format feature — Delta/
+Iceberg), so the engine expresses both merge flavors as ONE full-outer
+shuffle join on the business key, which is exactly the physical plan a
+format-level MERGE lowers to:
+
+- **scd1_upsert**: update wins column-by-column; emits an ``op``
+  column (insert / update / keep) so callers can audit the merge —
+  the row-count identity |current ∪ updates-by-key| is asserted in
+  tests.
+- **scd2_history**: updated keys close their current version
+  (valid_to = run date) and append a new open version; inserts open
+  their first version; untouched rows pass through. One join + one
+  union of projections — no window, no per-key sort.
+
+Scale: both are a single hash-partitioned join on the key (AQE handles
+size asymmetry — a small update batch broadcasts automatically), plus
+map-side projections. The updates fixture is deterministic (every 17th
+customer changes segment and gains balance; every 23rd key past the max
+is a fresh insert) so the oracle is plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.schemas import load_testdata
+
+RUN_DATE = "2024-06-01"
+BASE_DATE = "2024-01-01"
+
+
+def scd1_upsert(
+    current: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE (update-wins) of ``updates`` into ``current`` on ``keys``.
+    Output = all key-distinct rows, update columns preferred, plus
+    ``op`` ∈ {insert, update, keep}."""
+    value_cols = [c for c in current.columns if c not in keys]
+    u = updates.select(
+        *(F.col(k).alias(f"_uk_{k}") for k in keys),
+        *(F.col(c).alias(f"_uv_{c}") for c in value_cols),
+    )
+    cond = [current[k] == u[f"_uk_{k}"] for k in keys]
+    joined = current.join(u, cond, "full_outer")
+    has_upd = F.col(f"_uk_{keys[0]}").isNotNull()
+    has_cur = current[keys[0]].isNotNull()
+    out_cols = [
+        F.coalesce(current[k], F.col(f"_uk_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(has_upd, F.col(f"_uv_{c}")).otherwise(current[c]).alias(c)
+        for c in value_cols
+    ]
+    op = (
+        F.when(has_upd & ~has_cur, F.lit("insert"))
+        .when(has_upd & has_cur, F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select(*out_cols, op.alias("op"))
+
+
+def scd2_history(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    run_date: str = RUN_DATE,
+    base_date: str = BASE_DATE,
+) -> DataFrame:
+    """SCD2: versioned output with (valid_from, valid_to, is_current).
+    ``current`` rows are the open version as of ``base_date``."""
+    k0 = keys[0]
+    upd_keys = updates.select(*keys).distinct()
+    # rows whose key got an update: close the old version
+    closed = (
+        current.join(upd_keys, keys, "left_semi")
+        .withColumn("valid_from", F.lit(base_date).cast("date"))
+        .withColumn("valid_to", F.lit(run_date).cast("date"))
+        .withColumn("is_current", F.lit(0).cast("long"))
+    )
+    # untouched current rows stay open
+    untouched = (
+        current.join(upd_keys, keys, "left_anti")
+        .withColumn("valid_from", F.lit(base_date).cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(1).cast("long"))
+    )
+    # every update row (changed or fresh) opens a new version
+    opened = (
+        updates.withColumn("valid_from", F.lit(run_date).cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(1).cast("long"))
+    )
+    return closed.unionByName(untouched).unionByName(opened)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: deterministic update batch over customer
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_COLS = [
+    "c_custkey",
+    "c_name",
+    "c_nationkey",
+    "c_mktsegment",
+    "c_acctbal",
+]
+
+
+def _current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_testdata(spark, sf_dir, ("customer",))["customer"]
+    return cust.select(*_CUSTOMER_COLS)
+
+
+def _updates(current: DataFrame) -> DataFrame:
+    """Every 17th customer: segment→'UPSERTED', balance +100. Every 23rd
+    key, shifted past the key space: a fresh insert."""
+    changed = (
+        current.filter(F.col("c_custkey") % 17 == 0)
+        .withColumn("c_mktsegment", F.lit("UPSERTED"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    inserts = (
+        current.filter(F.col("c_custkey") % 23 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 10_000_000)
+        .withColumn("c_name", F.concat(F.lit("new#"), F.col("c_name")))
+    )
+    return changed.unionByName(inserts)
+
+
+def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = _current(spark, sf_dir)
+    return scd1_upsert(cur, _updates(cur), keys=["c_custkey"])
+
+
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = _current(spark, sf_dir)
+    return scd2_history(cur, _updates(cur), keys=["c_custkey"])
+
+
+_UPDATES_SQL = """
+SELECT c_custkey, c_name, c_nationkey, 'UPSERTED' AS c_mktsegment,
+       c_acctbal + 100.0 AS c_acctbal
+FROM customer WHERE c_custkey % 17 = 0
+UNION ALL
+SELECT c_custkey + 10000000, concat('new#', c_name), c_nationkey,
+       c_mktsegment, c_acctbal
+FROM customer WHERE c_custkey % 23 = 0
+"""
+
+_SCD1_ORACLE = f"""
+WITH cur AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+             FROM customer),
+upd AS ({_UPDATES_SQL})
+SELECT
+  COALESCE(cur.c_custkey, upd.c_custkey) AS c_custkey,
+  CASE WHEN upd.c_custkey IS NOT NULL THEN upd.c_name ELSE cur.c_name END
+    AS c_name,
+  CASE WHEN upd.c_custkey IS NOT NULL THEN upd.c_nationkey
+       ELSE cur.c_nationkey END AS c_nationkey,
+  CASE WHEN upd.c_custkey IS NOT NULL THEN upd.c_mktsegment
+       ELSE cur.c_mktsegment END AS c_mktsegment,
+  CASE WHEN upd.c_custkey IS NOT NULL THEN upd.c_acctbal
+       ELSE cur.c_acctbal END AS c_acctbal,
+  CASE WHEN upd.c_custkey IS NOT NULL AND cur.c_custkey IS NULL THEN 'insert'
+       WHEN upd.c_custkey IS NOT NULL THEN 'update'
+       ELSE 'keep' END AS op
+FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.c_custkey
+"""
+
+_SCD2_ORACLE = f"""
+WITH cur AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+             FROM customer),
+upd AS ({_UPDATES_SQL}),
+upd_keys AS (SELECT DISTINCT c_custkey FROM upd)
+SELECT cur.*, DATE '{BASE_DATE}' AS valid_from, DATE '{RUN_DATE}' AS valid_to,
+       CAST(0 AS BIGINT) AS is_current
+FROM cur WHERE c_custkey IN (SELECT c_custkey FROM upd_keys)
+UNION ALL
+SELECT cur.*, DATE '{BASE_DATE}', NULL, CAST(1 AS BIGINT)
+FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM upd_keys)
+UNION ALL
+SELECT upd.*, DATE '{RUN_DATE}', NULL, CAST(1 AS BIGINT)
+FROM upd
+"""
+
+QUERIES = {"merge_scd1": merge_scd1, "merge_scd2": merge_scd2}
+ORACLES = {"merge_scd1": _SCD1_ORACLE, "merge_scd2": _SCD2_ORACLE}

@@ -20,6 +20,7 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.analytics",
     "datapipeline_gcp_spark.operators.rangejoin",
     "datapipeline_gcp_spark.operators.tpch",
+    "datapipeline_gcp_spark.operators.maintenance",
     "datapipeline_gcp_spark.sources.generators",
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.functions.text",

@@ -344,3 +344,39 @@ def test_verified_pairs_subset_of_candidates_with_true_jaccard(spark):
     assert (exact.jaccard == 1.0).all() and (exact.sig_match_frac == 1.0).all()
     # every surviving pair really clears the verify threshold
     assert (pairs.jaccard >= 0.5).all()
+
+
+def test_scd1_upsert_semantics(spark):
+    from datapipeline_gcp_spark.operators import maintenance
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "bal"]
+    )
+    upd = spark.createDataFrame(
+        [(2, "b2", 25.0), (3, "c", 30.0)], ["k", "name", "bal"]
+    )
+    out = maintenance.scd1_upsert(cur, upd, ["k"]).toPandas().set_index("k")
+    assert out.loc[1, "op"] == "keep" and out.loc[1, "name"] == "a"
+    assert out.loc[2, "op"] == "update" and out.loc[2, "name"] == "b2"
+    assert out.loc[3, "op"] == "insert" and out.loc[3, "bal"] == 30.0
+    assert len(out) == 3  # key-distinct union
+
+
+def test_scd2_history_versions(spark):
+    from datapipeline_gcp_spark.operators import maintenance
+
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "name", "bal"]
+    )
+    upd = spark.createDataFrame([(2, "b2", 25.0)], ["k", "name", "bal"])
+    out = maintenance.scd2_history(cur, upd, ["k"]).toPandas()
+    k2 = out[out.k == 2].sort_values("is_current")
+    # updated key: one closed version (old values) + one open (new values)
+    assert len(k2) == 2
+    closed, opened = k2.iloc[0], k2.iloc[1]
+    assert closed.name_ if hasattr(closed, "name_") else closed["name"] == "b"
+    assert closed["is_current"] == 0 and closed["valid_to"] is not None
+    assert opened["name"] == "b2" and opened["is_current"] == 1
+    # untouched key: single open version
+    k1 = out[out.k == 1]
+    assert len(k1) == 1 and k1.iloc[0]["is_current"] == 1
