@@ -506,12 +506,101 @@ pairs AS (
 SELECT vec_a, vec_b, score FROM pairs WHERE score >= 0.9
 """
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard compression
+    for embedding storage/serving: scale = max|x|/127, q_i =
+    round(x_i/scale) ∈ [-127, 127], zero vectors quantize to zeros.
+
+    Engine-deterministic without integer tricks: float→double is exact,
+    IEEE multiply/divide are correctly rounded in both engines, and both
+    Spark (BigDecimal HALF_UP) and DuckDB round() break ties away from
+    zero. Each derived value (vd, amax, scale, q) is materialized in its
+    own projection so lambdas never re-evaluate an upstream expression
+    per element (see SCALE.md round-2 planner traps). Returns (vec_id,
+    scale, q_csv, recon_rmse) with the floats rounded to 9 dp for the
+    cross-engine gate."""
+    vd = df.select(
+        "vec_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vd"),
+    )
+    # NB the exact scale keeps its own name end-to-end; aliasing the
+    # 9-dp-rounded output column back to "scale" in the final select
+    # made CollapseProject rebind the error term to the ROUNDED scale
+    # (observed in the physical plan) — a silent 3e-9 rmse corruption.
+    st = vd.withColumn(
+        "amax", F.array_max(F.transform(F.col("vd"), F.abs))
+    ).withColumn("scale_exact", F.col("amax") / 127.0)
+    q = st.withColumn(
+        "q",
+        F.when(
+            F.col("amax") == 0.0,
+            F.transform(F.col("vd"), lambda x: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                F.col("vd"),
+                lambda x: F.round(x * 127.0 / F.col("amax")).cast("int"),
+            )
+        ),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("vd"),
+            F.col("q"),
+            lambda x, qq: F.pow(
+                x - qq.cast("double") * F.col("scale_exact"), F.lit(2.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale_exact"), 9).alias("scale"),
+        F.concat_ws(",", F.transform(F.col("q"), lambda v: v.cast("string"))).alias(
+            "q_csv"
+        ),
+        F.round(F.sqrt(sq_err / F.size(F.col("vd"))), 9).alias("recon_rmse"),
+    )
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    return quantize_int8(emb)
+
+
+_QUANT_ORACLE = f"""
+WITH vd AS (SELECT vec_id, {_D_VD} AS vd FROM embeddings),
+st AS (
+  SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS amax
+  FROM vd
+),
+sc AS (SELECT *, amax / 127.0 AS scale FROM st),
+q AS (
+  SELECT vec_id, vd, scale,
+         CASE WHEN amax = 0.0
+              THEN list_transform(vd, x -> 0)
+              ELSE list_transform(vd, x -> CAST(round(x * 127.0 / amax) AS INT))
+         END AS q
+  FROM sc
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       array_to_string(q, ',') AS q_csv,
+       round(sqrt(list_reduce(
+         list_transform(generate_series(1, len(vd)),
+                        i -> pow(vd[i] - q[i] * scale, 2)),
+         (x, y) -> x + y) / len(vd)), 9) AS recon_rmse
+FROM q
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_cosine_neardup": embedding_cosine_neardup,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLES = {
@@ -520,4 +609,5 @@ ORACLES = {
     "ann_lsh_topk": _LSH_ORACLE,
     "ann_ivf_topk": _IVF_ORACLE,
     "embedding_cosine_neardup": _NEARDUP_ORACLE,
+    "embedding_quantize_int8": _QUANT_ORACLE,
 }

@@ -23,6 +23,7 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.maintenance",
     "datapipeline_gcp_spark.sources.generators",
     "datapipeline_gcp_spark.streaming.windows",
+    "datapipeline_gcp_spark.streaming.joins",
     "datapipeline_gcp_spark.functions.text",
     "datapipeline_gcp_spark.functions.dedup",
     "datapipeline_gcp_spark.functions.clusters",

@@ -1,0 +1,103 @@
+"""Stream-stream event-time interval join (attribution join).
+
+The canonical Structured Streaming join: match each purchase to the
+same user's clicks in the preceding hour. The builder is mode-agnostic
+(works on batch and streaming frames — same policy as
+``streaming/windows.py``): the batch form is oracle-checked against
+DuckDB; the streaming form adds watermarks on BOTH sides and is tested
+stream(availableNow) ≡ batch.
+
+Scale: a stream-stream inner join keys state by user and buffers each
+side only until the watermark passes the join window (Spark derives the
+state retention bound from the time-interval predicate + watermarks —
+without both, state grows forever). The batch form is a plain
+hash-partitioned equi-join on user_id with the interval as a residual
+filter — the time dimension never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.schemas import load_testdata
+
+JOIN_INTERVAL = "1 HOUR"
+STREAM_WATERMARK = "2 hours"
+
+
+def interval_join(
+    purchases: DataFrame, clicks: DataFrame, interval: str = JOIN_INTERVAL
+) -> DataFrame:
+    """Pairs (purchase, click) with the same user_id and
+    ``p_ts - interval <= c_ts <= p_ts``. Returns (user_id, purchase_id,
+    click_id, p_ts, c_ts, gap_us)."""
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {interval}"))
+    )
+    return p.join(c, cond).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        "p_ts",
+        "c_ts",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+def streaming_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval: str = JOIN_INTERVAL,
+    watermark: str = STREAM_WATERMARK,
+) -> DataFrame:
+    """Streaming form: watermark both sides so the join state is
+    bounded; append mode emits a pair once both rows are final."""
+    return interval_join(
+        purchases.withWatermark("ts", watermark),
+        clicks.withWatermark("ts", watermark),
+        interval,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered batch query + oracle
+# ---------------------------------------------------------------------------
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+_INTERVAL_ORACLE = f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS p_ts,
+       c.ts AS c_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {JOIN_INTERVAL}
+"""
+
+QUERIES = {"events_interval_join": events_interval_join}
+ORACLES = {"events_interval_join": _INTERVAL_ORACLE}

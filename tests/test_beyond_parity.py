@@ -380,3 +380,24 @@ def test_scd2_history_versions(spark):
     # untouched key: single open version
     k1 = out[out.k == 1]
     assert len(k1) == 1 and k1.iloc[0]["is_current"] == 1
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from datapipeline_gcp_spark.functions import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.quantize_int8(emb).toPandas().set_index("vec_id")
+    q1 = [int(v) for v in out.loc[1, "q_csv"].split(",")]
+    # max-magnitude element maps to ±127; all within range
+    assert q1[1] == -127 and all(-127 <= v <= 127 for v in q1)
+    # 0.5 = half of amax -> 63.5 rounds away from zero to 64
+    assert q1[0] == 64
+    # per-dim reconstruction error bounded by scale/2
+    scale = out.loc[1, "scale"]
+    assert out.loc[1, "recon_rmse"] <= scale / 2 + 1e-12
+    # zero vector: all zeros, zero scale, zero error
+    assert out.loc[2, "q_csv"] == "0,0,0,0"
+    assert out.loc[2, "scale"] == 0.0 and out.loc[2, "recon_rmse"] == 0.0

@@ -217,3 +217,25 @@ def test_streaming_equals_batch(spark, tmp_path, stream_fn, batch_fn, request):
     got = spark.sql(f"SELECT * FROM {name}").toPandas()
     want = batch_fn(spark, SF_CORRECTNESS).toPandas()
     assert_frames_match(got, want, name)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    from datapipeline_gcp_spark.streaming import joins
+
+    src = _events_stream(spark)
+    joined = joins.streaming_interval_join(
+        src.filter(F.col("event_type") == "purchase"),
+        src.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_interval_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM stream_interval_join").toPandas()
+    want = joins.events_interval_join(spark, SF_CORRECTNESS).toPandas()
+    assert_frames_match(got, want, "stream_interval_join")
