@@ -463,8 +463,122 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(df: DataFrame) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram model — the cheap perplexity-proxy quality signal
+    (high = unusual token mix). p(t) = term_count(t)/total_terms over
+    the whole corpus; score = -(1/n)·Σ ln p(token_i) over the document's
+    token SEQUENCE (term frequencies, not distinct).
+
+    Shape: one explode→count aggregate builds the model; the scorer
+    joins exploded tokens to it (shuffle on token), then re-aggregates
+    per doc. Every token is in-vocabulary by construction (the model is
+    the corpus itself), so no smoothing term is needed. The score is
+    rounded to 6 dp: ln may differ in the last ulp across libm
+    implementations, and the per-group float sum is order-sensitive at
+    ~1e-16 relative — both orders of magnitude below the rounding.
+    Returns (doc_id, n_terms, avg_neg_logprob)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode_outer(F.split(normalized(F.col("text")), " ")).alias("token"),
+    )
+    model = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(model, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt").cast("double") / F.col("total"))).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+    )
+
+
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id, string_split({_D_NORM}, ' ') AS t FROM documents),
+       unnest(t) AS u(token)
+),
+model AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT SUM(cnt) AS total FROM model)
+SELECT toks.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
+FROM toks JOIN model USING (token), total
+GROUP BY toks.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data card: per-(lang, source) corpus report with rollup subtotals
+# ---------------------------------------------------------------------------
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus 'data card' rollup: document counts and token totals
+    per (lang, source) with subtotals per lang and a grand total —
+    integer-exact aggregates only, so no decimal plumbing is needed."""
+    from datapipeline_gcp_spark.functions.text import with_text_metrics
+
+    docs = with_text_metrics(_docs(spark, sf_dir))
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_calc").alias("total_chars"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.grouping("lang").cast("bigint").alias("g_lang"),
+            F.grouping("source").cast("bigint").alias("g_source"),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+            ),
+        )
+    )
+
+
+# n_tokens mirrors text.py's with_text_metrics: regex \s+ split on the
+# trimmed text (NOT a single-space split)
+_D_NTOK = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+_DATACARD_ORACLE = f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_D_NTOK}) AS BIGINT) AS total_tokens,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+       CAST(MAX({_D_NTOK}) AS BIGINT) AS max_tokens,
+       CAST(CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS g_lang,
+       CAST(CASE WHEN GROUPING(source) = 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS g_source,
+       round(CAST(SUM({_D_NTOK}) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
+    "corpus_unigram_logprob": corpus_unigram_logprob,
+    "corpus_datacard": corpus_datacard,
     "corpus_vocab_encode": corpus_vocab_encode,
     "corpus_pack_chunks": corpus_pack_chunks,
     "doc_chunking": doc_chunking,
@@ -474,6 +588,8 @@ QUERIES = {
 
 ORACLES = {
     "contamination_eval_vs_train": _CONTAM_ORACLE,
+    "corpus_unigram_logprob": _UNIGRAM_ORACLE,
+    "corpus_datacard": _DATACARD_ORACLE,
     "corpus_vocab_encode": _ENCODE_ORACLE,
     "corpus_pack_chunks": _PACK_ORACLE,
     "doc_chunking": _CHUNK_ORACLE,

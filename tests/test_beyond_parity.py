@@ -401,3 +401,29 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
     # zero vector: all zeros, zero scale, zero error
     assert out.loc[2, "q_csv"] == "0,0,0,0"
     assert out.loc[2, "scale"] == 0.0 and out.loc[2, "recon_rmse"] == 0.0
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(9, "zyx wvu tsr qpo nml kji")],
+        ["doc_id", "text"],
+    )
+    out = corpus.unigram_logprob(docs).toPandas().set_index("doc_id")
+    # the all-rare doc must score strictly above every common doc
+    assert out.loc[9, "avg_neg_logprob"] > out.drop(9).avg_neg_logprob.max()
+    assert (out.n_terms == 6).all()
+
+
+def test_datacard_rollup_totals_consistent(spark):
+    from datapipeline_gcp_spark.functions import corpus
+    from tests.conftest import SF_SMOKE
+
+    card = corpus.corpus_datacard(spark, SF_SMOKE).toPandas()
+    grand = card[(card.g_lang == 1) & (card.g_source == 1)]
+    leaves = card[(card.g_lang == 0) & (card.g_source == 0)]
+    assert len(grand) == 1
+    assert grand.iloc[0].n_docs == leaves.n_docs.sum()
+    assert grand.iloc[0].total_tokens == leaves.total_tokens.sum()
