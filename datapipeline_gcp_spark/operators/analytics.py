@@ -203,8 +203,57 @@ GROUP BY event_type
 """
 
 
+N_BINS = 20
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of event value per event_type: 20 bins over
+    the group's [min, max], top edge folded into the last bin. Two
+    aggregates: a 5-row stats table (broadcast back) then the bin
+    count — classic two-pass histogram, no sort. All double arithmetic
+    is written in the same operation order as the oracle, so bin
+    assignment is bit-deterministic without rounding."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * N_BINS
+            ),
+            F.lit(N_BINS - 1),
+        ).cast("long"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n_events"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(least(floor((e.value - s.vmin) / (s.vmax - s.vmin) * {N_BINS}),
+                  {N_BINS - 1}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(s.vmin) AS vmin,
+       MAX(s.vmax) AS vmax
+FROM events e JOIN stats s USING (event_type)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_percentiles": events_percentiles,
+    "events_histogram": events_histogram,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
     "grouping_sets_agg": grouping_sets_agg,
@@ -215,6 +264,7 @@ QUERIES = {
 
 ORACLES = {
     "events_percentiles": _PERCENTILE_ORACLE,
+    "events_histogram": _HISTOGRAM_ORACLE,
     "rollup_agg": _ROLLUP_ORACLE,
     "cube_agg": _CUBE_ORACLE,
     "grouping_sets_agg": _GROUPING_SETS_SQL,

@@ -427,3 +427,22 @@ def test_datacard_rollup_totals_consistent(spark):
     assert len(grand) == 1
     assert grand.iloc[0].n_docs == leaves.n_docs.sum()
     assert grand.iloc[0].total_tokens == leaves.total_tokens.sum()
+
+
+def test_histogram_covers_all_events_and_bins_in_range(spark):
+    from datapipeline_gcp_spark.operators import analytics
+    from tests.conftest import SF_SMOKE
+
+    hist = analytics.events_histogram(spark, SF_SMOKE).toPandas()
+    ev_counts = (
+        analytics.load_testdata(spark, SF_SMOKE, ("events",))["events"]
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    for et, grp in hist.groupby("event_type"):
+        assert grp.n_events.sum() == ev_counts[et]
+        assert grp.bin.min() >= 0 and grp.bin.max() <= analytics.N_BINS - 1
+        # the max element lands in the folded last bin
+        assert analytics.N_BINS - 1 in set(grp.bin)
