@@ -296,6 +296,54 @@ WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
 """
 
 
+def fuzzy_match_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    text_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: pairs of rows in the same block
+    whose ``text_col`` values are within ``max_distance`` Levenshtein
+    edits. Blocked-quadratic via ``within_block_pairs`` (one shuffle,
+    never corpus-quadratic); Levenshtein is integer-valued and
+    identically defined in Spark and DuckDB, so the oracle is exact.
+    At 100 TB the block key must bound block sizes (here: nation) —
+    the same ``max_block_size`` hot-block policy as the dedup family
+    applies."""
+    from datapipeline_gcp_spark.functions.dedup import within_block_pairs
+
+    pairs = within_block_pairs(df, block_cols, [id_col, text_col])
+    dist = F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_testdata(spark, sf_dir, ("customer",))["customer"]
+    return fuzzy_match_pairs(
+        cust.select("c_nationkey", "c_custkey", "c_name"),
+        block_cols=["c_nationkey"],
+        id_col="c_custkey",
+        text_col="c_name",
+    )
+
+
+_FUZZY_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "scan_filter_project": scan_filter_project,
     "case_when_projection": case_when_projection,
@@ -306,6 +354,7 @@ QUERIES = {
     "semi_anti_join": semi_anti_join,
     "set_intersect_except": set_intersect_except,
     "scalar_subquery_filter": scalar_subquery_filter,
+    "fuzzy_customer_names": fuzzy_customer_names,
 }
 
 ORACLES = {
@@ -318,4 +367,5 @@ ORACLES = {
     "semi_anti_join": _SEMI_ANTI_ORACLE,
     "set_intersect_except": _SET_OPS_ORACLE,
     "scalar_subquery_filter": _SCALAR_SUBQUERY_ORACLE,
+    "fuzzy_customer_names": _FUZZY_ORACLE,
 }

@@ -446,3 +446,22 @@ def test_histogram_covers_all_events_and_bins_in_range(spark):
         assert grp.bin.min() >= 0 and grp.bin.max() <= analytics.N_BINS - 1
         # the max element lands in the folded last bin
         assert analytics.N_BINS - 1 in set(grp.bin)
+
+
+def test_fuzzy_match_pairs_distance_semantics(spark):
+    from datapipeline_gcp_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "smith"),
+            (1, 2, "smyth"),   # distance 1 from smith
+            (1, 3, "smithee"), # distance 2 from smith
+            (2, 4, "smith"),   # other block: never paired with block 1
+        ],
+        ["block", "id", "name"],
+    )
+    out = relational.fuzzy_match_pairs(
+        df, ["block"], "id", "name", max_distance=1
+    ).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    assert list(out.distance) == [1]
