@@ -488,15 +488,29 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
         "doc_id",
         F.explode_outer(F.split(normalized(F.col("text")), " ")).alias("token"),
     )
-    model = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = model.agg(F.sum("cnt").alias("total"))
-    scored = (
-        toks.join(model, "token")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            (-F.log(F.col("cnt").cast("double") / F.col("total"))).alias("nll"),
-        )
+    from pyspark.sql import Window
+
+    # total term count rides ON the model as an unbounded window sum —
+    # a separate `model.agg(sum)` frame re-executes the whole corpus
+    # scan+explode+aggregate a second time (observed in the plan) and
+    # adds a nested-loop cross join. The window is single-partition by
+    # construction but runs on the vocabulary-sized model, not the
+    # corpus, so it is bounded at any scale.
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    model = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(w_all))
+    )
+    # the model is vocabulary-sized (sublinear in corpus size) —
+    # broadcast it so the token stream never shuffles for the join, and
+    # the final per-doc aggregate reuses the doc_id partitioning from
+    # the repartition above (no third corpus shuffle)
+    scored = toks.join(F.broadcast(model), "token").select(
+        "doc_id",
+        (-F.log(F.col("cnt").cast("double") / F.col("total"))).alias("nll"),
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms"),
