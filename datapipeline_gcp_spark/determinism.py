@@ -67,6 +67,34 @@ def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {_DECIMAL})) AS DOUBLE) / COUNT({expr})"
 
 
+def qround(c: Column | str, digits: int) -> Column:
+    """Cross-engine-safe rounding of a double to ``digits`` decimals:
+    ``floor(x·10^d + 0.5) / 10^d`` — every step is an IEEE operation
+    with one correctly-rounded result, so Spark and DuckDB produce the
+    SAME double for the same input, always.
+
+    ``F.round`` is NOT safe as a cross-engine equalizer: Spark rounds
+    the shortest decimal representation (``BigDecimal`` HALF_UP via
+    ``Double.toString``) while DuckDB rounds the binary value — for
+    doubles whose shortest repr ends at the tie digit (0.285 at 2 dp:
+    Spark 0.29, DuckDB 0.28) the engines disagree even on bit-identical
+    inputs. Use this for any rounded float the oracle gate compares.
+    Halves round toward +inf (same formula both engines — symmetric by
+    construction, not by convention). Inputs must satisfy
+    |x|·10^d < 2^53 (all current uses are ≪ that)."""
+    p = float(10**digits)
+    return F.floor(_col(c) * p + F.lit(0.5)) / p
+
+
+def sql_qround(expr: str, digits: int) -> str:
+    """DuckDB/ANSI mirror of :func:`qround` — textually the same
+    arithmetic, so the doubles match bitwise. The scale is written as an
+    exponent literal (``1e6``) because a plain ``1000000.0`` parses as
+    DECIMAL in Spark SQL (decimal contagion would change the output
+    type); ``1eN`` is DOUBLE in both dialects."""
+    return f"(floor(({expr}) * 1e{digits} + 0.5) / 1e{digits})"
+
+
 def sql_dsum_diff(left: str, right: str) -> str:
     """SUM(left - right) with exact internal arithmetic."""
     return (

@@ -41,6 +41,7 @@ from datapipeline_gcp_spark.functions.dedup import (
     normalized,
     with_shingles,
 )
+from datapipeline_gcp_spark.determinism import qround, sql_qround
 from datapipeline_gcp_spark.schemas import load_testdata
 
 CONTAM_NGRAM = 5
@@ -514,7 +515,7 @@ def unigram_logprob(df: DataFrame) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_terms"),
-        F.round(F.avg("nll"), 6).alias("avg_neg_logprob"),
+        qround(F.avg("nll"), 6).alias("avg_neg_logprob"),
     )
 
 
@@ -532,7 +533,7 @@ model AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
 total AS (SELECT SUM(cnt) AS total FROM model)
 SELECT toks.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_terms,
-       round(AVG(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
+       {sql_qround('AVG(-ln(CAST(cnt AS DOUBLE) / total))', 6)} AS avg_neg_logprob
 FROM toks JOIN model USING (token), total
 GROUP BY toks.doc_id
 """
@@ -562,7 +563,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "avg_tokens",
-            F.round(
+            qround(
                 F.col("total_tokens").cast("double") / F.col("n_docs"), 6
             ),
         )
@@ -583,7 +584,7 @@ SELECT lang, source,
          AS g_lang,
        CAST(CASE WHEN GROUPING(source) = 1 THEN 1 ELSE 0 END AS BIGINT)
          AS g_source,
-       round(CAST(SUM({_D_NTOK}) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+       {sql_qround('CAST(SUM(' + _D_NTOK + ') AS DOUBLE) / COUNT(*)', 6)} AS avg_tokens
 FROM documents
 GROUP BY ROLLUP (lang, source)
 """

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datapipeline_gcp_spark.determinism import qround
 from datapipeline_gcp_spark.schemas import load_testdata
 
 ASSET_SCHEMA = T.StructType(
@@ -207,10 +208,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         "kind",
         "byte_len",
-        F.round(F.col("mean_byte"), 9).alias("mean_byte"),
+        qround(F.col("mean_byte"), 9).alias("mean_byte"),
         "max_byte",
         *[
-            F.round(F.element_at(F.col("feature"), i + 1), 9).alias(f"f{i}")
+            qround(F.element_at(F.col("feature"), i + 1), 9).alias(f"f{i}")
             for i in range(N_BINS)
         ],
     )
@@ -236,11 +237,12 @@ SELECT
   asset_id,
   kind,
   CAST(len(bytes) AS BIGINT) AS byte_len,
-  round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 9) AS mean_byte,
+  (floor(CAST(list_sum(bytes) AS DOUBLE) / len(bytes) * 1e9 + 0.5) / 1e9)
+    AS mean_byte,
   CAST(list_max(bytes) AS BIGINT) AS max_byte,
   {", ".join(
-    f"round(CAST(len(list_filter(bytes, x -> x // 32 = {k})) AS DOUBLE)"
-    f" / len(bytes), 9) AS f{k}"
+    f"(floor(CAST(len(list_filter(bytes, x -> x // 32 = {k})) AS DOUBLE)"
+    f" / len(bytes) * 1e9 + 0.5) / 1e9) AS f{k}"
     for k in range(N_BINS)
   )}
 FROM b

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datapipeline_gcp_spark.determinism import qround, sql_qround
 from datapipeline_gcp_spark.functions.dedup import within_block_pairs
 from datapipeline_gcp_spark.schemas import load_testdata
 
@@ -142,7 +143,7 @@ def _scored_pairs(queries: DataFrame, cands: DataFrame) -> DataFrame:
     return c.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(
+        qround(
             cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 9
         ).alias("score"),
     )
@@ -189,7 +190,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = both.filter(F.col("q.vec_id") < N_QUERIES).select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("vec_id"),
-        F.round(
+        qround(
             cosine(F.col("q.vd"), F.col("c.vd"), F.col("q.vnorm"), F.col("c.vnorm")), 9
         ).alias("score"),
     )
@@ -274,7 +275,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "vec_id",
-        F.round(
+        qround(
             cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 9
         ).alias("score"),
     )
@@ -304,7 +305,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             F.col("d").cast("bigint").alias("d"),
-            F.round(
+            qround(
                 F.col("qsum").cast("double") / F.col("n_vectors") / QUANT, 9
             ).alias("centroid"),
             "n_vectors",
@@ -341,7 +342,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(
+            qround(
                 cosine(F.col("a.vd"), F.col("b.vd"), F.col("a.vnorm"), F.col("b.vnorm")), 9
             ).alias("score"),
         )
@@ -411,7 +412,7 @@ WITH vecs AS (
 ),
 scored AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id,
-    round({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm), 9) AS score
+    (floor(({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm)) * 1e9 + 0.5) / 1e9) AS score
   FROM vecs a JOIN vecs b ON b.vec_id != a.vec_id,
        (SELECT unnest(generate_series(0, {BANDS - 1})) AS b) u
   WHERE a.vec_id < {N_QUERIES} AND {_D_BAND_JOIN}
@@ -453,7 +454,7 @@ probes AS (
 ),
 scored AS (
   SELECT p.query_id, a.vec_id,
-    round({_D_DOT.format(a='q.vd', b='c.vd')} / (q.vnorm * c.vnorm), 9) AS score
+    (floor(({_D_DOT.format(a='q.vd', b='c.vd')} / (q.vnorm * c.vnorm)) * 1e9 + 0.5) / 1e9) AS score
   FROM probes p
   JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id != p.query_id
   JOIN vecs q ON q.vec_id = p.query_id
@@ -477,8 +478,8 @@ WITH ex AS (
 )
 SELECT label,
   CAST(i - 1 AS BIGINT) AS d,
-  round(CAST(sum(CAST(floor(x * {QUANT}) AS BIGINT)) AS DOUBLE)
-        / count(*) / {QUANT}, 9) AS centroid,
+  (floor((CAST(sum(CAST(floor(x * {QUANT}) AS BIGINT)) AS DOUBLE)
+        / count(*) / {QUANT}) * 1e9 + 0.5) / 1e9) AS centroid,
   count(*) AS n_vectors
 FROM ex
 GROUP BY label, i
@@ -498,7 +499,7 @@ allv AS (
 ),
 pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-    round({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm), 9) AS score
+    (floor(({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm)) * 1e9 + 0.5) / 1e9) AS score
   FROM allv a JOIN allv b ON a.vec_id < b.vec_id,
        (SELECT unnest(generate_series(0, {BANDS - 1})) AS b) u
   WHERE {_D_BAND_JOIN}
@@ -512,9 +513,9 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     round(x_i/scale) ∈ [-127, 127], zero vectors quantize to zeros.
 
     Engine-deterministic without integer tricks: float→double is exact,
-    IEEE multiply/divide are correctly rounded in both engines, and both
-    Spark (BigDecimal HALF_UP) and DuckDB round() break ties away from
-    zero. Each derived value (vd, amax, scale, q) is materialized in its
+    IEEE multiply/divide are correctly rounded in both engines, and
+    rounding is ``floor(v + 0.5)`` (ties toward +inf) — plain ``round``
+    is NOT an equalizer across engines (see ``determinism.qround``). Each derived value (vd, amax, scale, q) is materialized in its
     own projection so lambdas never re-evaluate an upstream expression
     per element (see SCALE.md round-2 planner traps). Returns (vec_id,
     scale, q_csv, recon_rmse) with the floats rounded to 9 dp for the
@@ -538,7 +539,7 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         ).otherwise(
             F.transform(
                 F.col("vd"),
-                lambda x: F.round(x * 127.0 / F.col("amax")).cast("int"),
+                lambda x: F.floor(x * 127.0 / F.col("amax") + 0.5).cast("int"),
             )
         ),
     )
@@ -555,11 +556,11 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
     return q.select(
         "vec_id",
-        F.round(F.col("scale_exact"), 9).alias("scale"),
+        qround(F.col("scale_exact"), 9).alias("scale"),
         F.concat_ws(",", F.transform(F.col("q"), lambda v: v.cast("string"))).alias(
             "q_csv"
         ),
-        F.round(F.sqrt(sq_err / F.size(F.col("vd"))), 9).alias("recon_rmse"),
+        qround(F.sqrt(sq_err / F.size(F.col("vd"))), 9).alias("recon_rmse"),
     )
 
 
@@ -579,17 +580,17 @@ q AS (
   SELECT vec_id, vd, scale,
          CASE WHEN amax = 0.0
               THEN list_transform(vd, x -> 0)
-              ELSE list_transform(vd, x -> CAST(round(x * 127.0 / amax) AS INT))
+              ELSE list_transform(vd, x -> CAST(floor(x * 127.0 / amax + 0.5) AS INT))
          END AS q
   FROM sc
 )
 SELECT vec_id,
-       round(scale, 9) AS scale,
+       (floor(scale * 1e9 + 0.5) / 1e9) AS scale,
        array_to_string(q, ',') AS q_csv,
-       round(sqrt(list_reduce(
+       (floor(sqrt(list_reduce(
          list_transform(generate_series(1, len(vd)),
                         i -> pow(vd[i] - q[i] * scale, 2)),
-         (x, y) -> x + y) / len(vd)), 9) AS recon_rmse
+         (x, y) -> x + y) / len(vd)) * 1e9 + 0.5) / 1e9) AS recon_rmse
 FROM q
 """
 

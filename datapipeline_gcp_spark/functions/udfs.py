@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapipeline_gcp_spark.determinism import qround, sql_qround
 from datapipeline_gcp_spark.schemas import load_testdata
 
 
@@ -111,7 +112,7 @@ def udf_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", "value"), ["user_id"], "value"
     )
     return out.select(
-        "user_id", "event_id", "value", F.round("robust_z", 6).alias("robust_z")
+        "user_id", "event_id", "value", qround("robust_z", 6).alias("robust_z")
     )
 
 
@@ -126,8 +127,9 @@ WITH stats AS (
   FROM events GROUP BY user_id
 )
 SELECT e.user_id, e.event_id, e.value,
-  round(CASE WHEN 1.4826 * s.mad_v = 0 THEN 0.0
-             ELSE (e.value - s.med_v) / (1.4826 * s.mad_v) END, 6) AS robust_z
+  (floor((CASE WHEN 1.4826 * s.mad_v = 0 THEN 0.0
+             ELSE (e.value - s.med_v) / (1.4826 * s.mad_v) END) * 1e6 + 0.5)
+   / 1e6) AS robust_z
 FROM events e JOIN stats s USING (user_id)
 """
 

@@ -217,16 +217,22 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
+    # degenerate group (vmax == vmin): 0/0 would be NULL and leak into
+    # the NULL-skipping least() as bin 19 — pin such groups to bin 0
     binned = ev.join(F.broadcast(stats), "event_type").withColumn(
         "bin",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                / (F.col("vmax") - F.col("vmin"))
-                * N_BINS
-            ),
-            F.lit(N_BINS - 1),
-        ).cast("long"),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * N_BINS
+                ),
+                F.lit(N_BINS - 1),
+            )
+        )
+        .cast("long"),
     )
     return binned.groupBy("event_type", "bin").agg(
         F.count("*").alias("n_events"),
@@ -241,8 +247,10 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
-       CAST(least(floor((e.value - s.vmin) / (s.vmax - s.vmin) * {N_BINS}),
-                  {N_BINS - 1}) AS BIGINT) AS bin,
+       CAST(CASE WHEN s.vmax = s.vmin THEN 0
+                 ELSE least(floor((e.value - s.vmin) / (s.vmax - s.vmin)
+                                  * {N_BINS}), {N_BINS - 1})
+            END AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(s.vmin) AS vmin,
        MAX(s.vmax) AS vmax

@@ -74,7 +74,6 @@ def scd2_history(
 ) -> DataFrame:
     """SCD2: versioned output with (valid_from, valid_to, is_current).
     ``current`` rows are the open version as of ``base_date``."""
-    k0 = keys[0]
     upd_keys = updates.select(*keys).distinct()
     # rows whose key got an update: close the old version
     closed = (

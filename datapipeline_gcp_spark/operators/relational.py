@@ -50,7 +50,7 @@ def salted_join(
     unmatched right row would surface once per salt bucket.
     """
     normalized_how = how.lower().replace("_", "")
-    if normalized_how not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+    if normalized_how not in {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}:
         raise ValueError(
             f"salted_join does not support how={how!r}: the salted right side "
             "is replicated, so unmatched right rows would appear "

@@ -63,35 +63,46 @@ def _pending_dir(archive_dir: str) -> str:
     return f"{archive_dir}/_pending"
 
 
-def _record_pending(files: list[str], archive_dir: str, batch_id: int) -> None:
+def _record_pending(
+    files: list[str], archive_dir: str, stream_id: str, batch_id: int
+) -> None:
     """Atomically record the batch's input files (one path per line) at a
-    path keyed by batch id — a replayed batch overwrites the same file,
-    so the record is idempotent."""
+    path keyed by (stream, batch id) — a replayed batch overwrites the
+    same file, so the record is idempotent. The stream id in the name
+    keeps concurrent streams (the router runs one per route) from
+    clobbering each other's records in the shared archive dir."""
     pdir = _pending_dir(archive_dir)
     os.makedirs(pdir, exist_ok=True)
-    tmp = os.path.join(pdir, f"batch_{batch_id}.txt.tmp")
+    name = f"{stream_id}__batch_{batch_id}.txt"
+    tmp = os.path.join(pdir, name + ".tmp")
     with open(tmp, "w") as fh:
         fh.write("\n".join(files))
-    os.replace(tmp, os.path.join(pdir, f"batch_{batch_id}.txt"))
+    os.replace(tmp, os.path.join(pdir, name))
 
 
-def flush_pending(archive_dir: str, upto_exclusive: int | None = None) -> list[str]:
-    """Archive the files recorded by durably-committed batches.
+def flush_pending(
+    archive_dir: str, stream_id: str, upto_exclusive: int | None = None
+) -> list[str]:
+    """Archive the files recorded by THIS stream's durably-committed
+    batches (records of other streams sharing the archive dir are never
+    touched — their commits are not ours to reason about).
 
     Called with ``upto_exclusive=N`` at the start of batch N (every
-    pending manifest with a smaller id belongs to a batch whose
-    checkpoint commit is durable — batch N only fires after N-1
-    committed), and with no bound after query termination. Idempotent:
-    already-moved files are skipped, the final per-batch manifest is
-    (re)written, and the pending record is removed last."""
+    pending record with a smaller id belongs to a batch whose checkpoint
+    commit is durable — batch N only fires after N-1 committed), and
+    with ``upto_exclusive`` = last-committed-epoch+1 from the checkpoint
+    commit log after termination. Idempotent: already-moved files are
+    skipped, the final per-batch manifest is (re)written, and the
+    pending record is removed last."""
     pdir = _pending_dir(archive_dir)
     if not os.path.isdir(pdir):
         return []
+    prefix = f"{stream_id}__batch_"
     moved: list[str] = []
     for fname in sorted(os.listdir(pdir)):
-        if not (fname.startswith("batch_") and fname.endswith(".txt")):
+        if not (fname.startswith(prefix) and fname.endswith(".txt")):
             continue
-        bid = int(fname[len("batch_") : -len(".txt")])
+        bid = int(fname[len(prefix) : -len(".txt")])
         if upto_exclusive is not None and bid >= upto_exclusive:
             continue
         record = os.path.join(pdir, fname)
@@ -101,29 +112,54 @@ def flush_pending(archive_dir: str, upto_exclusive: int | None = None) -> list[s
             if os.path.exists(f):
                 sinks.archive_files(f, archive_dir)
                 moved.append(f)
-        sinks.write_manifest(files, f"{archive_dir}/_manifests", str(bid))
+        sinks.write_manifest(
+            files, f"{archive_dir}/_manifests", f"{stream_id}_{bid}"
+        )
         os.remove(record)
     return moved
+
+
+def _latest_committed_batch(checkpoint_dir: str) -> int | None:
+    """Highest epoch id in the streaming checkpoint's commit log — the
+    last batch whose commit is durable on disk. None if nothing has
+    committed yet."""
+    cdir = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(cdir):
+        return None
+    ids = [int(f) for f in os.listdir(cdir) if f.isdigit()]
+    return max(ids) if ids else None
 
 
 class IngestStream:
     """A started ingestion query plus its deferred-archival handle.
 
     ``awaitTermination`` proxies the underlying ``StreamingQuery``;
-    ``flush_archive`` moves the tail batch's files once the query has
-    terminated (its commit log is durable by then). ``drain`` calls
-    both — long-running (non-``availableNow``) callers that stop a
-    stream manually should call ``flush_archive`` themselves."""
+    ``flush_archive`` moves the files of batches the checkpoint commit
+    log shows as durable — safe after normal termination AND after a
+    manual ``query.stop()`` (a stop can land after a batch's append but
+    before its commit-log write; bounding the flush by the commit log
+    leaves that batch's files in landing for the replay). ``drain``
+    calls both."""
 
-    def __init__(self, query: StreamingQuery, archive_dir: str):
+    def __init__(
+        self, query: StreamingQuery, archive_dir: str, stream_id: str,
+        checkpoint_dir: str,
+    ):
         self.query = query
         self.archive_dir = archive_dir
+        self.stream_id = stream_id
+        self.checkpoint_dir = checkpoint_dir
 
     def awaitTermination(self, *args, **kwargs):  # noqa: N802 (Spark API)
         return self.query.awaitTermination(*args, **kwargs)
 
     def flush_archive(self) -> list[str]:
-        return flush_pending(self.archive_dir)
+        latest = _latest_committed_batch(self.checkpoint_dir)
+        if latest is None:
+            return []
+        return flush_pending(
+            self.archive_dir, self.stream_id, upto_exclusive=latest + 1
+        )
 
 
 def stream_landing_table(
@@ -151,6 +187,7 @@ def stream_landing_table(
     API to run the dependent DAG; here the dependent transform runs
     in-process, e.g. refresh the master join for the new rows)."""
     path = f"{landing_dir}/{fmt}"
+    stream_id = f"{table}_{fmt}"
     os.makedirs(path, exist_ok=True)
     reader = (
         spark.readStream.schema(schema)
@@ -168,7 +205,7 @@ def stream_landing_table(
         # archive predecessors first: their commits are durable, and the
         # current batch's own files must stay readable until ITS commit
         # (a replay re-reads them from the offset log's recorded paths)
-        flush_pending(archive_dir, upto_exclusive=batch_id)
+        flush_pending(archive_dir, stream_id, upto_exclusive=batch_id)
         batch = batch.cache()
         try:
             files = [r._src for r in batch.select("_src").distinct().collect()]
@@ -180,7 +217,7 @@ def stream_landing_table(
                     local = local[1:]
                 local_files.append(local)
             sinks.append_table(batch.drop("_src"), target_table)
-            _record_pending(local_files, archive_dir, batch_id)
+            _record_pending(local_files, archive_dir, stream_id, batch_id)
             # foreachBatch runs in a cloned session: its append invalidates
             # the clone's relation cache only — refresh the outer session's
             # view of the table or subsequent reads see a stale file list.
@@ -195,7 +232,7 @@ def stream_landing_table(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return IngestStream(writer.start(), archive_dir)
+    return IngestStream(writer.start(), archive_dir, stream_id, checkpoint_dir)
 
 
 def stream_landing_router(

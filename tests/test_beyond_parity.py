@@ -374,7 +374,7 @@ def test_scd2_history_versions(spark):
     # updated key: one closed version (old values) + one open (new values)
     assert len(k2) == 2
     closed, opened = k2.iloc[0], k2.iloc[1]
-    assert closed.name_ if hasattr(closed, "name_") else closed["name"] == "b"
+    assert closed["name"] == "b"
     assert closed["is_current"] == 0 and closed["valid_to"] is not None
     assert opened["name"] == "b2" and opened["is_current"] == 1
     # untouched key: single open version

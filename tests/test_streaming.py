@@ -94,6 +94,16 @@ def test_stream_router_routes_by_table(spark, stream_dirs):
     ingest.drain(qs)
     assert spark.table("raw_layer.r_route_campaigns").count() == 60
     assert spark.table("raw_layer.r_route_transactions").count() == 40
+    # BOTH streams' files must be archived (pending records are
+    # namespaced per stream — a shared record would let one stream
+    # clobber the other's and strand its files in landing forever)
+    assert os.listdir(f"{stream_dirs['landing']}/csv") == []
+    assert os.listdir(f"{stream_dirs['landing']}/txt") == []
+    pending = f"{stream_dirs['archive']}/_pending"
+    assert not os.path.exists(pending) or os.listdir(pending) == []
+    manifests = os.listdir(f"{stream_dirs['archive']}/_manifests")
+    assert any("campaigns_csv" in m for m in manifests)
+    assert any("transactions_txt" in m for m in manifests)
 
 
 def test_on_batch_hook_refreshes_downstream(spark, stream_dirs):
