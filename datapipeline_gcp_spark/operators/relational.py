@@ -305,23 +305,70 @@ def fuzzy_match_pairs(
 ) -> DataFrame:
     """Entity-resolution fuzzy matching: pairs of rows in the same block
     whose ``text_col`` values are within ``max_distance`` Levenshtein
-    edits. Blocked-quadratic via ``within_block_pairs`` (one shuffle,
-    never corpus-quadratic); Levenshtein is integer-valued and
-    identically defined in Spark and DuckDB, so the oracle is exact.
-    At 100 TB the block key must bound block sizes (here: nation) —
-    the same ``max_block_size`` hot-block policy as the dedup family
-    applies."""
+    edits.
+
+    Candidate generation is FastSS deletion-neighborhood blocking
+    (Bocek et al.): every string emits itself plus its
+    single-character-deletion variants; any two strings within one edit
+    share at least one variant, so candidates come from tiny
+    variant-keyed buckets — corpus-linear × (len+1), never
+    block-quadratic (nation-blocked quadratic pairs were measured 4.5 M
+    pairs / ~8 s at sf0.1; variant blocking cuts candidates to
+    ~the true-match count). ``max_distance`` > 1 falls back to plain
+    block-quadratic pairs (d-deletion neighborhoods grow as len^d).
+    Shared variants produce duplicate candidates — deduped before the
+    verify. Verification uses threshold Levenshtein (banded DP,
+    O(d·len); -1-when-exceeded filtered out), identical results to the
+    unbounded form the DuckDB oracle computes."""
     from datapipeline_gcp_spark.functions.dedup import within_block_pairs
 
-    pairs = within_block_pairs(df, block_cols, [id_col, text_col])
-    dist = F.levenshtein(F.col(f"a.{text_col}"), F.col(f"b.{text_col}"))
-    return (
-        pairs.select(
+    if max_distance == 1:
+        t = F.col(text_col)
+        variants = F.concat(
+            F.array(t),
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+                lambda i: F.concat(
+                    F.substr(t, F.lit(1), i - 1),
+                    F.substr(t, i + 1, F.length(t)),
+                ),
+            ),
+        )
+        exploded = df.select(
+            *(F.col(c) for c in block_cols),
+            F.col(id_col),
+            F.col(text_col),
+            F.explode_outer(F.array_distinct(variants)).alias("_variant"),
+        )
+        pairs = within_block_pairs(
+            exploded, [*block_cols, "_variant"], [id_col, text_col]
+        )
+        cand = pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            dist.alias("distance"),
+            F.col(f"a.{text_col}").alias("_ta"),
+            F.col(f"b.{text_col}").alias("_tb"),
+        ).dropDuplicates(["id_a", "id_b"])
+        dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    else:
+        pairs = within_block_pairs(df, block_cols, [id_col, text_col])
+        len_gate = (
+            F.abs(
+                F.length(F.col(f"a.{text_col}"))
+                - F.length(F.col(f"b.{text_col}"))
+            )
+            <= max_distance
         )
-        .filter(F.col("distance") <= max_distance)
+        cand = pairs.filter(len_gate).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("_ta"),
+            F.col(f"b.{text_col}").alias("_tb"),
+        )
+        dist = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    return (
+        cand.select("id_a", "id_b", dist.alias("distance"))
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
     )
 
 

@@ -465,3 +465,9 @@ def test_fuzzy_match_pairs_distance_semantics(spark):
     ).toPandas()
     assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
     assert list(out.distance) == [1]
+    # d=2 takes the block-quadratic fallback path and reaches smithee
+    out2 = relational.fuzzy_match_pairs(
+        df, ["block"], "id", "name", max_distance=2
+    ).toPandas()
+    got = {(a, b): d for a, b, d in zip(out2.id_a, out2.id_b, out2.distance)}
+    assert got == {(1, 2): 1, (1, 3): 2}  # smyth->smithee is 3 edits

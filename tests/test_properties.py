@@ -72,3 +72,32 @@ def test_within_block_pairs_combinatorics(spark, sizes):
     want = sum(n * (n - 1) // 2 for n in sizes)
     assert len(pairs) == want
     assert (pairs.ia < pairs.ib).all()
+
+
+def test_qround_is_engine_identical_on_adversarial_doubles(spark):
+    """qround must produce the SAME double in Spark SQL and DuckDB for
+    any input — including repr-tie values like 0.285 where plain
+    round() provably differs between the engines."""
+    import duckdb
+    import numpy as np
+
+    from datapipeline_gcp_spark.determinism import sql_qround
+
+    rng = np.random.default_rng(7)
+    vals = list(rng.uniform(-1000, 1000, 400))
+    # adversarial: values whose shortest repr ends at the tie digit
+    vals += [0.285, -0.285, 1.005, 201.5, 0.0000005, -0.0000015, 63.5 / 127]
+    expr6 = sql_qround("x", 6)
+    expr9 = sql_qround("x", 9)
+    sdf = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    sdf.createOrReplaceTempView("qround_probe")
+    got_s = spark.sql(
+        f"SELECT {expr6} AS q6, {expr9} AS q9 FROM qround_probe"
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in vals])
+    got_d = con.execute(f"SELECT {expr6} AS q6, {expr9} AS q9 FROM t").fetchall()
+    for (s6, s9), (d6, d9), v in zip(got_s, got_d, vals):
+        assert s6 == d6, (v, s6, d6)
+        assert s9 == d9, (v, s9, d9)
