@@ -99,5 +99,39 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {JOIN_INTERVAL}
 """
 
-QUERIES = {"events_interval_join": events_interval_join}
-ORACLES = {"events_interval_join": _INTERVAL_ORACLE}
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: left-join the (possibly streaming)
+    event side to a static dimension on user_id = c_custkey. The dim is
+    broadcast — a stream-static join never shuffles the stream and
+    keeps no state (the static side is re-resolved per micro-batch, so
+    a dim refresh is picked up between batches). Mode-agnostic like the
+    other builders; the batch form is the oracle-checked query."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return events.select("event_id", "user_id", "event_type", "value").join(
+        F.broadcast(d), "user_id", "left"
+    )
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loaded = load_testdata(spark, sf_dir, ("events", "customer"))
+    return enrich_with_dim(loaded["events"], loaded["customer"])
+
+
+_ENRICH_ORACLE = """
+SELECT e.user_id, e.event_id, e.event_type, e.value,
+       c.c_name AS customer_name, c.c_mktsegment AS segment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+QUERIES = {
+    "events_interval_join": events_interval_join,
+    "events_enriched": events_enriched,
+}
+ORACLES = {
+    "events_interval_join": _INTERVAL_ORACLE,
+    "events_enriched": _ENRICH_ORACLE,
+}

@@ -249,3 +249,22 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM stream_interval_join").toPandas()
     want = joins.events_interval_join(spark, SF_CORRECTNESS).toPandas()
     assert_frames_match(got, want, "stream_interval_join")
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    from datapipeline_gcp_spark.streaming import joins
+
+    dim = schemas.load_testdata(spark, SF_CORRECTNESS, ("customer",))["customer"]
+    enriched = joins.enrich_with_dim(_events_stream(spark), dim)
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_en"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM stream_enriched").toPandas()
+    want = joins.events_enriched(spark, SF_CORRECTNESS).toPandas()
+    assert_frames_match(got, want, "stream_enriched")
