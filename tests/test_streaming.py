@@ -268,3 +268,23 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM stream_enriched").toPandas()
     want = joins.events_enriched(spark, SF_CORRECTNESS).toPandas()
     assert_frames_match(got, want, "stream_enriched")
+
+
+def test_enrichment_preserves_events_for_unknown_users(spark):
+    from datapipeline_gcp_spark.streaming import joins
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click", 1.0), (2, 999, "click", 2.0)],
+        ["event_id", "user_id", "event_type", "value"],
+    )
+    dim = spark.createDataFrame(
+        [(10, "Customer#10", "BUILDING")],
+        ["c_custkey", "c_name", "c_mktsegment"],
+    )
+    out = joins.enrich_with_dim(ev, dim).toPandas().set_index("event_id")
+    # the fixture data never exercises the null-extension path (every
+    # events.user_id matches a customer), so pin LEFT semantics here:
+    # unknown users keep their events with null dim columns
+    assert len(out) == 2
+    assert out.loc[1, "customer_name"] == "Customer#10"
+    assert out.loc[2, "customer_name"] is None or out.loc[2, "customer_name"] != out.loc[2, "customer_name"]  # null/NaN
