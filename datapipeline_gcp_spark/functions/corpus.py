@@ -38,6 +38,7 @@ from datapipeline_gcp_spark.functions.dedup import (
     _D_NORM,
     base_hash,
     d_shingles_sql,
+    grams_of,
     normalized,
     with_shingles,
 )
@@ -465,6 +466,60 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Repetition (Gopher-style duplicate n-gram fraction)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 3
+
+
+def repetition_metrics(df: DataFrame, n: int = REP_NGRAM) -> DataFrame:
+    """Gopher-rule repetition signal: the fraction of a document's
+    positional ``n``-grams that occur more than once within the document
+    (machine-generated / boilerplate text scores high). Per doc:
+    explode the gram MULTISET (not the distinct set), count per gram,
+    then sum instances of duplicated grams over the total — two hash
+    aggregates, both keyed under doc_id so the second reuses the
+    first's partitioning. Returns (doc_id, n_grams, dup_gram_frac)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toked = (
+        df.repartition(par, "doc_id")
+        .select("doc_id", F.split(normalized(F.col("text")), " ").alias("toks"))
+        .select("doc_id", F.explode_outer(grams_of(F.col("toks"), n)).alias("g"))
+    )
+    per_gram = toked.groupBy("doc_id", "g").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cnt")
+        ).alias("dup_gram_frac"),
+    )
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+_REPETITION_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id, u.g
+  FROM documents, unnest({d_shingles_sql(REP_NGRAM, distinct=False)}) AS u(g)
+),
+per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt)
+         AS dup_gram_frac
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unigram language-model scoring (perplexity proxy)
 # ---------------------------------------------------------------------------
 
@@ -593,6 +648,7 @@ GROUP BY ROLLUP (lang, source)
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_unigram_logprob": corpus_unigram_logprob,
+    "text_repetition": text_repetition,
     "corpus_datacard": corpus_datacard,
     "corpus_vocab_encode": corpus_vocab_encode,
     "corpus_pack_chunks": corpus_pack_chunks,
@@ -604,6 +660,7 @@ QUERIES = {
 ORACLES = {
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_unigram_logprob": _UNIGRAM_ORACLE,
+    "text_repetition": _REPETITION_ORACLE,
     "corpus_datacard": _DATACARD_ORACLE,
     "corpus_vocab_encode": _ENCODE_ORACLE,
     "corpus_pack_chunks": _PACK_ORACLE,

@@ -51,6 +51,17 @@ def normalized(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 
 
+def grams_of(tokens: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) word n-grams from a materialized token
+    array — the multiset :func:`shingles_of` deduplicates."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
 def shingles_of(tokens: Column, n: int = 3) -> Column:
     """Distinct word n-grams (joined with spaces) from an ALREADY
     MATERIALIZED token-array column. Documents shorter than n tokens
@@ -64,13 +75,7 @@ def shingles_of(tokens: Column, n: int = 3) -> Column:
     slowdown end-to-end at sf0.1). Project the split once, then call
     this on the projected column — :func:`with_shingles` does exactly
     that."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams_of(tokens, n))
 
 
 def with_shingles(
@@ -406,15 +411,18 @@ FROM documents WHERE doc_id % 10 = 0
 _D_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _D_BH = "(CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT) % 1000000007)"
 
-def d_shingles_sql(n: int) -> str:
-    """DuckDB expression for distinct word ``n``-grams of ``text`` —
-    the oracle twin of :func:`shingles` (same short-document rule:
-    fewer than ``n`` tokens yields one shorter shingle)."""
+def d_shingles_sql(n: int, distinct: bool = True) -> str:
+    """DuckDB expression for word ``n``-grams of ``text`` — the oracle
+    twin of :func:`shingles` / :func:`grams_of` (same short-document
+    rule: fewer than ``n`` tokens yields one shorter shingle).
+    ``distinct=False`` keeps positional multiplicity (repetition
+    analysis needs the multiset)."""
     terms = ", ".join(f"string_split({_D_NORM}, ' ')[i+{j}]" for j in range(n))
-    return f"""list_distinct(list_transform(
+    body = f"""list_transform(
   generate_series(1, greatest(len(string_split({_D_NORM}, ' ')) - {n - 1}, 1)),
   i -> concat_ws(' ', {terms})
-))"""
+)"""
+    return f"list_distinct({body})" if distinct else body
 
 
 _D_SHINGLES = d_shingles_sql(3)

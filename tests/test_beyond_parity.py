@@ -471,3 +471,20 @@ def test_fuzzy_match_pairs_distance_semantics(spark):
     ).toPandas()
     got = {(a, b): d for a, b, d in zip(out2.id_a, out2.id_b, out2.distance)}
     assert got == {(1, 2): 1, (1, 3): 2}  # smyth->smithee is 3 edits
+
+
+def test_repetition_flags_repeated_text(spark):
+    from datapipeline_gcp_spark.functions import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # all grams identical
+            (2, "one two three four five six seven"),      # no repeats
+        ],
+        ["doc_id", "text"],
+    )
+    out = corpus.repetition_metrics(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "dup_gram_frac"] == 1.0
+    assert out.loc[2, "dup_gram_frac"] == 0.0
+    # 6 tokens -> 4 positional 3-grams; 7 tokens -> 5
+    assert out.loc[1, "n_grams"] == 4 and out.loc[2, "n_grams"] == 5
