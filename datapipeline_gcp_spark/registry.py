@@ -29,6 +29,7 @@ _MODULES = [
     "datapipeline_gcp_spark.functions.clusters",
     "datapipeline_gcp_spark.functions.similarity",
     "datapipeline_gcp_spark.functions.multimodal",
+    "datapipeline_gcp_spark.functions.cleaning",
     "datapipeline_gcp_spark.functions.curation",
     "datapipeline_gcp_spark.functions.corpus",
     "datapipeline_gcp_spark.functions.udfs",

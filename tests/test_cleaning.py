@@ -1,0 +1,98 @@
+"""Semantic tests for document cleaning (PII scrub, C4 line filter) —
+the oracle check proves Spark ≡ DuckDB on the fixture; these prove the
+rules fire correctly on crafted inputs with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.functions import cleaning
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pii_redaction_counts_and_tags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or bob@ex.io thanks"),
+            (2, "call 555-0142 or 555-9999 from host 192.168.1.20 now"),
+            (3, "no pii here at all"),
+            (4, "version 1.2.3.4 is an ip-shaped string"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = cleaning.with_pii_redaction(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_phones"] == 0
+    assert "jane" not in out.loc[1, "clean_text"]
+    assert out.loc[1, "clean_text"].count("<EMAIL>") == 2
+    assert out.loc[2, "n_phones"] == 2 and out.loc[2, "n_ips"] == 1
+    assert "<PHONE>" in out.loc[2, "clean_text"]
+    assert "<IP>" in out.loc[2, "clean_text"]
+    assert out.loc[3, ["n_emails", "n_phones", "n_ips"]].sum() == 0
+    assert out.loc[3, "clean_text"] == "no pii here at all"
+    # dotted version strings DO match the simple IPv4 shape — documents
+    # the deliberate precision tradeoff of regex-only detection
+    assert out.loc[4, "n_ips"] == 1
+
+
+def test_pii_email_redacted_before_ip_can_claim_digits(spark):
+    df = spark.createDataFrame([(1, "x1.2.3.4@ex.io ping 1.2.3.4")], ["doc_id", "text"])
+    out = cleaning.with_pii_redaction(df).toPandas()
+    # the email (whose local part is ip-shaped) became <EMAIL>, the bare
+    # address became <IP> — order of application matters and is pinned
+    assert out.clean_text[0] == "<EMAIL> ping <IP>"
+
+
+def test_line_filter_rules(spark):
+    df = spark.createDataFrame(
+        [
+            # 6 words, dotted, clean -> kept
+            (1, ["alpha beta gamma delta epsilon zeta."]),
+            # short line (4 words) -> dropped
+            (2, ["one two three four."]),
+            # no terminal punctuation -> dropped
+            (3, ["alpha beta gamma delta epsilon zeta"]),
+            # blocked word -> dropped even though long and dotted
+            (4, ["alpha beta slow delta epsilon zeta."]),
+            # mixed: one of each
+            (
+                5,
+                [
+                    "alpha beta gamma delta epsilon zeta.",
+                    "too short.",
+                    "alpha beta slow delta epsilon zeta.",
+                ],
+            ),
+        ],
+        ["doc_id", "lines"],
+    )
+    out = cleaning.line_filter(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_kept"] == 1
+    assert out.loc[2, "n_kept"] == 0
+    assert out.loc[3, "n_kept"] == 0
+    assert out.loc[4, "n_kept"] == 0
+    assert out.loc[5, "n_kept"] == 1 and out.loc[5, "n_lines"] == 3
+    assert out.loc[5, "clean_text"] == "alpha beta gamma delta epsilon zeta."
+    assert abs(out.loc[5, "kept_frac"] - 1 / 3) < 1e-12
+
+
+def test_registered_line_filter_plants_all_three_rules(spark):
+    out = cleaning.text_line_filter(spark, SF_SMOKE).toPandas()
+    # every doc is split into ceil(tokens/8) lines
+    assert (out.n_lines >= 1).all()
+    # the arithmetic punctuation rule makes ~1/3 of lines undotted, so
+    # no document keeps everything unless it is tiny; overall the filter
+    # must both keep and drop a substantial number of lines
+    assert out.n_kept.sum() > 0
+    assert (out.n_lines - out.n_kept).sum() > 0
+    assert ((out.n_kept <= out.n_lines) & (out.kept_frac <= 1.0)).all()
+
+
+def test_registered_pii_counts_follow_doc_id_arithmetic(spark):
+    out = cleaning.text_pii_redaction(spark, SF_SMOKE).toPandas()
+    assert (out.n_emails == (out.doc_id % 3 == 0).astype(int)).all()
+    assert (out.n_phones == (out.doc_id % 5 == 0).astype(int)).all()
+    assert (out.n_ips == (out.doc_id % 7 == 0).astype(int)).all()
+    redacted = out[out.doc_id % 3 == 0]
+    assert redacted.clean_text.str.contains("<EMAIL>").all()
+    assert not out.clean_text.str.contains("@").any()
