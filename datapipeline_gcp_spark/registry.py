@@ -22,6 +22,7 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.tpch",
     "datapipeline_gcp_spark.operators.maintenance",
     "datapipeline_gcp_spark.sources.generators",
+    "datapipeline_gcp_spark.sources.readers",
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.streaming.joins",
     "datapipeline_gcp_spark.functions.text",

@@ -130,6 +130,97 @@ def read_jdbc(
         ) from ex
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path_glob: str,
+    schema: T.StructType,
+    permissive: bool = False,
+) -> DataFrame:
+    """JSON-lines landing files with a declared schema (never inferred —
+    inference costs a full extra pass and drifts types at 100 TB)."""
+    return _reader(spark, schema, permissive).json(path_glob)
+
+
+def read_orc(
+    spark: SparkSession, path_glob: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC files. ORC is self-describing, but passing the expected schema
+    pins column types at the read boundary like every other reader here."""
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.orc(path_glob)
+
+
+# ---------------------------------------------------------------------------
+# Format round-trip queries (registered): write the documents table out
+# in an interchange format, read it back through the typed reader, and
+# aggregate a content checksum per (lang, source). The oracle runs the
+# same aggregation on the ORIGINAL parquet — a hash match proves the
+# write→read cycle is lossless for every row, not just row-countable.
+# The checksum is the repo-standard md5→60-bit-integer reduction
+# (engine-independent; see functions/dedup.base_hash).
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.functions.dedup import base_hash
+
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(base_hash(F.col("text"))).cast("bigint").alias("text_checksum"),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import os
+
+    from datapipeline_gcp_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    out = "/tmp/spark_graft_roundtrip/{}/documents_{}".format(
+        os.path.basename(sf_dir.rstrip("/")), fmt
+    )
+    # multi-file layout on write, directory read on the way back — the
+    # shape a real landing zone has (readers parallelize by file)
+    docs.repartition(4).write.mode("overwrite").format(fmt).save(out)
+    back = (
+        read_jsonl(spark, out, docs.schema)
+        if fmt == "json"
+        else read_orc(spark, out, docs.schema)
+    )
+    return _roundtrip_agg(back)
+
+
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")
+
+
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+_ROUNDTRIP_ORACLE = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM((CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT)
+                 % 1000000007)) AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY lang, source
+"""
+
+QUERIES = {
+    "source_jsonl_roundtrip": source_jsonl_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
+}
+ORACLES = {
+    "source_jsonl_roundtrip": _ROUNDTRIP_ORACLE,
+    "source_orc_roundtrip": _ROUNDTRIP_ORACLE,
+}
+
+
 def sense_files(path_glob: str, timeout_s: float = 15.0, poll_s: float = 1.0) -> bool:
     """S5/E4 — batch-mode existence sensor: poll a glob until it matches
     or the timeout elapses (the reference's GCS prefix sensor with its

@@ -98,3 +98,29 @@ def test_permissive_read_quarantines_corrupt_rows(spark, tmp_path):
 
     with _pytest.raises(Exception):
         readers.read_csv(spark, str(path), schemas.CAMPAIGNS).collect()
+
+
+def test_permissive_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    path = tmp_path / "docs.jsonl"
+    path.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    rows = readers.read_jsonl(spark, str(path), schema, permissive=True).collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert {r.text for r in good} == {"alpha", "beta"}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        readers.read_jsonl(spark, str(path), schema).collect()
