@@ -248,12 +248,108 @@ FROM kept
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-domain caps (web corpus curation)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 20
+URL_HOST_RE = r"https://([^/]+)/"
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, order_col: str, cap: int = DOMAIN_CAP
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col``, chosen by ascending
+    ``order_col`` (deterministic — never "first N encountered", which
+    depends on partitioning). One shuffle on the key; the row_number
+    window needs no global sort.
+
+    Scale note: a hot key's rows all land on one task. That is inherent
+    to exact per-key capping; at 100 TB pre-filter obvious over-cap keys
+    with an approximate count first, or raise
+    ``spark.sql.shuffle.partitions`` so one hot host doesn't dominate a
+    partition's runtime. The cap itself discards the excess immediately,
+    so downstream stages see bounded per-key volume."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def web_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant a URL per document (three hot domains via doc_id % 4 == 0,
+    a long tail of fifty), extract the host with the shared regex, and
+    report per-host totals against the cap — the hot hosts exceed it,
+    the tail does not, so both branches are exercised and hash-checked."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    domain_id = F.when(
+        F.col("doc_id") % 4 == 0, F.col("doc_id") % 3
+    ).otherwise(F.col("doc_id") % 50)
+    url = F.concat(
+        F.lit("https://www.site"),
+        domain_id.cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    hosted = docs.select(
+        "doc_id", F.regexp_extract(url, URL_HOST_RE, 1).alias("host")
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(Window.partitionBy("host").orderBy("doc_id"))
+    return (
+        hosted.withColumn("rn", rn)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("rn") <= DOMAIN_CAP).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.max(
+                F.when(F.col("rn") <= DOMAIN_CAP, F.col("doc_id"))
+            ).alias("max_kept_doc_id"),
+        )
+    )
+
+
+_DOMAIN_ORACLE = f"""
+WITH hosted AS (
+  SELECT doc_id,
+         regexp_extract(
+           'https://www.site'
+           || CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 3
+                        ELSE doc_id % 50 END AS VARCHAR)
+           || '.example/p/' || CAST(doc_id AS VARCHAR),
+           '{URL_HOST_RE}', 1) AS host
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM hosted
+)
+SELECT host,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       MAX(CASE WHEN rn <= {DOMAIN_CAP} THEN doc_id END) AS max_kept_doc_id
+FROM ranked
+GROUP BY host
+"""
+
+
 QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "text_line_filter": text_line_filter,
+    "web_domain_caps": web_domain_caps,
 }
 
 ORACLES = {
     "text_pii_redaction": _PII_ORACLE,
     "text_line_filter": _LINE_ORACLE,
+    "web_domain_caps": _DOMAIN_ORACLE,
 }

@@ -96,3 +96,30 @@ def test_registered_pii_counts_follow_doc_id_arithmetic(spark):
     redacted = out[out.doc_id % 3 == 0]
     assert redacted.clean_text.str.contains("<EMAIL>").all()
     assert not out.clean_text.str.contains("@").any()
+
+
+def test_cap_per_key_keeps_lowest_order_rows(spark):
+    df = spark.createDataFrame(
+        [(k, i) for k in ["a", "b"] for i in range(10)] + [("c", 0)],
+        ["host", "doc_id"],
+    )
+    out = cleaning.cap_per_key(df, "host", "doc_id", cap=3).toPandas()
+    by_host = out.groupby("host").doc_id.apply(sorted).to_dict()
+    assert by_host == {"a": [0, 1, 2], "b": [0, 1, 2], "c": [0]}
+    # determinism: repartitioned input gives the identical kept set
+    out2 = cleaning.cap_per_key(df.repartition(7), "host", "doc_id", cap=3).toPandas()
+    assert sorted(map(tuple, out2.values.tolist())) == sorted(
+        map(tuple, out.values.tolist())
+    )
+
+
+def test_web_domain_caps_hot_vs_tail(spark):
+    out = cleaning.web_domain_caps(spark, SF_SMOKE).toPandas().set_index("host")
+    hot = out.loc[["www.site0.example", "www.site1.example", "www.site2.example"]]
+    # the three hot domains blow past the cap and get truncated
+    assert (hot.n_docs > cleaning.DOMAIN_CAP).all()
+    assert (hot.n_kept == cleaning.DOMAIN_CAP).all()
+    tail = out.drop(hot.index)
+    # the long tail stays under the cap and is untouched
+    assert (tail.n_kept == tail.n_docs).all()
+    assert (out.n_kept <= out.n_docs).all()
