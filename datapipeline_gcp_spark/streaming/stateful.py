@@ -22,6 +22,28 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 
+def streaming_distinct_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_id"),
+    ts_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Built-in streaming dedup: keep the first row per ``keys`` and
+    drop any duplicate arriving within ``delay`` (event time) of it.
+
+    This is the JVM-side scale path — state lives in the state store
+    with NO Python workers, and entries auto-expire once the watermark
+    passes, so state is bounded by (key arrival rate × delay) instead
+    of growing forever. Use it when a bounded dedup horizon is
+    acceptable; :func:`streaming_first_seen` below is the exact-forever
+    variant (Python state, never expires) for when it is not — the
+    standard trade of streaming dedup, made explicit as two operators.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "user_id",

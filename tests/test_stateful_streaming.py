@@ -57,3 +57,67 @@ def test_streaming_dedup_matches_batch_and_keeps_state(spark, tmp_path):
     _write_batch(spark, src, [(1, 100, 9.0), (1, 102, 5.0), (3, 7, 6.0)])
     out2 = _run_stream(spark, src, ckpt, "dedup_out_2")
     assert sorted(zip(out2.user_id, out2.event_id)) == [(1, 102), (3, 7)]
+
+
+def test_dropduplicates_within_watermark_stream(spark, tmp_path):
+    """Built-in streaming dedup: first row per key survives, duplicates
+    within the watermark horizon are dropped — across micro-batches and
+    across a checkpoint restart."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.streaming.stateful import (
+        streaming_distinct_within_watermark,
+    )
+
+    schema = "user_id bigint, event_id bigint, ts timestamp, value double"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_distinct_within_watermark(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: collected.append(df.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import pandas as pd
+
+        return (
+            pd.concat(collected)
+            if collected
+            else pd.DataFrame(columns=["user_id", "event_id", "ts", "value"])
+        )
+
+    write(
+        [
+            (1, 100, t0, 1.0),
+            (1, 100, t0 + dt.timedelta(minutes=10), 2.0),  # dup in batch
+            (2, 200, t0, 3.0),
+        ]
+    )
+    out1 = run()
+    assert sorted(zip(out1.user_id, out1.event_id)) == [(1, 100), (2, 200)]
+    # the FIRST arrival's payload is the one kept
+    assert out1.loc[out1.user_id == 1, "value"].iloc[0] == 1.0
+
+    # batch 2 replays (1,100) within the horizon + brings a new key;
+    # only the new key comes out after the checkpointed restart
+    write(
+        [
+            (1, 100, t0 + dt.timedelta(minutes=30), 9.0),
+            (3, 300, t0 + dt.timedelta(minutes=5), 4.0),
+        ]
+    )
+    out2 = run()
+    assert sorted(zip(out2.user_id, out2.event_id)) == [(3, 300)]
