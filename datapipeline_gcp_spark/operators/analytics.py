@@ -259,7 +259,122 @@ GROUP BY 1, 2
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = SESSION_GAP_MIN,
+) -> DataFrame:
+    """Batch sessionization by inactivity gap: a new session starts at
+    the first event per key and whenever the gap to the previous event
+    exceeds ``gap_minutes``. Session ids are the running count of
+    session starts (lag + cumulative sum over one per-key sort — both
+    windows share the partitioning, so this is a single shuffle and a
+    single sort per key). The streaming twin is ``session_window`` in
+    ``streaming/windows.py``; identical gap semantics, cross-checked in
+    tests."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    is_start = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    s = sessionize(ev)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("duration_us"),
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH gapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_MIN} * 60000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_idx
+  FROM gapped
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sessioned
+GROUP BY user_id, session_idx
+"""
+
+
+ROLLING_DAYS = 30
+
+
+def rolling_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-30-day order revenue: a RANGE frame over
+    days-since-epoch (time-valued, unlike the ROWS frames elsewhere —
+    all orders inside the interval count, however many there are).
+    One shuffle on customer, one sort; the frame slides without
+    re-scanning. Money through the exact-decimal path."""
+    o = _orders(spark, sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+    o = o.withColumn("day", day.cast("bigint"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("rev_30d"),
+        F.count("*").over(w).cast("bigint").alias("orders_30d"),
+    )
+
+
+_ROLLING_ORACLE = f"""
+SELECT o_custkey, o_orderkey, day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+         AS rev_30d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS orders_30d
+FROM (
+  SELECT *, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+              AS day
+  FROM orders
+) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "events_sessionize": events_sessionize,
+    "rolling_window_revenue": rolling_window_revenue,
     "events_percentiles": events_percentiles,
     "events_histogram": events_histogram,
     "rollup_agg": rollup_agg,
@@ -271,6 +386,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sessionize": _SESSIONIZE_ORACLE,
+    "rolling_window_revenue": _ROLLING_ORACLE,
     "events_percentiles": _PERCENTILE_ORACLE,
     "events_histogram": _HISTOGRAM_ORACLE,
     "rollup_agg": _ROLLUP_ORACLE,
