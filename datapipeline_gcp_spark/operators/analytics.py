@@ -278,8 +278,11 @@ def sessionize(
     ``streaming/windows.py``; identical gap semantics, cross-checked in
     tests."""
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
-        F.lag(F.col(ts_col)).over(w)
+    # timestamp_diff is NTZ-safe (parquet naive timestamps load as
+    # TIMESTAMP_NTZ, which unix_micros rejects) and DST-proof: pure
+    # naive microsecond arithmetic, matching the DuckDB oracle.
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(F.col(ts_col)).over(w), F.col(ts_col)
     )
     is_start = F.when(
         gap_us.isNull() | (gap_us > gap_minutes * 60_000_000), 1
@@ -297,9 +300,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        (
-            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
-        ).alias("duration_us"),
+        F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")).alias(
+            "duration_us"
+        ),
     )
 
 
@@ -372,6 +375,118 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame, stages=FUNNEL_STAGES) -> DataFrame:
+    """Strict ordered funnel over per-user event streams: a user reaches
+    stage i+1 only with an event of that type strictly AFTER their
+    stage-i time (first-touch attribution: each stage time is the
+    earliest qualifying event). Counting users whose per-type min
+    timestamps merely sort correctly would overcount — a click before
+    the first view must not qualify.
+
+    Shape: one aggregation per stage (conditional min), re-joining the
+    events to the accumulating per-user stage times. Every shuffle is
+    on user_id, so after the first exchange the joins and aggregations
+    reuse the same hash partitioning; at scale this is N_stages
+    co-partitioned passes over the (filtered) event stream, never a
+    window over the whole history. Conversion rates divide two exact
+    BIGINTs once → bit-identical doubles in both engines."""
+    ev = events.filter(F.col("event_type").isin(*stages)).select(
+        "user_id", "event_type", "ts"
+    )
+    # stage 1: earliest event of the entry type
+    acc = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == stages[0], F.col("ts"))).alias(
+            "t1"
+        )
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        prev = f"t{i - 1}"
+        acc = (
+            ev.join(acc, "user_id")
+            .groupBy("user_id")
+            .agg(
+                # constant per user (carried from acc) — min() rather
+                # than first() to keep the aggregate formally
+                # deterministic
+                *[F.min(f"t{j}").alias(f"t{j}") for j in range(1, i)],
+                F.min(
+                    F.when(
+                        (F.col("event_type") == stage)
+                        & (F.col("ts") > F.col(prev)),
+                        F.col("ts"),
+                    )
+                ).alias(f"t{i}"),
+            )
+        )
+    counts = acc.agg(
+        *[
+            F.count(f"t{i}").alias(f"n{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    )
+    per_stage = [
+        F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col(f"n{i}").alias("n_users"),
+            (
+                F.col(f"n{i}").cast("double")
+                / F.col("n1").cast("double")
+            ).alias("conv_rate"),
+        )
+        for i, stage in enumerate(stages, start=1)
+    ]
+    return counts.select(
+        F.explode(F.array(*per_stage)).alias("s")
+    ).select("s.stage_idx", "s.stage", "s.n_users", "s.conv_rate")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return funnel(ev)
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM ev GROUP BY user_id
+),
+s2 AS (
+  SELECT ev.user_id, MIN(s1.t1) AS t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END) AS t2
+  FROM ev JOIN s1 ON ev.user_id = s1.user_id
+  GROUP BY ev.user_id
+),
+s3 AS (
+  SELECT ev.user_id, MIN(s2.t1) AS t1, MIN(s2.t2) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END) AS t3
+  FROM ev JOIN s2 ON ev.user_id = s2.user_id
+  GROUP BY ev.user_id
+),
+c AS (
+  SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+         CAST(COUNT(t2) AS BIGINT) AS n2,
+         CAST(COUNT(t3) AS BIGINT) AS n3
+  FROM s3
+)
+SELECT u.stage_idx, u.stage, u.n_users,
+       CAST(u.n_users AS DOUBLE) / CAST(c.n1 AS DOUBLE) AS conv_rate
+FROM c, (
+  SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users FROM c
+  UNION ALL SELECT 2, 'click', n2 FROM c
+  UNION ALL SELECT 3, 'purchase', n3 FROM c
+) u
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "rolling_window_revenue": rolling_window_revenue,
@@ -383,9 +498,11 @@ QUERIES = {
     "pivot_agg": pivot_agg,
     "unpivot_measures": unpivot_measures,
     "window_analytics": window_analytics,
+    "events_funnel": events_funnel,
 }
 
 ORACLES = {
+    "events_funnel": _FUNNEL_ORACLE,
     "events_sessionize": _SESSIONIZE_ORACLE,
     "rolling_window_revenue": _ROLLING_ORACLE,
     "events_percentiles": _PERCENTILE_ORACLE,

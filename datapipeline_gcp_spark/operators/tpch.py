@@ -300,6 +300,62 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity >= 20 AND l_quantity <= 30)
 """
 
+# Q12 re-shaped (shipping-mode priority check): the trimmed lineitem has no
+# l_shipmode/l_commitdate/l_receiptdate, so the mode group becomes
+# l_returnflag and "late-but-not-too-late" becomes a shipping-delay band on
+# l_shipdate - o_orderdate (both present). The structural stress point —
+# join + two conditional counts per group — is intact. Sums are CAST to
+# BIGINT because DuckDB widens SUM(INTEGER) to HUGEINT while Spark stays
+# LONG.
+TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate < o_orderdate + INTERVAL 365 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# Q21 re-shaped (suppliers who kept orders waiting): "late" is re-expressed
+# as shipping >365 days after the order date (no l_receiptdate /
+# l_commitdate in the trimmed schema). The structural stress point is
+# intact: a 4-way join plus an EXISTS and a NOT EXISTS against the SAME
+# fact table with different correlated predicates — the NOT EXISTS needs
+# its own orders join so the correlation stays a pure equality on
+# l_orderkey (both engines decorrelate that reliably). Non-vacuous by
+# construction: generated orders have ~13 distinct suppliers, so "no other
+# supplier was late on this order" prunes most candidates but not all.
+TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_nationkey < 13
+  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1
+    FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
 # Q22 re-shaped: country code comes from c_nationkey (no c_phone column),
 # and "dormant" = no order since 2000-01-01 (every generated customer has
 # at least one order ever, so the classic no-orders-at-all anti-join would
@@ -365,12 +421,14 @@ _TABLES = {
         "part", "lineitem", "supplier", "orders", "customer", "nation", "region",
     ),
     "tpch_q10": ("customer", "orders", "lineitem", "nation"),
+    "tpch_q12": ("orders", "lineitem"),
     "tpch_q13": ("customer", "orders"),
     "tpch_q14": ("lineitem", "part"),
     "tpch_q15": ("lineitem", "supplier"),
     "tpch_q17": ("lineitem", "part"),
     "tpch_q18": ("customer", "orders", "lineitem"),
     "tpch_q19": ("lineitem", "part"),
+    "tpch_q21": ("supplier", "lineitem", "orders", "nation"),
     "tpch_q22": ("customer", "orders"),
 }
 
@@ -383,12 +441,14 @@ _SQL = {
     "tpch_q7": TPCH_Q7,
     "tpch_q8": TPCH_Q8,
     "tpch_q10": TPCH_Q10,
+    "tpch_q12": TPCH_Q12,
     "tpch_q13": TPCH_Q13,
     "tpch_q14": TPCH_Q14,
     "tpch_q15": TPCH_Q15,
     "tpch_q17": TPCH_Q17,
     "tpch_q18": TPCH_Q18,
     "tpch_q19": TPCH_Q19,
+    "tpch_q21": TPCH_Q21,
     "tpch_q22": TPCH_Q22,
 }
 

@@ -33,6 +33,7 @@ _MODULES = [
     "datapipeline_gcp_spark.functions.cleaning",
     "datapipeline_gcp_spark.functions.curation",
     "datapipeline_gcp_spark.functions.corpus",
+    "datapipeline_gcp_spark.functions.indexing",
     "datapipeline_gcp_spark.functions.udfs",
 ]
 

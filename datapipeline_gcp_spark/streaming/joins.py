@@ -53,7 +53,10 @@ def interval_join(
         "click_id",
         "p_ts",
         "c_ts",
-        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+        # timestamp_diff does naive microsecond arithmetic, so it works on
+        # both TIMESTAMP and TIMESTAMP_NTZ inputs (parquet naive timestamps
+        # load as NTZ, which unix_micros rejects).
+        F.timestamp_diff("MICROSECOND", F.col("c_ts"), F.col("p_ts")).alias(
             "gap_us"
         ),
     )

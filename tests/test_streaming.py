@@ -183,25 +183,27 @@ def test_parse_landing_filename(spark):
 
 
 def _events_stream(spark):
-    """events.parquet as a stream (TIMESTAMP(NANOS) → read ns as long,
-    convert to µs timestamps — same path as schemas.load_testdata)."""
+    """events.parquet as a stream. readStream needs an explicit schema,
+    so probe the raw file's schema with the batch reader and apply the
+    same encoding shim as schemas.load_testdata (old nanos-as-long
+    testdata needs a µs conversion; current µs testdata reads directly
+    as a timestamp column)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    return (
-        spark.readStream.schema(raw_schema)
+    raw = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_CORRECTNESS)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    # Watermarks require TIMESTAMP (not NTZ). The session is pinned to
+    # UTC (conftest/load_testdata), so the cast is identity on the
+    # stored microseconds and the batch comparison sees equal values.
+    schemas.pin_utc(spark)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @pytest.mark.parametrize(
