@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.functions import dedup
+from datapipeline_gcp_spark.schemas import load_testdata
 
 #: LSH pairs at or above this signature-match fraction become edges of
 #: the duplicate graph (0.5 ≈ Jaccard 0.5 — conservative near-dup).
@@ -157,5 +158,148 @@ SELECT
 FROM comp
 """
 
-QUERIES = {"dedup_clusters": dedup_clusters}
-ORACLES = {"dedup_clusters": _CLUSTERS_ORACLE}
+# ---------------------------------------------------------------------------
+# PageRank (fixed-point, cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+PR_SCALE = 1e12
+PR_TOPK = 50
+
+
+def pagerank(
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst) —
+    the standard BSP formulation: each round joins ranks to edges,
+    splits rank over out-degree, and sums contributions per target.
+    Every shuffle keys on the node id, so rounds reuse one hash
+    partitioning; no collect, no UDFs, pure built-in ops.
+
+    Determinism across engines (the bit that makes this oracle-checkable
+    when DuckDB sums doubles in arbitrary order): per-edge contributions
+    are FLOOR-quantized to integer fixed-point (×10^12) and summed as
+    BIGINT — an exact, order-free reduction — then the damped update is
+    a fixed sequence of individually correctly-rounded IEEE ops on
+    identical operands. floor (not round) because both engines define
+    floor identically, with no tie-breaking rule in play.
+
+    ``n_nodes`` is a driver-side scalar (one COUNT job — metadata-scale
+    even at 100 TB, same policy as the asof fixture split)."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                F.floor(
+                    (F.col("rank") / F.col("outdeg")) * F.lit(PR_SCALE)
+                ).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        rank = (
+            nodes.join(summed, nodes.node == summed.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(PR_SCALE)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return rank
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔customer trade graph (distinct
+    (l_suppkey, o_custkey) pairs, both directions): which entities sit
+    at the center of the purchasing network. Top-k by rank with a
+    total-order tie-break."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    # bidirectional edges → every node appears as a src
+    n_nodes = edges.select("src").distinct().count()
+    ranks = pagerank(edges, n_nodes)
+    return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOPK)
+
+
+def _pagerank_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled-CTE twin of :func:`pagerank` — same op order, same
+    fixed-point quantization, literals in `85e-2` form (a bare 0.85
+    parses as DECIMAL in both dialects and would contaminate the
+    double arithmetic)."""
+    cte = f"""
+WITH pairs AS (
+  SELECT DISTINCT concat('s_', l_suppkey) AS s, concat('c_', o_custkey) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, 1e0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    for i in range(1, iters + 1):
+        cte += f""",
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(FLOOR((r.rank / o.outdeg) * 1e12) AS BIGINT))
+              AS BIGINT) AS s
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         ((1e0 - 85e-2) / (SELECT n FROM nn))
+         + 85e-2 * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1e12) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)"""
+    return (
+        cte
+        + f"""
+SELECT node, rank FROM r{iters}
+ORDER BY rank DESC, node
+LIMIT {PR_TOPK}
+"""
+    )
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "graph_pagerank": graph_pagerank,
+}
+ORACLES = {
+    "dedup_clusters": _CLUSTERS_ORACLE,
+    "graph_pagerank": _pagerank_oracle(),
+}

@@ -645,8 +645,130 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram collocations (PMI)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 100
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = COLLOC_MIN_COUNT,
+    topk: int = COLLOC_TOPK,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(x,y) = ln(p(xy) / (p(x)·p(y))) with p(xy) over bigram positions
+    and p(x) over token positions. The classic phrase-mining signal
+    (high PMI = tokens that co-occur far above chance).
+
+    Shape: two hash aggregations (unigram counts, bigram counts) over
+    exploded token streams, then the bigram table joins the unigram
+    counts twice (x and y side) — at scale the unigram table is the
+    small side and broadcasts. Totals ride in via a 1-row cross join.
+    The probability arithmetic runs in DOUBLE with a fixed op order so
+    both engines see identical operands; the final ln differs in the
+    last ULP between libm builds, so the score is qround'd to 6 dp
+    (the repo-standard cross-engine equalizer) BEFORE the top-k sort —
+    the rounded score is the ranking key, so the cut is identical in
+    both engines."""
+    toks = docs.withColumn(
+        "t", F.split(normalized(F.col("text")), " ")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS x, t[i + 1] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    tot_bi = bi.agg(F.sum("c_xy").cast("double").alias("n_bi"))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(tot_uni)
+        .crossJoin(tot_bi)
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            qround(
+                F.log(
+                    (F.col("c_xy").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c_x").cast("double") / F.col("n_uni"))
+                        * (F.col("c_y").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(topk)
+
+
+def corpus_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collocations(_docs(spark, sf_dir))
+
+
+_PMI_EXPR = sql_qround(
+    "ln((CAST(b.c_xy AS DOUBLE) / n_bi)"
+    " / ((CAST(ux.c AS DOUBLE) / n_uni) * (CAST(uy.c AS DOUBLE) / n_uni)))",
+    6,
+)
+
+# DuckDB lists are 1-based (Spark arrays are 0-based) — the generate_series
+# bounds differ accordingly but the produced pairs are identical.
+_COLLOC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_D_NORM}, ' ') AS t FROM documents
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks)
+  GROUP BY tok
+),
+tot_uni AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+bi AS (
+  SELECT t[i] AS x, t[i + 1] AS y
+  FROM toks
+  CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bic AS (SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY x, y),
+tot_bi AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n_bi FROM bic)
+SELECT b.x, b.y, CAST(b.c_xy AS BIGINT) AS c_xy, {_PMI_EXPR} AS pmi
+FROM bic b
+JOIN uni ux ON b.x = ux.tok
+JOIN uni uy ON b.y = uy.tok
+CROSS JOIN tot_uni
+CROSS JOIN tot_bi
+WHERE b.c_xy >= {COLLOC_MIN_COUNT}
+ORDER BY pmi DESC, b.x, b.y
+LIMIT {COLLOC_TOPK}
+"""
+
+
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
+    "corpus_collocations": corpus_collocations,
     "corpus_unigram_logprob": corpus_unigram_logprob,
     "text_repetition": text_repetition,
     "corpus_datacard": corpus_datacard,
@@ -659,6 +781,7 @@ QUERIES = {
 
 ORACLES = {
     "contamination_eval_vs_train": _CONTAM_ORACLE,
+    "corpus_collocations": _COLLOC_ORACLE,
     "corpus_unigram_logprob": _UNIGRAM_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "corpus_datacard": _DATACARD_ORACLE,

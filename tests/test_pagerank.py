@@ -1,0 +1,49 @@
+"""Semantic tests for fixed-point PageRank — the oracle check proves
+Spark ≡ DuckDB; these prove rank semantics on known graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_gcp_spark.functions.clusters import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _sym(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+def test_star_center_dominates(spark):
+    """In a star graph the hub must outrank every leaf."""
+    e = _edges(spark, _sym([("hub", f"leaf{i}") for i in range(6)]))
+    r = {
+        row["node"]: row["rank"] for row in pagerank(e, n_nodes=7).collect()
+    }
+    assert all(r["hub"] > r[f"leaf{i}"] for i in range(6))
+    # leaves are symmetric → identical ranks
+    leaf_ranks = {r[f"leaf{i}"] for i in range(6)}
+    assert len(leaf_ranks) == 1
+
+
+def test_rank_mass_conserved(spark):
+    """Total rank stays ≈ 1 (fixed-point floor loses < 1e-12 per edge,
+    and an undirected graph has no dangling mass)."""
+    e = _edges(
+        spark, _sym([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    )
+    ranks = [row["rank"] for row in pagerank(e, n_nodes=4).collect()]
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_partitioning_invariance(spark):
+    """Fixed-point quantization makes the result independent of how the
+    contribution sum is partitioned — the property plain double sums
+    lack."""
+    pairs = _sym([(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(20)])
+    e = _edges(spark, pairs)
+    a = sorted(pagerank(e, n_nodes=20).collect())
+    b = sorted(pagerank(e.repartition(17), n_nodes=20).collect())
+    assert a == b
