@@ -375,6 +375,103 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day
 """
 
 
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a daily grid
+    with forward fill (last observation carried forward) — the
+    timescale/hypertable-style gap-fill operator. Each key gets one
+    grid row per day of ITS OWN [first, last] observation span; days
+    with no observation carry the latest prior value, flagged
+    ``has_obs = 0``.
+
+    Shape: (1) one hash aggregation picks the day's last observation
+    per (key, day) — deterministic via a (ts, id) struct max, not
+    ``last()`` — and in the same pass the key's min/max day;
+    (2) ``sequence()`` explodes the per-key day grid (no cross join
+    against a global calendar — a key spanning 3 days makes 3 rows
+    however long the table's history is); (3) a left join puts
+    observations on the grid and one ordered window carries values
+    forward. Grid join and window share the key partitioning.
+    The value is carried verbatim (no arithmetic) → engine-identical.
+    """
+    day = F.to_date(F.col(ts_col))
+    # max of (ts, id, value) structs = the lexicographically-last
+    # observation of the day; (ts, id) is unique so the winner — and
+    # therefore the carried value — is total-order deterministic.
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            day.alias("day"),
+            F.struct(
+                F.col(ts_col), F.col(id_col), F.col(val_col).alias("v")
+            ).alias("obs"),
+        )
+        .groupBy("key", "day")
+        .agg(F.max("obs").alias("obs"))
+        .select("key", "day", F.col("obs.v").alias("obs_val"))
+    )
+    span = daily.groupBy("key").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "key",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["key", "day"], "left")
+        .select(
+            F.col("key").alias("user_id"),
+            "day",
+            F.last("obs_val", ignorenulls=True).over(w).alias("value"),
+            F.col("obs_val").isNotNull().cast("bigint").alias("has_obs"),
+        )
+    )
+
+
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return resample_ffill(ev)
+
+
+_RESAMPLE_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day,
+         (MAX(struct_pack(ts := ts, id := event_id, v := value))).v
+           AS obs_val
+  FROM events
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT key, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY key
+),
+grid AS (
+  SELECT key, CAST(g AS DATE) AS day
+  FROM span
+  CROSS JOIN LATERAL unnest(generate_series(d0, d1, INTERVAL 1 DAY)) t(g)
+)
+SELECT g.key AS user_id, g.day,
+       last_value(d.obs_val IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       CAST(CASE WHEN d.obs_val IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS has_obs
+FROM grid g LEFT JOIN daily d ON g.key = d.key AND g.day = d.day
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -499,10 +596,12 @@ QUERIES = {
     "unpivot_measures": unpivot_measures,
     "window_analytics": window_analytics,
     "events_funnel": events_funnel,
+    "events_resample_ffill": events_resample_ffill,
 }
 
 ORACLES = {
     "events_funnel": _FUNNEL_ORACLE,
+    "events_resample_ffill": _RESAMPLE_ORACLE,
     "events_sessionize": _SESSIONIZE_ORACLE,
     "rolling_window_revenue": _ROLLING_ORACLE,
     "events_percentiles": _PERCENTILE_ORACLE,

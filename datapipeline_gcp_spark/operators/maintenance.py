@@ -188,5 +188,121 @@ SELECT upd.*, DATE '{RUN_DATE}', NULL, CAST(1 AS BIGINT)
 FROM upd
 """
 
-QUERIES = {"merge_scd1": merge_scd1, "merge_scd2": merge_scd2}
-ORACLES = {"merge_scd1": _SCD1_ORACLE, "merge_scd2": _SCD2_ORACLE}
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+#: (column, kind) — kind picks the cross-engine-safe string rendering
+#: of min/max: ints/strings cast exactly; doubles qround to 4 dp first
+#: (a qround'd double can never sit exactly on a %.4f rounding tie, so
+#: Java's HALF_UP and C's round-to-even format identically); timestamps
+#: via a shared strftime pattern.
+_PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+    ("l_tax", "double"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _fmt(col, kind):
+    from datapipeline_gcp_spark.determinism import qround
+
+    if kind == "double":
+        return F.format_string("%.4f", qround(col, 4))
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def _fmt_sql(expr: str, kind: str) -> str:
+    from datapipeline_gcp_spark.determinism import sql_qround
+
+    if kind == "double":
+        return f"printf('%.4f', {sql_qround(expr, 4)})"
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+def table_profile(df: DataFrame, cols=_PROFILE_COLS) -> DataFrame:
+    """Per-column profile — (column, n_rows, n_nulls, n_distinct,
+    min_repr, max_repr) — the ANALYZE/data-quality sweep a pipeline
+    runs before trusting a new drop of data.
+
+    Shape: ONE aggregation computes every column's stats in a single
+    pass (4 aggregates per column; the COUNT(DISTINCT)s share Spark's
+    expand-based rewrite), then a ``stack`` unpivots the 1-row result
+    into one row per column — profiling never rescans the table per
+    column, which is the difference between one pass and N passes over
+    100 TB. Min/max are rendered to strings with tie-free formatting so
+    the profile is engine-identical."""
+    aggs = [F.count("*").alias("_n")]
+    for c, kind in cols:
+        col = F.col(c)
+        # format AFTER aggregating: min/max compare in the column's own
+        # type (numeric/temporal order), not lexicographically
+        aggs += [
+            F.count(col).alias(f"nn_{c}"),
+            F.countDistinct(col).alias(f"nd_{c}"),
+            _fmt(F.min(col), kind).alias(f"mn_{c}"),
+            _fmt(F.max(col), kind).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c, _ in cols
+    )
+    return row.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {stacked})"
+        " AS (column_name, n_nonnull, n_distinct, min_repr, max_repr)",
+    ).select(
+        "column_name",
+        F.col("_n").alias("n_rows"),
+        (F.col("_n") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+    )
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir, ("lineitem",))
+    return table_profile(t["lineitem"])
+
+
+def _profile_oracle() -> str:
+    # min/max aggregate in the column's own type, then format — same
+    # order as the Spark side.
+    blocks = []
+    for c, kind in _PROFILE_COLS:
+        blocks.append(
+            f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_fmt_sql(f'MIN({c})', kind)} AS min_repr,
+       {_fmt_sql(f'MAX({c})', kind)} AS max_repr
+FROM lineitem"""
+        )
+    return "\nUNION ALL".join(blocks)
+
+
+QUERIES = {
+    "merge_scd1": merge_scd1,
+    "merge_scd2": merge_scd2,
+    "lineitem_profile": lineitem_profile,
+}
+ORACLES = {
+    "merge_scd1": _SCD1_ORACLE,
+    "merge_scd2": _SCD2_ORACLE,
+    "lineitem_profile": _profile_oracle(),
+}

@@ -124,3 +124,25 @@ def test_funnel_click_before_first_view_does_not_count(spark):
     assert out.loc["click", "n_users"] == 1
     assert out.loc["purchase", "n_users"] == 1
     assert out.loc["purchase", "conv_rate"] == 1 / 3
+
+
+def test_resample_ffill_gap_days_carry_last_value(spark):
+    from datetime import datetime
+
+    from datapipeline_gcp_spark.operators.analytics import resample_ffill
+
+    rows = [
+        (7, "view", datetime(2024, 3, 1, 9), 10.0, 1),
+        (7, "view", datetime(2024, 3, 1, 18), 11.0, 2),  # same-day later obs wins
+        # 3/2 and 3/3 have no observations -> carry 11.0
+        (7, "view", datetime(2024, 3, 4, 8), 12.0, 3),
+        (9, "view", datetime(2024, 3, 2, 12), 5.0, 4),  # single-day key
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "value", "event_id"]
+    )
+    out = resample_ffill(ev).toPandas()
+    u7 = out[out.user_id == 7].sort_values("day").reset_index(drop=True)
+    assert list(u7["value"]) == [11.0, 11.0, 11.0, 12.0]
+    assert list(u7["has_obs"]) == [1, 0, 0, 1]
+    assert len(out[out.user_id == 9]) == 1
