@@ -31,11 +31,12 @@ warehouse has nowhere to run them; they are engine-native here):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.functions.dedup import (
     _D_NORM,
+    P,
     base_hash,
     d_shingles_sql,
     grams_of,
@@ -766,9 +767,161 @@ LIMIT {COLLOC_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF (top terms per document)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(docs: DataFrame, topk: int = TFIDF_TOPK) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (tf · ln(N/df), raw counts — SURVEY §7 Phase 4's tf-idf column).
+
+    Shape: one aggregation for term frequencies (doc, token), one for
+    document frequencies (token), a join between them (df side is
+    vocabulary-sized → broadcastable at scale), the corpus size riding
+    in via a 1-row cross join, and one per-doc window for the top-k
+    cut. The ln differs in the last ULP between libm builds, so the
+    score is qround'd (repo-standard) BEFORE ranking; ties break on
+    token, so the cut is engine-identical."""
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(normalized(F.col("text")), " ")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            qround(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+    )
+
+
+def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(_docs(spark, sf_dir))
+
+
+_TFIDF_EXPR = sql_qround(
+    "CAST(tf AS DOUBLE)"
+    " * ln((SELECT n_docs FROM n) / CAST(df AS DOUBLE))",
+    6,
+)
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_D_NORM}, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         {_TFIDF_EXPR} AS tfidf
+  FROM tf JOIN dfq ON tf.token = dfq.token
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 100
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    k: int = WSAMPLE_K,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of size k: the
+    Efraimidis–Spirakis A-ES scheme — each row gets key = ln(u)/w with
+    u uniform in (0,1], and the k largest keys are the sample
+    (inclusion probability ∝ weight, exactly the without-replacement
+    semantics). This is THE distributed weighted reservoir: keys are
+    computed row-locally, and a global top-k needs no shuffle of the
+    data — Spark plans TakeOrderedAndProject (per-partition heaps, tiny
+    merge at the driver).
+
+    Determinism: u derives from the engine-shared md5 hash
+    (``base_hash``+1, so u>0), making the sample a pure function of the
+    data — rerun-stable and identical in the DuckDB oracle. The ln is
+    libm → key is qround'd before ranking, doc_id breaks ties."""
+    u = (base_hash(F.col("doc_id").cast("string")) + 1).cast(
+        "double"
+    ) / F.lit(float(P))
+    key = qround(F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(k)
+    )
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample(_docs(spark, sf_dir))
+
+
+_WS_U = (
+    "(CAST((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 1000000007) + 1 AS DOUBLE) / 1000000007e0)"
+)
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS weight,
+       {sql_qround(f'ln({_WS_U}) / CAST(n_chars AS DOUBLE)', 9)}
+         AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
+    "corpus_tfidf_topk": corpus_tfidf_topk,
+    "corpus_weighted_sample": corpus_weighted_sample,
     "corpus_unigram_logprob": corpus_unigram_logprob,
     "text_repetition": text_repetition,
     "corpus_datacard": corpus_datacard,
@@ -782,6 +935,8 @@ QUERIES = {
 ORACLES = {
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_collocations": _COLLOC_ORACLE,
+    "corpus_tfidf_topk": _TFIDF_ORACLE,
+    "corpus_weighted_sample": _WSAMPLE_ORACLE,
     "corpus_unigram_logprob": _UNIGRAM_ORACLE,
     "text_repetition": _REPETITION_ORACLE,
     "corpus_datacard": _DATACARD_ORACLE,

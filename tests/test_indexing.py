@@ -146,3 +146,28 @@ def test_resample_ffill_gap_days_carry_last_value(spark):
     assert list(u7["value"]) == [11.0, 11.0, 11.0, 12.0]
     assert list(u7["has_obs"]) == [1, 0, 0, 1]
     assert len(out[out.user_id == 9]) == 1
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Inclusion probability scales with weight: a doc 1000x heavier
+    than the rest must make a small sample; near-zero-weight docs
+    mostly should not."""
+    from datapipeline_gcp_spark.functions.corpus import weighted_sample
+
+    rows = [(i, "web", 10) for i in range(200)] + [(999, "web", 10_000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    picked = {
+        r["doc_id"] for r in weighted_sample(docs, k=20).collect()
+    }
+    assert 999 in picked
+    assert len(picked) == 20
+
+
+def test_weighted_sample_deterministic_rerun(spark):
+    from datapipeline_gcp_spark.functions.corpus import weighted_sample
+
+    rows = [(i, "s", 50 + i) for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    a = weighted_sample(docs, k=30).collect()
+    b = weighted_sample(docs.repartition(11), k=30).collect()
+    assert a == b
