@@ -356,6 +356,125 @@ ORDER BY numwait DESC, s_name
 LIMIT 20
 """
 
+# ---------------------------------------------------------------------------
+# Derived partsupp: the driver testdata has no partsupp table, so the five
+# queries that need one (q2/q9/q11/q16/q20) derive it as a CTE — the distinct
+# (partkey, suppkey) pairs actually traded in lineitem, with supplycost and
+# availqty as deterministic integer functions of the keys. The SAME CTE text
+# runs in both engines (pure integer arithmetic — engine-identical), so the
+# oracle argument is unchanged: one SQL string, two engines.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """ps AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 7 + l_suppkey * 13) % 1000 + 1 AS DOUBLE)
+           AS ps_supplycost,
+         CAST((l_partkey * 31 + l_suppkey * 17) % 500 + 1 AS BIGINT)
+           AS ps_availqty
+  FROM lineitem
+)"""
+
+# Q2: min-cost supplier per part within a region — the correlated-MIN
+# stress. ps_supplycost is integer-valued (exact in DOUBLE), so the
+# equality against MIN is safe cross-engine.
+TPCH_Q2 = f"""WITH {_PS_CTE}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM part
+JOIN ps ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'ASIA'
+  AND ps_supplycost = (
+    SELECT MIN(p2.ps_supplycost)
+    FROM ps p2
+    JOIN supplier s2 ON s2.s_suppkey = p2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE p2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# Q9: product-type profit by nation and year. Money through the exact
+# decimal path: revenue and supply cost both (37,8)-exact before the sum.
+TPCH_Q9 = f"""WITH {_PS_CTE}
+SELECT nation, o_year, {_dbl('SUM(amount)')} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS {_DEC}) * {_DISC}
+           - CAST(ps_supplycost AS {_DEC}) * CAST(l_quantity AS {_DEC})
+           AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE 'red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+# Q11: important-stock fraction — a HAVING against a scalar-subquery
+# threshold over the same aggregate. Both sides of the comparison go
+# through the exact-decimal sum + VARCHAR-roundtrip double, so the
+# threshold cut is bit-identical.
+_Q11_VALUE = (
+    f"SUM(CAST(ps_supplycost AS {_DEC}) * CAST(ps_availqty AS {_DEC}))"
+)
+TPCH_Q11 = f"""WITH {_PS_CTE}
+SELECT ps_partkey, {_dbl(_Q11_VALUE)} AS value
+FROM ps
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+GROUP BY ps_partkey
+HAVING {_dbl(_Q11_VALUE)} > (
+  SELECT {_dbl(_Q11_VALUE)} * 1e-3
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+ORDER BY value DESC, ps_partkey
+"""
+
+# Q16: supplier count per part descriptor, excluding flagged suppliers
+# (negative account balance stands in for the comment-based exclusion) —
+# the NOT IN anti-join + COUNT(DISTINCT) stress.
+TPCH_Q16 = f"""WITH {_PS_CTE}
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+# Q20: suppliers holding excess stock of a part family — nested IN plus a
+# doubly-correlated scalar subquery (both engines decorrelate the pure
+# equality correlation on (partkey, suppkey)).
+TPCH_Q20 = f"""WITH {_PS_CTE}
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 5e-1 * {_dbl(f'SUM(CAST(l_quantity AS {_DEC}))')}
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+ORDER BY s_suppkey
+"""
+
 # Q22 re-shaped: country code comes from c_nationkey (no c_phone column),
 # and "dormant" = no order since 2000-01-01 (every generated customer has
 # at least one order ever, so the classic no-orders-at-all anti-join would
@@ -412,6 +531,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TABLES = {
     "tpch_q1": ("lineitem",),
+    "tpch_q2": ("lineitem", "part", "supplier", "nation", "region"),
     "tpch_q3": ("customer", "orders", "lineitem"),
     "tpch_q4": ("orders", "lineitem"),
     "tpch_q5": ("customer", "orders", "lineitem", "supplier", "nation", "region"),
@@ -420,34 +540,43 @@ _TABLES = {
     "tpch_q8": (
         "part", "lineitem", "supplier", "orders", "customer", "nation", "region",
     ),
+    "tpch_q9": ("lineitem", "part", "supplier", "orders", "nation"),
     "tpch_q10": ("customer", "orders", "lineitem", "nation"),
+    "tpch_q11": ("lineitem", "supplier", "nation"),
     "tpch_q12": ("orders", "lineitem"),
     "tpch_q13": ("customer", "orders"),
     "tpch_q14": ("lineitem", "part"),
     "tpch_q15": ("lineitem", "supplier"),
+    "tpch_q16": ("lineitem", "part", "supplier"),
     "tpch_q17": ("lineitem", "part"),
     "tpch_q18": ("customer", "orders", "lineitem"),
     "tpch_q19": ("lineitem", "part"),
+    "tpch_q20": ("lineitem", "part", "supplier", "nation"),
     "tpch_q21": ("supplier", "lineitem", "orders", "nation"),
     "tpch_q22": ("customer", "orders"),
 }
 
 _SQL = {
     "tpch_q1": TPCH_Q1,
+    "tpch_q2": TPCH_Q2,
     "tpch_q3": TPCH_Q3,
     "tpch_q4": TPCH_Q4,
     "tpch_q5": TPCH_Q5,
     "tpch_q6": TPCH_Q6,
     "tpch_q7": TPCH_Q7,
     "tpch_q8": TPCH_Q8,
+    "tpch_q9": TPCH_Q9,
     "tpch_q10": TPCH_Q10,
+    "tpch_q11": TPCH_Q11,
     "tpch_q12": TPCH_Q12,
     "tpch_q13": TPCH_Q13,
     "tpch_q14": TPCH_Q14,
     "tpch_q15": TPCH_Q15,
+    "tpch_q16": TPCH_Q16,
     "tpch_q17": TPCH_Q17,
     "tpch_q18": TPCH_Q18,
     "tpch_q19": TPCH_Q19,
+    "tpch_q20": TPCH_Q20,
     "tpch_q21": TPCH_Q21,
     "tpch_q22": TPCH_Q22,
 }
