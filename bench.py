@@ -65,12 +65,22 @@ def main() -> None:
             except Exception:
                 pass
 
+    # Min of two timed runs per query: a single pass is hostage to JIT
+    # compilation pauses, GC churn from the preceding queries, and
+    # noisy-neighbor CPU on shared hosts (observed: identical plans
+    # swinging 2 s ↔ 14 s between full-bench passes while solo runs stay
+    # flat). The min is the standard noise-floor estimator and reflects
+    # the plan, which is what this bench exists to measure.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
+        best = -1.0
         try:
-            materialize(queries[name](spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(2):
+                t0 = time.time()
+                materialize(queries[name](spark, SF_DIR))
+                took = round(time.time() - t0, 3)
+                best = took if best < 0 else min(best, took)
+            timings[name] = best
         except Exception as ex:  # a failing query must not kill the bench
             print(f"bench: {name} failed: {ex}", file=sys.stderr)
             timings[name] = -1.0

@@ -43,9 +43,14 @@ def asof_join(
     by_cols: list[str],
     value_cols: list[str],
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row + the latest right ``value_cols``
-    at or before its timestamp (NULLs when no right row precedes).
+    """Left as-of join: every left row + the nearest right ``value_cols``
+    at or before its timestamp (``direction="backward"``, the default:
+    latest right with ``r.ts <= l.ts``) or at or after it
+    (``direction="forward"``: earliest right with ``r.ts >= l.ts``).
+    NULLs when no right row qualifies. The forward sweep is the same
+    single-shuffle composition with the sort reversed.
 
     The right payload is carried as ONE struct of (value_cols + ts) —
     the struct itself is non-null for every right row, so
@@ -78,10 +83,18 @@ def asof_join(
     )
     unioned = r.unionByName(l)
     # right rows sort before left rows at equal ts (marker 0 < 1), so an
-    # exact-timestamp right row IS visible to the left row — ASOF <=.
+    # exact-timestamp right row IS visible to the left row — ASOF <= for
+    # the backward sweep, >= for the forward sweep (which just reverses
+    # the timestamp order and carries the nearest FOLLOWING right row).
+    if direction == "backward":
+        order = [F.col(ts_col), F.col(marker)]
+    elif direction == "forward":
+        order = [F.col(ts_col).desc(), F.col(marker)]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col(ts_col), F.col(marker))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     swept = unioned.select(
@@ -166,5 +179,32 @@ FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
-QUERIES = {"asof_join_events": asof_join_events}
-ORACLES = {"asof_join_events": _ASOF_ORACLE}
+def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward variant of the registered as-of query: each left event
+    matched to the user's NEXT right event (earliest ``r.ts >= l.ts``)."""
+    left, right, _lt, _rt = _events_split(spark, sf_dir)
+    joined = asof_join(
+        left, right, ts_col="ts", by_cols=["user_id"],
+        value_cols=["right_event_id", "right_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        F.col("left_event_id"),
+        F.col("left_value"),
+        F.col("right_event_id_right").alias("matched_event_id"),
+        F.col("right_value_right").alias("matched_value"),
+        F.col("ts_right").alias("matched_ts"),
+    )
+
+
+_ASOF_FWD_ORACLE = _ASOF_ORACLE.replace("l.ts >= r.ts", "l.ts <= r.ts")
+
+QUERIES = {
+    "asof_join_events": asof_join_events,
+    "asof_join_forward_events": asof_join_forward_events,
+}
+ORACLES = {
+    "asof_join_events": _ASOF_ORACLE,
+    "asof_join_forward_events": _ASOF_FWD_ORACLE,
+}
