@@ -1,12 +1,22 @@
-"""Benchmark harness: runs the engine's headline queries at
+"""Benchmark harness: runs the engine's queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line (stdout,
+last line, nothing after it):
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "headline10_wall_seconds", "value": N, "unit": "sec",
+     "queries": {<the 10 headline queries only>}, "sf": ...}
+
+``value`` is the sum of the FIXED 10-query headline set, so the number
+is comparable across rounds no matter how much the registered surface
+grows. Full per-query timings (all registry queries), warmup wall time,
+and the full-surface sum are written to ``BENCH_DETAIL.json`` next to
+this file — the driver's tail-capture window only ever sees the short
+line. (Round 2's line carried 106 timing entries and outgrew the
+driver's capture → ``parsed: null``; see VERDICT.md "What's wrong" #2.)
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collection) so the number measures the Spark plan, not
-pandas conversion. A warmup pass on sf0.001 first touches every code
+pandas conversion. A warmup pass on sf0.01 first touches every code
 path so JVM/codegen startup is not billed to the first query.
 """
 
@@ -29,10 +39,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # first-run vs 1.8s warmed). sf0.01 costs ~1 min more warmup and makes
 # per-query timings reflect plans, not JVM state.
 WARMUP_DIR = "/root/testdata/sf0.01"
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 #: Headline set: the flagship spine + every aggregate family + the widest
-#: scans. Kept explicit (not "all registry queries") so bench timings stay
-#: comparable across rounds as coverage grows.
+#: scans. FIXED at 10 — ``value`` sums exactly these so bench numbers stay
+#: comparable across rounds as registry coverage grows (the full-surface
+#: sum lives in BENCH_DETAIL.json as ``all_queries_seconds``).
 HEADLINE = [
     "master_join",
     "b_sales_kpi",
@@ -52,49 +64,79 @@ def materialize(df) -> None:
 
 
 def main() -> None:
-    spark = get_session(app_name="bench")
+    spark = get_session(
+        app_name="bench",
+        # Console progress bars write \r-framed noise that lands in the
+        # driver's captured output between JSON lines — keep them off.
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
     # extend with any registered queries not in the fixed headline list
     names += [n for n in sorted(queries) if n not in names]
 
+    warmup_t0 = time.time()
     if os.path.isdir(WARMUP_DIR):
         for name in names:
             try:
                 materialize(queries[name](spark, WARMUP_DIR))
             except Exception:
                 pass
+    warmup_seconds = round(time.time() - warmup_t0, 3)
 
     # Min of two timed runs per query: a single pass is hostage to JIT
     # compilation pauses, GC churn from the preceding queries, and
     # noisy-neighbor CPU on shared hosts (observed: identical plans
     # swinging 2 s ↔ 14 s between full-bench passes while solo runs stay
     # flat). The min is the standard noise-floor estimator and reflects
-    # the plan, which is what this bench exists to measure.
+    # the plan, which is what this bench exists to measure. The try sits
+    # INSIDE the loop so a flaky second run can't discard a successful
+    # first timing (ADVICE r2).
     timings: dict[str, float] = {}
     for name in names:
         best = -1.0
-        try:
-            for _ in range(2):
+        for _ in range(2):
+            try:
                 t0 = time.time()
                 materialize(queries[name](spark, SF_DIR))
                 took = round(time.time() - t0, 3)
                 best = took if best < 0 else min(best, took)
-            timings[name] = best
-        except Exception as ex:  # a failing query must not kill the bench
-            print(f"bench: {name} failed: {ex}", file=sys.stderr)
-            timings[name] = -1.0
+            except Exception as ex:  # a failing run must not kill the bench
+                print(f"bench: {name} failed: {ex}", file=sys.stderr)
+        timings[name] = best
 
     ok = {k: v for k, v in timings.items() if v >= 0}
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    sf_name = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_name)
+    except ValueError:
+        sf = SF_DIR
+    headline = {n: timings[n] for n in HEADLINE if n in timings}
+    detail = {
+        "metric": "headline10_wall_seconds",
+        "value": round(sum(v for v in headline.values() if v >= 0), 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "failed": sorted(k for k, v in timings.items() if v < 0),
+        "warmup_seconds": warmup_seconds,
+        "all_queries_seconds": round(sum(ok.values()), 3),
+        "queries": timings,
+    }
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # The driver-facing line: compact, fixed-size, LAST thing on stdout.
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_seconds",
-                "value": round(sum(ok.values()), 3),
+                "metric": "headline10_wall_seconds",
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
+                "queries": headline,
+                "sf": sf,
             }
         )
     )

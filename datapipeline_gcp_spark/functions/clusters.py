@@ -173,6 +173,7 @@ def pagerank(
     n_nodes: int | None = None,
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst) —
     the standard BSP formulation: each round joins ranks to edges,
@@ -191,6 +192,16 @@ def pagerank(
     ``n_nodes`` is a driver-side scalar (one COUNT job — metadata-scale
     even at 100 TB, same policy as the asof fixture split).
 
+    General directed graphs are handled correctly (ADVICE r2): the node
+    universe is the union of ``src`` and ``dst`` (pure sinks count
+    toward ``n_nodes`` and receive rank), and dangling mass — rank held
+    by nodes with no out-edges — is redistributed uniformly each round
+    via one quantized scalar aggregate (broadcast, no extra shuffle of
+    the rank table). Graphs with no dangling nodes (e.g. bidirectional
+    edge lists) detect that once, structurally, and skip the term — the
+    plan is then identical to the dangling-free formulation, keeping the
+    registered ``graph_pagerank`` oracle bit-identical.
+
     The graph structure (edges, out-degrees, node list) is materialized
     with ``localCheckpoint`` before the loop — every iteration reads
     all three, and without the checkpoint each round re-executes the
@@ -202,10 +213,26 @@ def pagerank(
         edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     ).localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("node")).distinct()
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
     ).localCheckpoint()
     if n_nodes is None:
         n_nodes = nodes.count()
+    # Structural dangling check: one metadata-scale probe before the
+    # loop, not per round. head(1) short-circuits after the first hit;
+    # the checkpoint (per-round reuse) is only paid when danglers exist.
+    # ``assume_no_dangling=True`` skips the probe job entirely — for
+    # callers whose edge construction guarantees every node has an
+    # out-edge (e.g. a bidirectional/unioned edge list).
+    if assume_no_dangling:
+        has_dangling = False
+        dangling = None
+    else:
+        dangling = nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
+        has_dangling = bool(dangling.head(1))
+        if has_dangling:
+            dangling = dangling.localCheckpoint()
     rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
@@ -220,20 +247,40 @@ def pagerank(
             )
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        rank = (
-            nodes.join(summed, nodes.node == summed.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                        / F.lit(PR_SCALE)
-                    )
-                ).alias("rank"),
-            )
+        damped = F.lit(damping) * (
+            F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(PR_SCALE)
         )
+        if has_dangling:
+            # Dangling mass, floor-quantized like the edge contributions
+            # so the redistribution is order-free and cross-engine exact.
+            dmass = dangling.join(rank, "node").agg(
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("rank") * F.lit(PR_SCALE)).cast("bigint")
+                    ),
+                    F.lit(0).cast("bigint"),
+                ).alias("dangling_q")
+            )
+            rank = (
+                nodes.join(summed, nodes.node == summed.dst, "left")
+                .crossJoin(F.broadcast(dmass))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + damped
+                        + F.lit(damping)
+                        * (
+                            (F.col("dangling_q").cast("double") / F.lit(PR_SCALE))
+                            / F.lit(float(n_nodes))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            rank = nodes.join(summed, nodes.node == summed.dst, "left").select(
+                "node", (F.lit(base) + damped).alias("rank")
+            )
     return rank
 
 
@@ -255,9 +302,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
     ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-    # bidirectional edges → every node appears as a src, so pagerank's
-    # internal node list (and its count) covers the whole graph
-    ranks = pagerank(edges)
+    # bidirectional edges → every node appears as a src with outdeg ≥ 1,
+    # so the dangling-mass probe is provably vacuous here — skip its job
+    ranks = pagerank(edges, assume_no_dangling=True)
     return ranks.orderBy(F.desc("rank"), "node").limit(PR_TOPK)
 
 

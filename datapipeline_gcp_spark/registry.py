@@ -2,16 +2,52 @@
 ORACLES dicts. ``__spark_entry__`` (the driver contract) re-exports
 these. Keys are unique across modules — a collision is a bug and raises
 at import time.
+
+Ordering is *verification-aware* (self-correcting rotation): the driver
+checks only the first N (~50) entries of ``all_queries()`` per round, so
+the registry orders queries by how much they need re-proving:
+
+1. checked-and-FAILED in some ``CORRECTNESS_r*.json`` and never green
+   since (highest priority — a known-red fix awaiting proof),
+2. never checked by any round's gate,
+3. green in an old round but not in the latest (stale green — oldest
+   green first),
+4. green in the latest round's artifact (lowest priority).
+
+Ties keep ``_MODULES`` declaration order, which fronts the modules most
+recently modified. Because each round's ``CORRECTNESS_r{N}.json`` lands
+in the repo root, the rotation adjusts itself every round without code
+changes: whatever the gate did not prove last time goes first next time.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from importlib import import_module
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Declaration order doubles as the tie-break for the rotation: modules
+#: with the most recent code churn (LLM-pipeline functions) come first so
+#: their stale-green entries re-enter the check window before untouched
+#: modules' entries do.
 _MODULES = [
+    "datapipeline_gcp_spark.functions.udfs",
+    "datapipeline_gcp_spark.functions.multimodal",
+    "datapipeline_gcp_spark.functions.dedup",
+    "datapipeline_gcp_spark.functions.clusters",
+    "datapipeline_gcp_spark.functions.similarity",
+    "datapipeline_gcp_spark.functions.text",
+    "datapipeline_gcp_spark.functions.cleaning",
+    "datapipeline_gcp_spark.functions.curation",
+    "datapipeline_gcp_spark.functions.corpus",
+    "datapipeline_gcp_spark.functions.indexing",
+    "datapipeline_gcp_spark.operators.maintenance",
+    "datapipeline_gcp_spark.operators.tpch",
     "datapipeline_gcp_spark.operators.master",
     "datapipeline_gcp_spark.operators.business",
     "datapipeline_gcp_spark.operators.report",
@@ -19,23 +55,65 @@ _MODULES = [
     "datapipeline_gcp_spark.operators.asof",
     "datapipeline_gcp_spark.operators.analytics",
     "datapipeline_gcp_spark.operators.rangejoin",
-    "datapipeline_gcp_spark.operators.tpch",
-    "datapipeline_gcp_spark.operators.maintenance",
     "datapipeline_gcp_spark.sources.generators",
     "datapipeline_gcp_spark.sources.readers",
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.streaming.joins",
-    "datapipeline_gcp_spark.functions.text",
-    "datapipeline_gcp_spark.functions.dedup",
-    "datapipeline_gcp_spark.functions.clusters",
-    "datapipeline_gcp_spark.functions.similarity",
-    "datapipeline_gcp_spark.functions.multimodal",
-    "datapipeline_gcp_spark.functions.cleaning",
-    "datapipeline_gcp_spark.functions.curation",
-    "datapipeline_gcp_spark.functions.corpus",
-    "datapipeline_gcp_spark.functions.indexing",
-    "datapipeline_gcp_spark.functions.udfs",
 ]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str], int]:
+    """Parse every ``CORRECTNESS_r*.json`` in *root*.
+
+    Returns ``(last_green_round, ever_failed, latest_round)`` where
+    ``last_green_round[name]`` is the newest round whose gate proved
+    *name* green (rows+schema+hash all matching) and ``ever_failed`` is
+    the set of names that appear in some artifact without a full match.
+    Missing/corrupt artifacts are skipped — an empty history degrades to
+    plain declaration order.
+    """
+    last_green: dict[str, int] = {}
+    ever_failed: set[str] = set()
+    latest = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        latest = max(latest, rnd)
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                # rows-only checks (no oracle) have no hash key; count
+                # them green on rows+schema so they rotate like the rest
+                and row.get("hash_match", True)
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+            else:
+                ever_failed.add(name)
+    ever_failed -= set(last_green)
+    return last_green, ever_failed, latest
+
+
+def _rotation_rank(name: str, last_green: dict[str, int], ever_failed: set[str]) -> int:
+    if name in ever_failed:
+        return 0  # checked and red, fix unproven — front of the line
+    if name not in last_green:
+        return 1  # never entered the gate's window
+    return 2 + last_green[name]  # stale green first, latest green last
 
 
 def _collect() -> tuple[dict, dict]:
@@ -51,6 +129,11 @@ def _collect() -> tuple[dict, dict]:
             if name not in getattr(mod, "QUERIES", {}):
                 raise ValueError(f"oracle {name!r} in {modname} has no query")
             oracles[name] = sql
+
+    last_green, ever_failed, _ = correctness_history()
+    order = sorted(queries, key=lambda n: _rotation_rank(n, last_green, ever_failed))
+    queries = {n: queries[n] for n in order}
+    oracles = {n: oracles[n] for n in order if n in oracles}
     return queries, oracles
 
 

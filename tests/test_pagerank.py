@@ -47,3 +47,32 @@ def test_partitioning_invariance(spark):
     a = sorted(pagerank(e, n_nodes=20).collect())
     b = sorted(pagerank(e.repartition(17), n_nodes=20).collect())
     assert a == b
+
+
+def test_sink_nodes_in_universe(spark):
+    """A pure sink (appears only as dst) must be in the node universe,
+    receive rank, and count toward n_nodes (ADVICE r2: the old node
+    list came from src only, silently dropping sinks)."""
+    e = _edges(spark, [("a", "b"), ("c", "b")])  # b is a pure sink
+    r = {row["node"]: row["rank"] for row in pagerank(e).collect()}
+    assert set(r) == {"a", "b", "c"}
+    assert r["b"] > r["a"] == r["c"] > 0
+
+
+def test_dangling_mass_conserved_on_dag(spark):
+    """On a directed chain (dangling tail) total rank stays ≈ 1 because
+    the sink's mass is redistributed uniformly each round."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    ranks = [row["rank"] for row in pagerank(e).collect()]
+    assert len(ranks) == 4
+    assert sum(ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dag_partitioning_invariance(spark):
+    """Quantized dangling redistribution keeps directed-graph results
+    independent of partitioning too."""
+    pairs = [(f"n{i}", f"n{i + 1}") for i in range(15)] + [("n3", "n9")]
+    e = _edges(spark, pairs)
+    a = sorted(pagerank(e).collect())
+    b = sorted(pagerank(e.repartition(13)).collect())
+    assert a == b

@@ -74,6 +74,26 @@ def test_within_block_pairs_combinatorics(spark, sizes):
     assert (pairs.ia < pairs.ib).all()
 
 
+def test_capped_block_pairs_reports_drops(spark, caplog):
+    """No-silent-caps: the capped wrapper returns the dropped-block count
+    and WARN-logs it; uncapped blocks still expand fully."""
+    import logging
+
+    from datapipeline_gcp_spark.functions.dedup import capped_block_pairs
+
+    rows = [(0, i) for i in range(5)] + [(1, 100 + i) for i in range(2)]
+    df = spark.createDataFrame(rows, "block int, item_id bigint")
+    with caplog.at_level(logging.WARNING):
+        pairs, dropped = capped_block_pairs(df, ["block"], ["item_id"], 3)
+    assert dropped == 1  # the 5-row block exceeds the cap
+    assert pairs.count() == 1  # only the 2-row block's single pair remains
+    assert any("dropping 1 block" in r.message for r in caplog.records)
+
+    pairs2, dropped2 = capped_block_pairs(df, ["block"], ["item_id"], 10)
+    assert dropped2 == 0
+    assert pairs2.count() == 10 + 1  # C(5,2) + C(2,2)
+
+
 def test_qround_is_engine_identical_on_adversarial_doubles(spark):
     """qround must produce the SAME double in Spark SQL and DuckDB for
     any input — including repr-tie values like 0.285 where plain

@@ -173,6 +173,61 @@ def test_archival_deferred_until_commit(spark, stream_dirs):
     )
 
 
+def test_replay_after_crash_between_append_and_commit(spark, stream_dirs):
+    """Kill-window e2e (VERDICT r2 #6): simulate a crash AFTER a batch's
+    append + pending-record but BEFORE its checkpoint commit became
+    durable, by deleting the commit-log entry the finished batch wrote.
+    The restart must replay the batch from the offset log's recorded
+    file paths — which deferred archival guarantees still exist — with
+    no FileNotFoundException and no row loss (append sink is
+    at-least-once on replay, so duplicates are allowed; loss is not)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_replay_campaigns")
+    df = gen.gen_campaigns(spark, n=120, seed=11)
+    gen.write_landing_file(df, stream_dirs["landing"], "campaigns", "csv", "20230601")
+    landing_csv = f"{stream_dirs['landing']}/csv"
+
+    q = ingest.stream_landing_table(
+        spark, stream_dirs["landing"], "campaigns", "csv", schemas.CAMPAIGNS,
+        "raw_layer.r_replay_campaigns", stream_dirs["archive"], stream_dirs["ckpt"],
+    )
+    q.awaitTermination()  # batch 0 appended + pending recorded + committed
+    q.query.stop()  # release the checkpoint so the "restarted process" can own it
+
+    # --- crash simulation: the commit-log write never became durable ---
+    commit0 = os.path.join(stream_dirs["ckpt"], "commits", "0")
+    assert os.path.exists(commit0)
+    os.remove(commit0)
+    # a never-written commit has no Hadoop checksum twin either
+    crc0 = os.path.join(stream_dirs["ckpt"], "commits", ".0.crc")
+    if os.path.exists(crc0):
+        os.remove(crc0)
+
+    # archival bounded by the commit log must now refuse to move anything:
+    # the batch counts as uncommitted, its files must stay for the replay
+    assert q.flush_archive() == []
+    assert any(f.startswith("campaigns_") for f in os.listdir(landing_csv))
+    pending = f"{stream_dirs['archive']}/_pending"
+    assert os.listdir(pending)  # the pending record survives the crash
+
+    # --- restart: offset log has batch 0, commit log does not → replay ---
+    q2 = ingest.stream_landing_table(
+        spark, stream_dirs["landing"], "campaigns", "csv", schemas.CAMPAIGNS,
+        "raw_layer.r_replay_campaigns", stream_dirs["archive"], stream_dirs["ckpt"],
+    )
+    ingest.drain(q2)  # must not raise (no FileNotFoundException)
+
+    out = spark.table("raw_layer.r_replay_campaigns")
+    got = {r.campaign_id for r in out.select("campaign_id").collect()}
+    want = {r.campaign_id for r in df.select("campaign_id").collect()}
+    assert got == want  # zero row loss across the crash + replay
+    assert out.count() >= 120  # at-least-once: duplicates allowed, loss not
+    # replayed batch 0 is now durably committed → drain archived its files
+    assert any(f.startswith("campaigns_") for f in os.listdir(stream_dirs["archive"]))
+    assert not any(f.startswith("campaigns_") for f in os.listdir(landing_csv))
+    assert not os.path.exists(pending) or not os.listdir(pending)
+
+
 def test_parse_landing_filename(spark):
     df = spark.createDataFrame(
         [("/data/landing/csv/campaigns_20230601_ab12cd34.csv",)], ["path"]
