@@ -230,6 +230,29 @@ def capped_block_pairs(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = BANDS, rows: int = ROWS
+) -> DataFrame:
+    """Explode MinHash signatures into one row per band:
+    (id, minhash, band_idx, band_key). This IS the LSH index relation —
+    at production scale the existing corpus's banded table is persisted
+    (partitioned by ``band_idx``, bucketed by ``band_key``) and each new
+    batch joins against it instead of re-banding the corpus."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.array_join(F.slice(F.col("minhash"), b * rows + 1, rows), ","),
+    )
+    return sigs.select(
+        F.col(id_col), F.col("minhash"), F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+
+
+def _sig_match_frac(a: str, b: str) -> Column:
+    return F.size(
+        F.filter(F.zip_with(F.col(a), F.col(b), lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(NUM_HASHES))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = BANDS, rows: int = ROWS
 ) -> DataFrame:
@@ -239,32 +262,63 @@ def lsh_candidate_pairs(
     signature positions). Signatures are computed once (block-collect
     pair expansion, not a self-join); the cross-band DISTINCT runs on
     the compact (ids, frac) projection, not on signature arrays."""
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.array_join(F.slice(F.col("minhash"), b * rows + 1, rows), ","),
-    )
-    exploded = sigs.select(
-        F.col(id_col), F.col("minhash"), F.posexplode(band_arr).alias("band_idx", "band_key")
-    )
+    exploded = banded_signatures(sigs, id_col, bands, rows)
     pairs = within_block_pairs(
         exploded, ["band_idx", "band_key"], [id_col, "minhash"]
-    )
-    match_frac = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
-                ),
-                lambda v: v,
-            )
-        )
-        / F.lit(float(NUM_HASHES))
     )
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            match_frac.alias("sig_match_frac"),
+            _sig_match_frac("a.minhash", "b.minhash").alias("sig_match_frac"),
+        )
+        .distinct()
+    )
+
+
+def incremental_neardup_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = BANDS,
+    rows: int = ROWS,
+) -> DataFrame:
+    """Index-vs-batch near-dup detection: match a NEW batch of documents
+    against an EXISTING corpus without ever pairing the corpus against
+    itself. Returns (new_doc, corpus_doc, sig_match_frac) — one row per
+    candidate pair sharing at least one LSH band.
+
+    This is the daily-ingest shape at 100 TB: the existing side's banded
+    signature table (:func:`banded_signatures`) is the persistable LSH
+    index — built once, appended as batches commit — and each incoming
+    batch only pays (a) its own signatures and (b) one equi-join keyed
+    on (band_idx, band_key) against the index. Corpus-side work is
+    O(corpus) once, not O(corpus) per batch, and the batch side is
+    small enough that AQE turns the probe into a broadcast join. The
+    cross-band DISTINCT runs on the compact (ids, frac) projection."""
+    e = banded_signatures(
+        minhash_signatures(existing, id_col, text_col), id_col, bands, rows
+    ).select(
+        F.col(id_col).alias("corpus_doc"),
+        F.col("minhash").alias("sig_e"),
+        "band_idx",
+        "band_key",
+    )
+    n = banded_signatures(
+        minhash_signatures(new, id_col, text_col), id_col, bands, rows
+    ).select(
+        F.col(id_col).alias("new_doc"),
+        F.col("minhash").alias("sig_n"),
+        "band_idx",
+        "band_key",
+    )
+    return (
+        n.join(e, ["band_idx", "band_key"])
+        .select(
+            "new_doc",
+            "corpus_doc",
+            _sig_match_frac("sig_n", "sig_e").alias("sig_match_frac"),
         )
         .distinct()
     )
@@ -620,6 +674,49 @@ def dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_neardup_pairs(neardup_fixture(spark, sf_dir))
 
 
+_FRESH_PREFIX = "fresh document "
+_FRESH_SUFFIX = " entirely novel content alpha beta gamma"
+
+
+def incremental_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(existing corpus, new batch) for the incremental-dedup query:
+    the new batch plants near copies (``%5``, suffixed), exact copies
+    (``%13``), and genuinely fresh documents (``%11=3``, novel text that
+    shares no shingles with the corpus) — so the query must both find
+    the planted matches and NOT match the fresh docs."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    existing = docs.repartition(par, "doc_id")
+    near = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _NEAR_SUFFIX)))
+    )
+    exact = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    fresh = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(_FRESH_PREFIX),
+            F.col("doc_id").cast("string"),
+            F.lit(_FRESH_SUFFIX),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    new = near.unionAll(exact).unionAll(fresh).repartition(par, "doc_id")
+    return existing, new
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing, new = incremental_fixture(spark, sf_dir)
+    return incremental_neardup_pairs(existing, new)
+
+
 _VERIFIED_ORACLE = f"""
 WITH {MINHASH_PAIR_CTES},
 shs AS (
@@ -640,12 +737,49 @@ WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
     >= 0.5
 """
 
+_INCREMENTAL_ORACLE = f"""
+WITH existing AS (SELECT doc_id, text FROM documents),
+newb AS (
+  SELECT doc_id + 2000000 AS doc_id, concat(text, ' {_NEAR_SUFFIX}') AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 4000000,
+         concat('{_FRESH_PREFIX}', CAST(doc_id AS VARCHAR), '{_FRESH_SUFFIX}')
+  FROM documents WHERE doc_id % 11 = 3
+),
+she AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM existing),
+sige AS (SELECT doc_id, {_D_MINHASH} AS minhash FROM she),
+shn AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM newb),
+sign AS (SELECT doc_id, {_D_MINHASH} AS minhash FROM shn),
+xe AS (
+  SELECT doc_id, minhash, u.band AS band_idx,
+         array_to_string(minhash[u.band*{ROWS}+1 : u.band*{ROWS}+{ROWS}], ',')
+           AS band_key
+  FROM sige, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band) u
+),
+xn AS (
+  SELECT doc_id, minhash, u.band AS band_idx,
+         array_to_string(minhash[u.band*{ROWS}+1 : u.band*{ROWS}+{ROWS}], ',')
+           AS band_key
+  FROM sign, (SELECT unnest(generate_series(0, {BANDS - 1})) AS band) u
+)
+SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS corpus_doc,
+  list_sum(list_transform(generate_series(1, {NUM_HASHES}),
+    i -> CASE WHEN n.minhash[i] = e.minhash[i] THEN 1 ELSE 0 END))
+    / {float(NUM_HASHES)} AS sig_match_frac
+FROM xn n JOIN xe e
+  ON n.band_idx = e.band_idx AND n.band_key = e.band_key
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_verified": dedup_verified,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -654,4 +788,5 @@ ORACLES = {
     "dedup_simhash": _SIMHASH_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_verified": _VERIFIED_ORACLE,
+    "dedup_incremental": _INCREMENTAL_ORACLE,
 }

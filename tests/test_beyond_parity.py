@@ -42,6 +42,32 @@ def test_minhash_lsh_recall_on_planted_neardups(spark):
     assert (exact_pairs.sig_match_frac == 1.0).all()
 
 
+def test_incremental_dedup_matches_planted_and_skips_fresh(spark):
+    """Index-vs-batch LSH: planted near/exact copies in the new batch
+    match their corpus source; fresh (novel-text) docs match nothing."""
+    pairs = dedup.dedup_incremental(spark, SF_SMOKE).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    ids = set(docs.doc_id)
+    # every exact copy (%13, +3M) must hit exactly its source with frac 1.0
+    exact_src = {i for i in ids if i % 13 == 0}
+    exact_hits = pairs[pairs.new_doc.between(3_000_000, 3_999_999)]
+    hit_map = {int(r.new_doc) - 3_000_000 for _, r in exact_hits.iterrows()
+               if r.corpus_doc == r.new_doc - 3_000_000}
+    assert hit_map == exact_src
+    assert (exact_hits[exact_hits.corpus_doc == exact_hits.new_doc - 3_000_000]
+            .sig_match_frac == 1.0).all()
+    # near copies (%5, +2M) recall their source at >=0.9
+    near_src = {i for i in ids if i % 5 == 0}
+    near_found = {int(r.new_doc) - 2_000_000 for _, r in
+                  pairs[pairs.new_doc.between(2_000_000, 2_999_999)].iterrows()
+                  if r.corpus_doc == r.new_doc - 2_000_000}
+    assert len(near_found & near_src) / max(len(near_src), 1) >= 0.9
+    # fresh docs (+4M) are false-positive-free
+    assert (pairs.new_doc < 4_000_000).all()
+    # asymmetry: corpus docs never appear on the new side
+    assert pairs.new_doc.min() >= 2_000_000
+
+
 def test_simhash_hamming_zero_for_exact_copies(spark):
     pairs = dedup.dedup_simhash(spark, SF_SMOKE).toPandas()
     exact = pairs[(pairs.doc_b - pairs.doc_a == 500_000) & (pairs.doc_a < 500_000)]
