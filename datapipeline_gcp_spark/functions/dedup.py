@@ -717,6 +717,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup_pairs(existing, new)
 
 
+SUBSTR_WINDOW = 8
+
+
+def substring_dup_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SUBSTR_WINDOW,
+) -> DataFrame:
+    """Cross-document exact-substring duplication scoring: hash every
+    ``window``-token sliding window, call a window *duplicated* when its
+    hash occurs in ≥2 distinct documents, and score each document by
+    the fraction of its windows that are duplicated. Returns
+    (doc_id, n_windows, n_dup_windows, dup_frac).
+
+    This is the exact-substring companion to shingle-Jaccard near-dup:
+    Jaccard finds mostly-similar document PAIRS; this finds documents
+    carrying verbatim repeated passages (boilerplate, licenses, mirrored
+    paragraphs) even when the documents as a whole are unrelated — the
+    signal used to surgically remove repeated spans from LLM training
+    corpora rather than drop whole documents.
+
+    Scale shape: windows explode to one row per (doc, position) — the
+    corpus's token count, the same cardinality every tokenizing op here
+    handles. Three shuffles, all partial-aggregated: count distinct
+    docs per window-hash, semi-join the duplicated hashes back (AQE
+    broadcasts when the dup set is small), count per doc. Window
+    hashing is md5-based integer math (engine-identical); short
+    documents (< window tokens) yield one shorter window, mirroring the
+    shingle rule."""
+    toks = df.withColumn("_toks", F.split(normalized(F.col(text_col)), " "))
+    exploded = toks.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(grams_of(F.col("_toks"), window), base_hash)
+        ).alias("wh"),
+    )
+    dup = (
+        exploded.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    tot = exploded.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    dups = (
+        exploded.join(dup, "wh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    return tot.join(dups, id_col, "left").select(
+        F.col(id_col),
+        "n_windows",
+        F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias(
+            "n_dup_windows"
+        ),
+        (
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("double")
+            / F.col("n_windows").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_scores(neardup_fixture(spark, sf_dir))
+
+
 _VERIFIED_ORACLE = f"""
 WITH {MINHASH_PAIR_CTES},
 shs AS (
@@ -773,6 +839,28 @@ FROM xn n JOIN xe e
   ON n.band_idx = e.band_idx AND n.band_key = e.band_key
 """
 
+_SUBSTR_ORACLE = f"""
+WITH fixture AS ({_FIXTURE_SQL}),
+w AS (
+  SELECT doc_id,
+         list_transform({d_shingles_sql(SUBSTR_WINDOW, distinct=False)},
+                        s -> {_D_BH.format(s='s')}) AS ws
+  FROM fixture
+),
+x AS (SELECT doc_id, unnest(ws) AS wh FROM w),
+dup AS (SELECT wh FROM x GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM x GROUP BY doc_id),
+dd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+  FROM x JOIN dup USING (wh) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_windows,
+       COALESCE(d.n_dup_windows, 0) AS n_dup_windows,
+       CAST(COALESCE(d.n_dup_windows, 0) AS DOUBLE)
+         / CAST(t.n_windows AS DOUBLE) AS dup_frac
+FROM tot t LEFT JOIN dd d ON t.doc_id = d.doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -780,6 +868,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_verified": dedup_verified,
     "dedup_incremental": dedup_incremental,
+    "dedup_substring": dedup_substring,
 }
 
 ORACLES = {
@@ -789,4 +878,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
     "dedup_verified": _VERIFIED_ORACLE,
     "dedup_incremental": _INCREMENTAL_ORACLE,
+    "dedup_substring": _SUBSTR_ORACLE,
 }

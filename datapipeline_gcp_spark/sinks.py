@@ -96,6 +96,42 @@ def overwrite_partitions(
             df.write.format(fmt).mode("overwrite").insertInto(table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and optionally sort-within-bucket)
+    catalog table — the co-located-join storage layout (SCALE.md
+    "what we'd change first on a real cluster" #1).
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle: each task reads matching bucket files from both
+    sides, so the join is a per-bucket local hash/merge join. At 100 TB
+    that removes the dominant Exchange from every recurring
+    raw→master-shape join; the write pays one clustering shuffle ONCE,
+    then every downstream join of any two co-bucketed tables is
+    exchange-free (proved by the plan assertion in
+    ``tests/test_scale_utils.py``). Sorting within buckets additionally
+    lets Spark pick a sort-merge join with no Sort node.
+
+    ``n_buckets`` should be sized so one bucket of the biggest table
+    fits an executor core's working memory (same arithmetic as shuffle
+    partitions — at 100 TB / 1000 buckets ≈ 100 GB per bucket: too big;
+    pick thousands. Bucket counts must MATCH across tables you intend
+    to co-join).
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    with _table_lock(table):
+        writer.saveAsTable(table)
+
+
 def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = None) -> None:
     """Compute table (and optionally column) statistics for the
     cost-based optimizer. At 100 TB, join reordering and broadcast

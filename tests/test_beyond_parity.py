@@ -68,6 +68,27 @@ def test_incremental_dedup_matches_planted_and_skips_fresh(spark):
     assert pairs.new_doc.min() >= 2_000_000
 
 
+def test_substring_dup_scores_semantics(spark):
+    """Exact copies are 100% duplicated windows; near copies (suffix
+    added) score high but below the pure-copy region; counts are
+    internally consistent."""
+    scores = dedup.dedup_substring(spark, SF_SMOKE).toPandas()
+    assert (scores.n_dup_windows <= scores.n_windows).all()
+    assert ((scores.dup_frac >= 0) & (scores.dup_frac <= 1)).all()
+    exact = scores[scores.doc_id.between(500_000, 999_999)]
+    assert len(exact) > 0 and (exact.dup_frac == 1.0).all()
+    near = scores[scores.doc_id >= 1_000_000]
+    assert len(near) > 0 and (near.dup_frac > 0.2).all()
+    # long near copies: the shared prefix dominates their window set
+    near_long = near[near.n_windows >= 20]
+    assert len(near_long) > 0 and (near_long.dup_frac > 0.75).all()
+    # a source with only full 8-token windows (>=9 tokens) is a verbatim
+    # prefix of its near copy, so EVERY window recurs: dup_frac exactly 1
+    src_ids = {i - 1_000_000 for i in near.doc_id}
+    srcs = scores[scores.doc_id.isin(src_ids) & (scores.n_windows >= 2)]
+    assert len(srcs) > 0 and (srcs.dup_frac == 1.0).all()
+
+
 def test_simhash_hamming_zero_for_exact_copies(spark):
     pairs = dedup.dedup_simhash(spark, SF_SMOKE).toPandas()
     exact = pairs[(pairs.doc_b - pairs.doc_a == 500_000) & (pairs.doc_a < 500_000)]

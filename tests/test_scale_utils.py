@@ -124,3 +124,53 @@ def test_permissive_jsonl_quarantines_corrupt_lines(spark, tmp_path):
 
     with _pytest.raises(Exception):
         readers.read_jsonl(spark, str(path), schema).collect()
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Co-bucketed tables must join shuffle-free: the physical plan has
+    no Exchange on either join side (the whole point of paying the
+    clustering shuffle once at write time), and results equal the
+    plain-join ground truth."""
+    from datapipeline_gcp_spark import sinks
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS scratch")
+    for t in ("scratch.b_orders", "scratch.b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    t = schemas.load_testdata(spark, SF_SMOKE, ("orders", "lineitem"))
+    sinks.write_bucketed(
+        t["orders"], "scratch.b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    sinks.write_bucketed(
+        t["lineitem"], "scratch.b_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    bo, bl = spark.table("scratch.b_orders"), spark.table("scratch.b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+        "o_orderdate"
+    ).agg(F.count("*").alias("n"))
+    # disable auto-broadcast: at test scale the sides fit a broadcast,
+    # which hides the property under test — at 100 TB neither side would
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed scans already satisfy the join's required distribution:
+        # the ONLY hash exchange allowed is the groupBy on o_orderdate —
+        # the join itself (sort-merge over bucketed reads) is shuffle-free
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, (
+            f"bucketed join shuffled:\n{plan}"
+        )
+        assert "Exchange hashpartitioning(o_orderdate" in plan
+        got = {(r.o_orderdate, r.n) for r in joined.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # correctness: same result as the unbucketed join
+    plain = (
+        t["orders"].join(
+            t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey
+        ).groupBy("o_orderdate").agg(F.count("*").alias("n"))
+    )
+    want = {(r.o_orderdate, r.n) for r in plain.collect()}
+    assert got == want
