@@ -1,0 +1,97 @@
+"""Plan-shape regression guards: the perf audits in SCALE.md/COVERAGE.md
+assert specific physical-plan properties (filters pushed to the parquet
+scan, dimensions broadcast, no Expand before the first exchange, top-k
+via TakeOrderedAndProject). These tests pin them so a refactor that
+silently regresses a plan fails CI, not the next benchmark round.
+
+All assertions run on the UNEXECUTED plan string at sf0.01 — planning
+only, no job, so the whole module costs seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipeline_gcp_spark import registry
+
+from tests.conftest import SF_CORRECTNESS
+
+_QUERIES = registry.all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    df = _QUERIES[name](spark, SF_CORRECTNESS)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_filter_project_pushes_predicate(spark):
+    plan = _plan(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # the pushdown section must actually carry the shipdate predicate
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_master_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "master_join")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan  # nothing shuffles at this shape
+
+
+def test_b_product_performance_single_distinct_no_expand(spark):
+    """Catalyst's single-distinct rewrite pre-aggregates on the group
+    keys + transaction_id; the Expand-based multi-distinct plan (full
+    row replication) must never come back."""
+    plan = _plan(spark, "b_product_performance")
+    assert "Expand" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Per-group top-k must plan WindowGroupLimit (rank pushdown), not a
+    full sort of every group."""
+    plan = _plan(spark, "topk_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_graph_pagerank_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "graph_pagerank")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_weighted_sample_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "corpus_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q9_broadcasts_every_dimension(spark):
+    """q9's five dimension joins (part, supplier, nation, the derived
+    partsupp CTE, orders) all broadcast — lineitem streams through one
+    pipeline with no SortMergeJoin."""
+    plan = _plan(spark, "tpch_q9")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_profiler_has_no_expand(spark):
+    """The per-column pruned-scan profiler replaced the Expand(×N+1)
+    full-width sort-aggregate plan (27 s → 3 s); keep it that way: no
+    Expand anywhere, and one independent pruned scan per profiled column
+    (keyless SortAggregates over the tiny post-aggregation relations are
+    fine — the pathology was sorting the full-width fact table)."""
+    plan = _plan(spark, "lineitem_profile")
+    assert "Expand" not in plan, plan
+    assert plan.count("Scan parquet") >= 10, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["b_sales_kpi", "b_performance_metrics", "b_customer_retention"],
+)
+def test_kpi_aggregates_read_pruned_master_columns(spark, name):
+    """Column pruning must reach the scans: no KPI aggregate may read
+    every column of orders/lineitem (ReadSchema stays narrow)."""
+    plan = _plan(spark, name)
+    for section in plan.split("ReadSchema: ")[1:]:
+        schema = section.splitlines()[0]
+        n_cols = schema.count(":")
+        assert n_cols <= 6, f"{name} scan reads {n_cols} columns: {schema}"
