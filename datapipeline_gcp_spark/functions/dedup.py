@@ -717,6 +717,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup_pairs(existing, new)
 
 
+def build_lsh_index(
+    corpus: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's banded MinHash signatures as a catalog
+    table bucketed on ``band_key`` — the persistent LSH index for
+    :func:`probe_lsh_index`. Built once per corpus (append new batches
+    with ``mode="append"`` after they clear dedup), it amortizes the
+    corpus-side signature + banding work across every future batch:
+    daily ingest pays O(batch), never O(corpus). Bucketing by band_key
+    pre-clusters the probe join's key so a large probe side co-partitions
+    cheaply; a small one broadcasts regardless."""
+    from datapipeline_gcp_spark import sinks
+
+    banded = banded_signatures(minhash_signatures(corpus, id_col, text_col), id_col)
+    sinks.write_bucketed(
+        banded, table, ["band_key"], n_buckets, mode=mode
+    )
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    table: str,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Match a new batch against a persisted LSH index (the table
+    written by :func:`build_lsh_index`): returns (new_doc, corpus_doc,
+    sig_match_frac) — identical semantics to
+    :func:`incremental_neardup_pairs`, with the corpus side read from
+    the index table instead of recomputed."""
+    e = spark.table(table).select(
+        F.col(id_col).alias("corpus_doc"),
+        F.col("minhash").alias("sig_e"),
+        "band_idx",
+        "band_key",
+    )
+    n = banded_signatures(minhash_signatures(new, id_col, text_col), id_col).select(
+        F.col(id_col).alias("new_doc"),
+        F.col("minhash").alias("sig_n"),
+        "band_idx",
+        "band_key",
+    )
+    return (
+        n.join(e, ["band_idx", "band_key"])
+        .select(
+            "new_doc",
+            "corpus_doc",
+            _sig_match_frac("sig_n", "sig_e").alias("sig_match_frac"),
+        )
+        .distinct()
+    )
+
+
 SUBSTR_WINDOW = 8
 
 

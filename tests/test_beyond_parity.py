@@ -68,6 +68,37 @@ def test_incremental_dedup_matches_planted_and_skips_fresh(spark):
     assert pairs.new_doc.min() >= 2_000_000
 
 
+def test_persisted_lsh_index_matches_direct_incremental(spark):
+    """build_lsh_index → probe_lsh_index across two batches gives the
+    same pairs as the direct (recompute-everything) incremental op —
+    the index table is a faithful, reusable stand-in for the corpus."""
+    from datapipeline_gcp_spark.functions.dedup import (
+        build_lsh_index, incremental_fixture, incremental_neardup_pairs,
+        probe_lsh_index,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS scratch")
+    spark.sql("DROP TABLE IF EXISTS scratch.lsh_index")
+    existing, new = incremental_fixture(spark, SF_SMOKE)
+    build_lsh_index(existing, "scratch.lsh_index", n_buckets=8)
+
+    direct = incremental_neardup_pairs(existing, new).toPandas()
+    # split the batch in two and probe the SAME index twice — no
+    # corpus-side recomputation between batches
+    b1 = new.filter(F.col("doc_id") % 2 == 0)
+    b2 = new.filter(F.col("doc_id") % 2 == 1)
+    via_index = pytest.importorskip("pandas").concat(
+        [
+            probe_lsh_index(spark, "scratch.lsh_index", b1).toPandas(),
+            probe_lsh_index(spark, "scratch.lsh_index", b2).toPandas(),
+        ]
+    )
+    key = ["new_doc", "corpus_doc", "sig_match_frac"]
+    got = sorted(map(tuple, via_index[key].itertuples(index=False)))
+    want = sorted(map(tuple, direct[key].itertuples(index=False)))
+    assert got == want
+
+
 def test_substring_dup_scores_semantics(spark):
     """Exact copies are 100% duplicated windows; near copies (suffix
     added) score high but below the pure-copy region; counts are
