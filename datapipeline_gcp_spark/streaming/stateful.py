@@ -44,6 +44,144 @@ def streaming_distinct_within_watermark(
     )
 
 
+def streaming_sessionize_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom sessionization with ``applyInPandasWithState`` + event-time
+    timeout — the hand-rolled twin of ``windows.streaming_session``
+    (built-in ``session_window``), kept as the template for session
+    semantics the built-in can't express (per-session early results,
+    custom merge rules, session-scoped model state).
+
+    Emits one row per FINAL session: (key, session_start,
+    session_end = last event + gap, n_events, total_value). A session is
+    final only when the event-time watermark has passed its end — no
+    late event can extend it — which the operator guarantees two ways:
+    rows arriving in a batch are merged with the buffered events and
+    re-scanned, and keys with NO new rows are woken by an event-time
+    TIMEOUT set to the open session's end, so quiet keys still emit
+    (the part a naive foreachBatch implementation gets wrong).
+
+    State per key is the (ts, value) buffer of events not yet in a final
+    session — bounded by the watermark horizon plus the open session,
+    NOT by stream length. Out-of-order events within the watermark are
+    handled exactly: the merge+rescan recomputes session boundaries from
+    the sorted union, so an in-horizon straggler can split or bridge
+    sessions just as the built-in does."""
+    gap_ms = _duration_ms(gap)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ts_ms", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        wm = state.getCurrentWatermarkMs()
+        ts_ms: list[int] = []
+        vals: list[float] = []
+        if state.exists:
+            old = state.get
+            ts_ms.extend(int(t) for t in old[0])
+            vals.extend(float(v) for v in old[1])
+        for pdf in pdf_iter:
+            if len(pdf):
+                t = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+                )
+                ts_ms.extend(int(x) for x in t)
+                vals.extend(float(v) for v in pdf[value_col])
+        if not ts_ms:
+            state.remove()
+            return
+        order = sorted(range(len(ts_ms)), key=lambda i: (ts_ms[i], vals[i]))
+        ts_ms = [ts_ms[i] for i in order]
+        vals = [vals[i] for i in order]
+        # split the sorted union into sessions by the gap rule
+        sessions: list[tuple[int, int]] = []  # [start_idx, end_idx)
+        start = 0
+        for i in range(1, len(ts_ms)):
+            if ts_ms[i] - ts_ms[i - 1] >= gap_ms:
+                sessions.append((start, i))
+                start = i
+        sessions.append((start, len(ts_ms)))
+        rows = []
+        keep_from = len(ts_ms)
+        first_pending_end = None
+        for lo, hi in sessions:
+            end_ms = ts_ms[hi - 1] + gap_ms
+            if end_ms < wm:  # final: watermark passed the session end
+                rows.append(
+                    (
+                        key[0],
+                        pd.Timestamp(ts_ms[lo], unit="ms"),
+                        pd.Timestamp(end_ms, unit="ms"),
+                        hi - lo,
+                        float(sum(vals[lo:hi])),
+                    )
+                )
+            else:
+                keep_from = min(keep_from, lo)
+                if first_pending_end is None:
+                    first_pending_end = end_ms
+        if keep_from < len(ts_ms):
+            state.update((ts_ms[keep_from:], vals[keep_from:]))
+            # wake this key as soon as the EARLIEST pending session could
+            # become final, even if no further rows ever arrive — waking
+            # on the latest would starve earlier closed-but-unemitted
+            # sessions. (Timeouts must sit strictly beyond the current
+            # watermark.)
+            state.setTimeoutTimestamp(max(first_pending_end, wm + 1))
+        else:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    key_col, "session_start", "session_end", "n_events",
+                    "total_value",
+                ],
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(spec: str) -> int:
+    qty, unit = spec.split()
+    scale = {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    return int(qty) * scale
+
+
 def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -121,3 +121,84 @@ def test_dropduplicates_within_watermark_stream(spark, tmp_path):
     )
     out2 = run()
     assert sorted(zip(out2.user_id, out2.event_id)) == [(3, 300)]
+
+
+def test_stateful_sessionize_emits_final_sessions_with_timeout(spark, tmp_path):
+    """Custom applyInPandasWithState sessionization: sessions emit only
+    once the watermark passes their end; keys with NO new rows are woken
+    by the event-time timeout (the quiet-key path a foreachBatch
+    implementation misses); state + watermark survive the checkpointed
+    restart between runs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from datapipeline_gcp_spark.streaming.stateful import (
+        streaming_sessionize_stateful,
+    )
+
+    schema = "user_id bigint, ts timestamp, value double"
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: dt.timedelta(minutes=k)  # noqa: E731
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    emissions = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_sessionize_stateful(
+                stream, gap="10 minutes", watermark="30 minutes"
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: emissions.append(df.toPandas()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two users with open sessions + a clock key; watermark ends
+    # at t0-10m, so nothing can be final yet
+    write(
+        [
+            (1, t0, 1.0),
+            (1, t0 + m(5), 2.0),     # same session (gap < 10m)
+            (2, t0 + m(2), 3.0),
+            (99, t0 + m(20), 0.0),   # clock key
+        ]
+    )
+    run()
+
+    # run 2: user 1 starts a NEW session (60m later); the clock key
+    # advances the watermark to t0+90m. user 2 gets no rows at all —
+    # only the event-time timeout can emit its session.
+    write([(1, t0 + m(60), 4.0), (99, t0 + m(120), 0.0)])
+    run()
+    # run 3: no new data — replays from the checkpoint let the advanced
+    # watermark fire any remaining timeouts
+    run()
+
+    out = pd.concat([e for e in emissions if len(e)]) if any(
+        len(e) for e in emissions
+    ) else pd.DataFrame()
+    got = {
+        (r.user_id, r.session_start.to_pydatetime(),
+         r.session_end.to_pydatetime(), r.n_events, r.total_value)
+        for r in out.itertuples(index=False)
+    }
+    want = {
+        (1, t0, t0 + m(15), 2, 3.0),             # batch-1 session, both events
+        (1, t0 + m(60), t0 + m(70), 1, 4.0),     # batch-2 session
+        (2, t0 + m(2), t0 + m(12), 1, 3.0),      # quiet key — timeout path
+        (99, t0 + m(20), t0 + m(30), 1, 0.0),    # clock key's first tick
+    }
+    assert got == want, f"got {sorted(got)}"
+    # nothing was emitted twice across the three checkpointed runs
+    assert len(out) == len(got)
