@@ -342,14 +342,125 @@ GROUP BY host
 """
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (document-frequency rule)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 5
+BOILER_HEADER = "subscribe to our newsletter today for updates."
+
+
+def boilerplate_line_scores(
+    df: DataFrame,
+    doc_id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: a line is boilerplate when it
+    occurs in ≥ ``min_docs`` DISTINCT documents (site headers, cookie
+    banners, license blurbs — the lines C4/RefinedWeb-style pipelines
+    strip by document frequency, which no single-document rule can
+    catch). Returns (doc_id, n_lines, n_boiler_lines, boiler_frac).
+
+    Scale shape: explode to one row per (doc, line) — line-count
+    cardinality, same as every tokenizing op — then one hash aggregate
+    on the line for the distinct-doc count, a semi-join of the flagged
+    lines back (AQE broadcasts: the boilerplate set is tiny by
+    definition), and a per-doc count. All three shuffles partial-
+    aggregate; nothing is quadratic."""
+    lines = F.col(lines_col)
+    exploded = df.select(doc_id_col, F.explode_outer(lines).alias("line"))
+    boiler = (
+        exploded.groupBy("line")
+        .agg(F.countDistinct(doc_id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    tot = df.select(doc_id_col, F.size(lines).alias("n_lines"))
+    hits = (
+        exploded.join(boiler, "line")
+        .groupBy(doc_id_col)
+        .agg(F.count("*").alias("n_boiler_lines"))
+    )
+    return tot.join(hits, doc_id_col, "left").select(
+        doc_id_col,
+        "n_lines",
+        F.coalesce(F.col("n_boiler_lines"), F.lit(0).cast("long")).alias(
+            "n_boiler_lines"
+        ),
+        (
+            F.coalesce(F.col("n_boiler_lines"), F.lit(0)).cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("boiler_frac"),
+    )
+
+
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture: the planted-lines documents, with a shared header line
+    prepended to every 4th document — the cross-document repeat the
+    frequency rule must flag (and per-doc word salad it must not)."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    lined = _with_planted_lines(docs)
+    with_header = lined.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.array(F.lit(BOILER_HEADER)), F.col("lines")),
+        )
+        .otherwise(F.col("lines"))
+        .alias("lines"),
+    )
+    return boilerplate_line_scores(with_header)
+
+
+_BOILER_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, greatest(CAST(ceil(len(toks) / {LINE_TOKENS}e0) AS INT), 1) - 1),
+           i -> array_to_string(list_slice(toks, i * {LINE_TOKENS} + 1, i * {LINE_TOKENS} + {LINE_TOKENS}), ' ')
+                || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+         ) AS lines
+  FROM toked
+),
+withhdr AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN list_prepend('{BOILER_HEADER}', lines)
+              ELSE lines END AS lines
+  FROM lined
+),
+x AS (SELECT doc_id, unnest(lines) AS line FROM withhdr),
+boiler AS (
+  SELECT line FROM x GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+tot AS (SELECT doc_id, len(lines) AS n_lines FROM withhdr),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler_lines
+  FROM x JOIN boiler USING (line) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(h.n_boiler_lines, 0) AS n_boiler_lines,
+       CAST(COALESCE(h.n_boiler_lines, 0) AS DOUBLE)
+         / CAST(t.n_lines AS DOUBLE) AS boiler_frac
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
 QUERIES = {
     "text_pii_redaction": text_pii_redaction,
     "text_line_filter": text_line_filter,
     "web_domain_caps": web_domain_caps,
+    "text_boilerplate_lines": text_boilerplate_lines,
 }
 
 ORACLES = {
     "text_pii_redaction": _PII_ORACLE,
     "text_line_filter": _LINE_ORACLE,
     "web_domain_caps": _DOMAIN_ORACLE,
+    "text_boilerplate_lines": _BOILER_ORACLE,
 }

@@ -917,6 +917,65 @@ LIMIT {WSAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Length-outlier filtering (per-language percentile bounds)
+# ---------------------------------------------------------------------------
+
+LENGTH_P_LO, LENGTH_P_HI = 0.05, 0.95
+
+
+def length_outlier_filter(
+    df: DataFrame,
+    strata_col: str = "lang",
+    length_col: str = "n_chars",
+    p_lo: float = LENGTH_P_LO,
+    p_hi: float = LENGTH_P_HI,
+) -> DataFrame:
+    """Flag documents whose length falls outside the [p5, p95] band of
+    their OWN language — the standard length-outlier cut (truncated
+    boilerplate at the short end, concatenation junk at the long end).
+    Absolute thresholds misfire across languages (CJK chars ≠ Latin
+    chars per token); per-stratum percentiles adapt automatically.
+
+    Returns every row with its stratum bounds and a ``keep`` flag (the
+    caller filters — keeping the flag makes the cut auditable). Bounds
+    are exact interpolated percentiles rounded at 6 dp on BOTH engines
+    so the keep decision can't flip on 1-ulp interpolation differences.
+    One aggregate per stratum (few rows, broadcast back), one scan."""
+    stats = df.groupBy(strata_col).agg(
+        qround(F.percentile(length_col, F.lit(p_lo)), 6).alias("len_lo"),
+        qround(F.percentile(length_col, F.lit(p_hi)), 6).alias("len_hi"),
+    )
+    return df.join(F.broadcast(stats), strata_col).select(
+        "doc_id",
+        strata_col,
+        F.col(length_col),
+        "len_lo",
+        "len_hi",
+        (
+            (F.col(length_col) >= F.col("len_lo"))
+            & (F.col(length_col) <= F.col("len_hi"))
+        ).alias("keep"),
+    )
+
+
+def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_outlier_filter(_docs(spark, sf_dir))
+
+
+_LENGTH_ORACLE = f"""
+WITH stats AS (
+  SELECT lang,
+         {sql_qround(f'quantile_cont(n_chars, {LENGTH_P_LO})', 6)} AS len_lo,
+         {sql_qround(f'quantile_cont(n_chars, {LENGTH_P_HI})', 6)} AS len_hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, s.len_lo, s.len_hi,
+       d.n_chars >= s.len_lo AND d.n_chars <= s.len_hi AS keep
+FROM documents d JOIN stats s ON d.lang = s.lang
+"""
+
+
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
@@ -930,6 +989,7 @@ QUERIES = {
     "doc_chunking": doc_chunking,
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_vocab_topk": corpus_vocab_topk,
+    "corpus_length_filter": corpus_length_filter,
 }
 
 ORACLES = {
@@ -945,4 +1005,5 @@ ORACLES = {
     "doc_chunking": _CHUNK_ORACLE,
     "corpus_stratified_sample": _SAMPLE_ORACLE,
     "corpus_vocab_topk": _VOCAB_ORACLE,
+    "corpus_length_filter": _LENGTH_ORACLE,
 }

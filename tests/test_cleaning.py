@@ -123,3 +123,48 @@ def test_web_domain_caps_hot_vs_tail(spark):
     # the long tail stays under the cap and is untouched
     assert (tail.n_kept == tail.n_docs).all()
     assert (out.n_kept <= out.n_docs).all()
+
+
+def test_boilerplate_lines_crafted(spark):
+    """The document-frequency rule flags lines shared by >= min_docs
+    docs and nothing else; per-doc counts follow exactly."""
+    hdr = "shared header line."
+    rows = [(i, [hdr, f"unique content line {i}."]) for i in range(6)]
+    rows.append((99, ["only unique text here."]))
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = cleaning.boilerplate_line_scores(df, min_docs=5).toPandas()
+    shared = out[out.doc_id < 6]
+    assert (shared.n_boiler_lines == 1).all()
+    assert (shared.n_lines == 2).all()
+    assert (shared.boiler_frac == 0.5).all()
+    solo = out[out.doc_id == 99]
+    assert (solo.n_boiler_lines == 0).all() and (solo.boiler_frac == 0.0).all()
+
+
+def test_boilerplate_threshold_binds(spark):
+    """A line shared by fewer than min_docs docs must NOT be flagged."""
+    hdr = "almost shared line."
+    rows = [(i, [hdr]) for i in range(4)]  # 4 < min_docs=5
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    out = cleaning.boilerplate_line_scores(df, min_docs=5).toPandas()
+    assert (out.n_boiler_lines == 0).all()
+
+
+def test_length_outlier_filter_crafted(spark):
+    """Per-stratum bounds: an outlier in one language is judged by its
+    OWN language's distribution, not the global one."""
+    from datapipeline_gcp_spark.functions.corpus import length_outlier_filter
+
+    rows = [(i, "en", 100 + i) for i in range(100)]          # en: 100..199
+    rows += [(1000 + i, "de", 10_000 + i) for i in range(100)]  # de: 10000..
+    rows.append((5000, "en", 10_050))  # long for en, normal for de
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    out = length_outlier_filter(df).toPandas()
+    # the en outlier is dropped even though its length is ordinary in de
+    assert out.loc[out.doc_id == 5000, "keep"].iloc[0] == False  # noqa: E712
+    # bulk of each stratum survives
+    en = out[(out.lang == "en") & (out.doc_id != 5000)]
+    de = out[out.lang == "de"]
+    assert en.keep.mean() > 0.85 and de.keep.mean() > 0.85
+    # bounds are per-stratum
+    assert en.len_hi.iloc[0] < de.len_lo.iloc[0]
