@@ -202,21 +202,35 @@ def pagerank(
     plan is then identical to the dangling-free formulation, keeping the
     registered ``graph_pagerank`` oracle bit-identical.
 
-    The graph structure (edges, out-degrees, node list) is materialized
-    with ``localCheckpoint`` before the loop — every iteration reads
-    all three, and without the checkpoint each round re-executes the
-    whole upstream edge-derivation pipeline (measured 37 s → 9 s at
-    sf0.1 for a 3-iteration run; same lineage-truncation policy as
-    ``connected_components``)."""
+    The graph structure is materialized with ``localCheckpoint`` before
+    the loop — every iteration reads it, and without the checkpoint each
+    round re-executes the whole upstream edge-derivation pipeline
+    (measured 37 s → 9 s at sf0.1 for a 3-iteration run; same
+    lineage-truncation policy as ``connected_components``). The
+    loop-invariant ``edges ⋈ outdeg`` join is hoisted out of the loop
+    and checkpointed as ``edges_deg`` (one fact-scale join total instead
+    of one per iteration), and in the ``assume_no_dangling`` case the
+    node list is read straight off ``outdeg`` (its srcs are the node
+    set, already distinct) instead of a union+distinct over the edge
+    list (measured 8.9 s → 6.0 s solo at sf0.1)."""
     edges = edges.localCheckpoint()
-    outdeg = (
-        edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    ).localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    ).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # The per-edge (src, dst, outdeg) triple is loop-invariant — join it
+    # ONCE here instead of once per iteration (hoisting a fact-scale join
+    # out of the BSP loop; at 100 TB this saves iters−1 shuffles of the
+    # edge table).
+    edges_deg = edges.join(outdeg, "src").localCheckpoint()
+    outdeg = outdeg.localCheckpoint()
+    if assume_no_dangling:
+        # every node has an out-edge ⇒ outdeg's srcs ARE the node set —
+        # already distinct by construction, no union+distinct shuffle
+        nodes = outdeg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        ).localCheckpoint()
     if n_nodes is None:
         n_nodes = nodes.count()
     # Structural dangling check: one metadata-scale probe before the
@@ -237,8 +251,7 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            edges_deg.join(rank.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst"),
                 F.floor(
