@@ -976,6 +976,221 @@ FROM documents d JOIN stats s ON d.lang = s.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (multilingual/multi-source mixing)
+# ---------------------------------------------------------------------------
+
+#: token budget the mixture is solved for (documents-table scale; at real
+#: scale this is the training-run token budget, e.g. 15e12)
+MIX_BUDGET_TOKENS = 1_000_000
+#: mixture temperature α — weights ∝ n^α. α=0.5 (sqrt) both matches
+#: common practice (UnifiedQA/mT5 use α∈[0.2,0.7]) and keeps the oracle
+#: bitwise: IEEE sqrt is correctly rounded in every engine, while pow's
+#: libm rounding is not guaranteed identical across JVM and C runtimes.
+MIX_ALPHA_IS_SQRT = True
+
+
+def mixture_weights(df: DataFrame, budget: int = MIX_BUDGET_TOKENS) -> DataFrame:
+    """Temperature-scaled mixing weights per source: w_s ∝ sqrt(n_s)
+    where n_s is the source's total token count — the standard upweight
+    of low-resource sources when composing a training mixture. Returns
+    (source, n_docs, n_tokens, weight, target_tokens, epochs): the token
+    budget each source gets under the mixture and how many passes over
+    the source that implies (epochs > 1 ⇒ the mixture repeats it).
+
+    Determinism: sqrt(n_s) is floor-quantized to 1e-6 and summed as
+    BIGINT (order-free exact reduction — the source count is small, but
+    a plain double sum over even 4 values is order-sensitive in the last
+    ulp), then each weight is ONE division of two deterministic numbers.
+    One corpus aggregate (partial+final, map-side combined); everything
+    after runs on the sources-sized table.
+    """
+    per_src = df.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    qs = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6)).cast(
+        "bigint"
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = per_src.withColumn("qs", qs).withColumn(
+        "qtotal", F.sum("qs").over(w_all)
+    )
+    weight = F.col("qs").cast("double") / F.col("qtotal").cast("double")
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        qround(weight, 9).alias("weight"),
+        F.floor(weight * F.lit(float(budget))).cast("bigint").alias(
+            "target_tokens"
+        ),
+        qround(
+            weight * F.lit(float(budget)) / F.col("n_tokens").cast("double"), 6
+        ).alias("epochs"),
+    )
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_gcp_spark.functions.text import with_text_metrics
+
+    return mixture_weights(with_text_metrics(_docs(spark, sf_dir)))
+
+
+_MIXTURE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_D_NTOK}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+scaled AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS qs
+  FROM per_src
+),
+tot AS (SELECT *, SUM(qs) OVER () AS qtotal FROM scaled)
+SELECT source, n_docs, n_tokens,
+       {sql_qround('CAST(qs AS DOUBLE) / CAST(qtotal AS DOUBLE)', 9)} AS weight,
+       CAST(floor(CAST(qs AS DOUBLE) / CAST(qtotal AS DOUBLE)
+                  * {float(MIX_BUDGET_TOKENS)}) AS BIGINT) AS target_tokens,
+       {sql_qround(
+           'CAST(qs AS DOUBLE) / CAST(qtotal AS DOUBLE) * '
+           + str(float(MIX_BUDGET_TOKENS)) + ' / CAST(n_tokens AS DOUBLE)', 6
+       )} AS epochs
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle → training shards
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+SHUFFLE_EPOCH = 7
+
+
+def shard_shuffle(
+    df: DataFrame, n_shards: int = N_SHARDS, epoch: int = SHUFFLE_EPOCH
+) -> DataFrame:
+    """Deterministic global shuffle of the corpus into ``n_shards``
+    training shards: shard = md5(epoch·id) mod n_shards, within-shard
+    order = rank of the same hash. Seeding the hash with the epoch gives
+    a DIFFERENT but fully reproducible permutation per epoch — the
+    property training pipelines need that ``ORDER BY rand()`` cannot
+    give (reruns, engine changes and repartitioning all preserve it).
+
+    Returns (doc_id, shard, pos). Scale shape: the hash is a projection
+    (no shuffle); the position is a rank within each shard — one shuffle
+    on the shard key. Shard count at real scale is chosen so a shard is
+    file-sized (e.g. 100k shards for 100 TB), which also bounds the
+    per-shard sort; the 64 here matches the fixture corpus. The hash is
+    collision-free on this data and doc_id breaks any residual tie, so
+    ``pos`` is total-ordered and the output is engine-independent."""
+    h = base_hash(F.concat(F.lit(f"e{epoch}_"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        df.select(
+            "doc_id",
+            h.alias("h"),
+            (h % n_shards).cast("bigint").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_shuffle(_docs(spark, sf_dir))
+
+
+def _sql_md5int(expr: str) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5({expr}),1,15)) AS BIGINT)"
+        " % 1000000007)"
+    )
+
+
+_SHARD_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         {_sql_md5int(f"concat('e{SHUFFLE_EPOCH}_', CAST(doc_id AS VARCHAR))")} AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % {N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM hashed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Perplexity buckets (CCNet-style head/middle/tail)
+# ---------------------------------------------------------------------------
+
+PPL_P_HEAD, PPL_P_TAIL = 1.0 / 3.0, 2.0 / 3.0
+
+
+def ppl_buckets(df: DataFrame) -> DataFrame:
+    """CCNet-style quality bucketing: score every document with the
+    unigram-LM perplexity proxy (:func:`unigram_logprob`), then cut the
+    corpus at the 33rd/67th percentile of the score into head (most
+    LM-like), middle, tail. Returns (doc_id, avg_neg_logprob, bucket).
+
+    The thresholds are ONE two-value exact-percentile aggregate over the
+    scores (broadcast back — two doubles), so bucket assignment is a
+    stateless comparison and the corpus never passes through a global
+    sort or single-partition window. Scores are already rounded at 6 dp
+    by the scorer and the thresholds at 6 dp here, so the cut cannot
+    flip on last-ulp interpolation differences."""
+    scored = unigram_logprob(df).select("doc_id", "avg_neg_logprob")
+    q = F.percentile("avg_neg_logprob", F.lit([PPL_P_HEAD, PPL_P_TAIL]))
+    cuts = scored.agg(
+        qround(q[0], 6).alias("t_head"), qround(q[1], 6).alias("t_tail")
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_neg_logprob",
+        F.when(F.col("avg_neg_logprob") <= F.col("t_head"), F.lit("head"))
+        .when(F.col("avg_neg_logprob") <= F.col("t_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppl_buckets(_docs(spark, sf_dir))
+
+
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, u.token
+  FROM (SELECT doc_id, string_split({_D_NORM}, ' ') AS t FROM documents),
+       unnest(t) AS u(token)
+),
+model AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT SUM(cnt) AS total FROM model),
+scored AS (
+  SELECT toks.doc_id,
+         {sql_qround('AVG(-ln(CAST(cnt AS DOUBLE) / total))', 6)} AS avg_neg_logprob
+  FROM toks JOIN model USING (token), total
+  GROUP BY toks.doc_id
+),
+cuts AS (
+  SELECT {sql_qround(f'quantile_cont(avg_neg_logprob, {PPL_P_HEAD!r})', 6)} AS t_head,
+         {sql_qround(f'quantile_cont(avg_neg_logprob, {PPL_P_TAIL!r})', 6)} AS t_tail
+  FROM scored
+)
+SELECT doc_id, avg_neg_logprob,
+       CASE WHEN avg_neg_logprob <= t_head THEN 'head'
+            WHEN avg_neg_logprob <= t_tail THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, cuts
+"""
+
+
 QUERIES = {
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
@@ -990,6 +1205,9 @@ QUERIES = {
     "corpus_stratified_sample": corpus_stratified_sample,
     "corpus_vocab_topk": corpus_vocab_topk,
     "corpus_length_filter": corpus_length_filter,
+    "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_shard_shuffle": corpus_shard_shuffle,
+    "corpus_ppl_buckets": corpus_ppl_buckets,
 }
 
 ORACLES = {
@@ -1006,4 +1224,7 @@ ORACLES = {
     "corpus_stratified_sample": _SAMPLE_ORACLE,
     "corpus_vocab_topk": _VOCAB_ORACLE,
     "corpus_length_filter": _LENGTH_ORACLE,
+    "corpus_mixture_weights": _MIXTURE_ORACLE,
+    "corpus_shard_shuffle": _SHARD_ORACLE,
+    "corpus_ppl_buckets": _PPL_ORACLE,
 }

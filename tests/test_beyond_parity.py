@@ -566,3 +566,54 @@ def test_repetition_flags_repeated_text(spark):
     assert out.loc[2, "dup_gram_frac"] == 0.0
     # 6 tokens -> 4 positional 3-grams; 7 tokens -> 5
     assert out.loc[1, "n_grams"] == 4 and out.loc[2, "n_grams"] == 5
+
+
+def test_mixture_weights_sum_and_monotonicity(spark):
+    """Weights sum to ~1; temperature scaling upweights small sources:
+    a source with 4× the tokens gets <4× the weight (sqrt → exactly
+    2×), and epochs are budget/weighted-tokens consistent."""
+    from datapipeline_gcp_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [(0, "a", 400), (1, "b", 100)], ["doc_id", "source", "n_tokens"]
+    )
+    rows = {r["source"]: r for r in corpus.mixture_weights(df, budget=1000).collect()}
+    assert abs(rows["a"]["weight"] + rows["b"]["weight"] - 1.0) < 1e-6
+    # sqrt scaling: 400 vs 100 tokens → weight ratio exactly 2, not 4
+    assert abs(rows["a"]["weight"] / rows["b"]["weight"] - 2.0) < 1e-6
+    for r in rows.values():
+        assert abs(r["epochs"] - r["weight"] * 1000 / r["n_tokens"]) < 1e-5
+
+
+def test_shard_shuffle_partition_and_epoch_properties(spark):
+    """Positions are 1..shard_size within each shard; the permutation is
+    reproducible under repartitioning and CHANGES with the epoch."""
+    from datapipeline_gcp_spark.functions import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = corpus.shard_shuffle(df, n_shards=8).toPandas()
+    b = corpus.shard_shuffle(df.repartition(7), n_shards=8).toPandas()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(
+        map(tuple, b.values.tolist())
+    )
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+    c = corpus.shard_shuffle(df, n_shards=8, epoch=8).toPandas()
+    merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (
+        (merged.shard_a != merged.shard_c) | (merged.pos_a != merged.pos_c)
+    ).any()
+
+
+def test_ppl_buckets_cover_corpus_in_thirds(spark):
+    """Every document lands in exactly one bucket and the three buckets
+    are each roughly a third of the corpus (exact-percentile cuts)."""
+    from datapipeline_gcp_spark.functions import corpus
+    from tests.conftest import SF_CORRECTNESS
+
+    out = corpus.corpus_ppl_buckets(spark, SF_CORRECTNESS).toPandas()
+    n = len(out)
+    sizes = out.bucket.value_counts()
+    assert set(sizes.index) == {"head", "middle", "tail"}
+    for b in ("head", "middle", "tail"):
+        assert 0.2 < sizes[b] / n < 0.47, (b, sizes[b] / n)

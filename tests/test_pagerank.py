@@ -76,3 +76,49 @@ def test_dag_partitioning_invariance(spark):
     a = sorted(pagerank(e).collect())
     b = sorted(pagerank(e.repartition(13)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+from datapipeline_gcp_spark.functions.clusters import triangle_counts
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(pairs, ["u", "v"])
+
+
+def test_triangle_known_graph(spark):
+    """K4 plus a pendant edge: every K4 vertex sits in C(3,2)=3
+    triangles, the pendant in none (and is absent from the output)."""
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    counts = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_und(spark, k4 + [("d", "e")])).collect()
+    }
+    assert counts == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_free_graph(spark):
+    """A 4-cycle (square) has zero triangles."""
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    assert triangle_counts(_und(spark, sq)).count() == 0
+
+
+def test_triangle_partitioning_invariance(spark):
+    """Counts are independent of input partitioning (degree-ordered
+    orientation emits each triangle exactly once either way)."""
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(120)
+        }
+    )
+    a = sorted(triangle_counts(_und(spark, pairs)).collect())
+    b = sorted(triangle_counts(_und(spark, pairs).repartition(17)).collect())
+    assert a == b and len(a) > 0
