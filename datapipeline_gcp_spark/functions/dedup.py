@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.schemas import load_testdata
@@ -920,7 +920,148 @@ SELECT t.doc_id, t.n_windows,
 FROM tot t LEFT JOIN dd d ON t.doc_id = d.doc_id
 """
 
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (RefinedWeb-style, keep-first + reassembly)
+# ---------------------------------------------------------------------------
+
+#: fixed passage width in tokens — the fixture corpus has no newlines,
+#: so fixed token windows stand in for paragraph boundaries; production
+#: corpora would chunk on '\n\n' with the same downstream plan.
+PASSAGE_W = 16
+#: exactly PASSAGE_W tokens, so a planted PREFIX aligns with chunk 0
+_PLANT_PASSAGE = (
+    "cookie notice this site uses tracking pixels accept to continue "
+    "reading the full article text here"
+)
+assert len(_PLANT_PASSAGE.split()) == PASSAGE_W
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = PASSAGE_W,
+) -> DataFrame:
+    """Corpus-level exact passage dedup with keep-FIRST semantics and
+    document reassembly — the RefinedWeb recipe: chunk every document
+    into passages, drop any passage whose exact content already
+    appeared earlier in the corpus (earlier = smaller (doc_id,
+    chunk_idx)), and rebuild each document from its surviving passages.
+    Differs from boilerplate removal (frequency threshold, keeps no
+    copy) — here exactly ONE copy of every passage survives.
+
+    Returns (doc_id, n_chunks, n_kept, clean_text, dup_frac).
+
+    Scale shape: explode to one row per passage (token-count
+    cardinality), ONE shuffle keyed on the passage md5 for the
+    keep-first window (row_number with a unique (doc_id, chunk_idx)
+    tie-break — deterministic under any partitioning), then one doc-keyed
+    aggregate to reassemble. ``collect_list`` there is per-document
+    bounded (a document's own passages), never corpus-scale."""
+    tokens = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(tokens) / F.lit(float(width))).cast("int")
+    chunks = df.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        tokens.alias("t"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("t"), F.col("chunk_idx") * width + 1, F.lit(width)), " "
+        ).alias("passage"),
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "chunk_idx")
+    ranked = (
+        chunks.withColumn("h", F.md5("passage"))
+        .withColumn("kept", F.row_number().over(w) == 1)
+    )
+    agg = ranked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("chunk_idx", "passage")
+                            )
+                        )
+                    ),
+                    lambda s: s["passage"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )
+    return agg.select(
+        id_col,
+        "n_chunks",
+        "n_kept",
+        "clean_text",
+        (
+            (F.col("n_chunks") - F.col("n_kept")).cast("double")
+            / F.col("n_chunks").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture plants a shared 16-token PREFIX on every 4th document
+    (prefix, not suffix, so the planted passage aligns with chunk 0 in
+    every planted doc); keep-first must retain it once (lowest doc_id)
+    and strip it everywhere else."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_PLANT_PASSAGE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return passage_dedup(planted)
+
+
+_PASSAGE_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN concat('{_PLANT_PASSAGE} ', text) ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(t, i*{PASSAGE_W}+1, i*{PASSAGE_W}+{PASSAGE_W}), ' ')
+           AS passage
+  FROM toks,
+       UNNEST(range(0, CAST(ceil(len(t) / {float(PASSAGE_W)}) AS BIGINT))) AS u(i)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(passage)
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+                             ORDER BY chunk_idx), '') AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_kept, clean_text,
+       CAST(n_chunks - n_kept AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_frac
+FROM agg
+"""
+
+
 QUERIES = {
+    "dedup_passages": dedup_passages,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -931,6 +1072,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_passages": _PASSAGE_ORACLE,
     "dedup_exact": _EXACT_ORACLE,
     "dedup_minhash_lsh": _MINHASH_ORACLE,
     "dedup_simhash": _SIMHASH_ORACLE,

@@ -584,7 +584,154 @@ FROM c, (
 """
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention matrix: users are assigned to the DAY
+    of their first event (the cohort); each cell counts how many of the
+    cohort were active ``day_offset`` days later, as a rate over the
+    cohort size. Day granularity suits the fixture's one-month span;
+    swap ``date_trunc`` unit for weekly/monthly products.
+
+    Scale shape: two hash aggregates keyed on the user (first-seen, then
+    distinct user-weeks — both partial-aggregate map-side), one
+    user-keyed join, then a cohort-keyed aggregate whose cardinality is
+    #weeks², i.e. metadata-scale however big the event log is. No
+    windows, no self-join over the fact table. Week arithmetic is pure
+    integer math (``datediff / 7`` on Monday-truncated dates, exact in
+    both engines)."""
+    u, t = F.col(user_col), F.col(ts_col)
+    first = (
+        events.groupBy(user_col)
+        .agg(F.min(F.to_date(t)).alias("cohort_day"))
+    )
+    active = events.select(
+        user_col, F.to_date(t).alias("active_day")
+    ).distinct()
+    joined = active.join(first, user_col).select(
+        u.alias("user_id"),
+        "cohort_day",
+        F.datediff(F.col("active_day"), F.col("cohort_day")).alias("day_offset"),
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("n_cohort")
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return cohort_retention(ev)
+
+
+_COHORT_ORACLE = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+  FROM events
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS n_cohort FROM first GROUP BY cohort_day
+),
+cells AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM active a JOIN first f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT c.cohort_day, c.day_offset, c.n_active, s.n_cohort,
+       CAST(c.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE) AS retention_rate
+FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+"""
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_type: str = "click",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    most recent preceding touch event (same user), the standard
+    marketing-attribution join. One window over a user-keyed sort —
+    single shuffle, no self-join of the event log against itself (the
+    naive formulation is an inequality join that explodes at 100 TB).
+    Ordering ties on ``ts`` break by ``event_id`` so the credited touch
+    is deterministic across engines and partitionings."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.last(
+        F.when(F.col("event_type") == touch_type, F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("event_type") == touch_type, F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select(
+            "event_id", "user_id", "ts", "event_type", "value",
+            touch_id.alias("touch_event_id"),
+            touch_ts.alias("touch_ts"),
+        )
+        .filter(F.col("event_type") == conversion_type)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "value",
+            "touch_event_id",
+            "touch_ts",
+        )
+    )
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    return last_touch_attribution(ev)
+
+
+_ATTRIBUTION_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_event_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_ts
+  FROM events
+)
+SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts, value,
+       touch_event_id, touch_ts
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "events_cohort_retention": events_cohort_retention,
+    "events_attribution": events_attribution,
     "events_sessionize": events_sessionize,
     "rolling_window_revenue": rolling_window_revenue,
     "events_percentiles": events_percentiles,
@@ -600,6 +747,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cohort_retention": _COHORT_ORACLE,
+    "events_attribution": _ATTRIBUTION_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
     "events_resample_ffill": _RESAMPLE_ORACLE,
     "events_sessionize": _SESSIONIZE_ORACLE,
