@@ -248,12 +248,114 @@ SELECT
 FROM b
 """
 
+# ---------------------------------------------------------------------------
+# Frame sampling: the video path's decode-and-sample plumbing
+# ---------------------------------------------------------------------------
+
+#: bytes per fake "frame" and the per-asset sampling cap
+FRAME_W = 32
+MAX_FRAMES = 8
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, kind: str = "video") -> DataFrame:
+    """Frame sampling over binary video payloads: filter to the
+    modality (column-pruned, pushed below the Python stage), then an
+    Arrow-batched ``mapInPandas`` worker slices up to ``MAX_FRAMES``
+    fixed-width frames per payload and emits one row per frame with a
+    checksum and a mean-byte summary. A real deployment swaps the
+    byte-slice "decode" for PyAV keyframe extraction via
+    ``register_decoder`` — the Spark-side plumbing (binary column in,
+    exploded frame rows out, per-batch vectorization, no shuffle at
+    all) is exactly what ships.
+
+    Scale shape: one narrow pipeline — parquet scan → filter → Python
+    stage; output cardinality ≤ 8× the asset count and frames carry
+    only scalars (the payload bytes never shuffle). ``mean_byte`` is an
+    integer byte-sum with a single final division, so it is bitwise
+    reproducible in any engine."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = min(len(b) // FRAME_W, MAX_FRAMES)
+                for k in range(n):
+                    fr = b[k * FRAME_W : (k + 1) * FRAME_W]
+                    rows.append(
+                        (
+                            int(aid),
+                            k,
+                            k * FRAME_W,
+                            float(sum(fr)) / FRAME_W,
+                            hashlib.md5(fr).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "frame_idx",
+                    "frame_offset",
+                    "mean_byte",
+                    "frame_md5",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == kind)
+        .select("asset_id", "payload")
+        .mapInPandas(worker, FRAME_SCHEMA)
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(assets_from_documents(spark, sf_dir))
+
+
+# kind cycles image/audio/video by doc_id mod 3, so video ⇔ doc_id%3=2;
+# the fixture text is ASCII, so string positions = byte offsets and
+# ord(char) = byte value, making the byte math expressible in SQL.
+_FRAME_ORACLE = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT asset_id, k AS frame_idx, k * {FRAME_W} AS frame_offset,
+         substring(text, CAST(k * {FRAME_W} + 1 AS INT), {FRAME_W}) AS fr
+  FROM assets,
+       UNNEST(range(0, LEAST(CAST(floor(length(text) / {FRAME_W}) AS BIGINT),
+                             {MAX_FRAMES}))) AS u(k)
+)
+SELECT asset_id, frame_idx, frame_offset,
+       CAST(list_sum(list_transform(range(1, {FRAME_W} + 1),
+                                    i -> ord(substring(fr, CAST(i AS INT), 1))))
+            AS DOUBLE) / {FRAME_W} AS mean_byte,
+       md5(fr) AS frame_md5
+FROM frames
+"""
+
+
 QUERIES = {
     "multimodal_asset_stats": multimodal_asset_stats,
     "multimodal_feature_extract": multimodal_feature_extract,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_asset_stats": _STATS_ORACLE,
     "multimodal_feature_extract": _FEATURE_ORACLE,
+    "multimodal_frame_sample": _FRAME_ORACLE,
 }

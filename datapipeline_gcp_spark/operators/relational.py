@@ -391,7 +391,33 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew-join, proven through the correctness gate: the
+    Spark side runs :func:`salted_join` (left side salted, right side
+    replicated per bucket) while the oracle is the PLAIN inner join —
+    the gate thereby certifies salting is result-invariant, which is
+    the entire point of the technique. Use when one hot key dwarfs its
+    siblings and AQE's runtime skew splitting isn't enough (it only
+    splits the shuffle side; salting also spreads the hash-table
+    build). The salt column never leaves the operator."""
+    t = load_testdata(spark, sf_dir, ("orders", "customer"))
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    joined = salted_join(t["orders"], dim, keys=["o_custkey"], salt_buckets=8)
+    return joined.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey"
+    )
+
+
+_SALTED_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES = {
+    "join_skew_salted": join_skew_salted,
     "scan_filter_project": scan_filter_project,
     "case_when_projection": case_when_projection,
     "join_composite_key": join_composite_key,
@@ -405,6 +431,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_skew_salted": _SALTED_ORACLE,
     "scan_filter_project": _SCAN_FILTER_ORACLE,
     "case_when_projection": _CASE_WHEN_ORACLE,
     "join_composite_key": _COMPOSITE_JOIN_ORACLE,

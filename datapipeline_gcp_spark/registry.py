@@ -47,6 +47,7 @@ _MODULES = [
     "datapipeline_gcp_spark.functions.curation",
     "datapipeline_gcp_spark.functions.corpus",
     "datapipeline_gcp_spark.functions.indexing",
+    "datapipeline_gcp_spark.operators.layout",
     "datapipeline_gcp_spark.operators.maintenance",
     "datapipeline_gcp_spark.operators.tpch",
     "datapipeline_gcp_spark.operators.master",
