@@ -31,7 +31,7 @@ warehouse has nowhere to run them; they are engine-native here):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.functions.dedup import (
@@ -1191,7 +1191,82 @@ FROM scored, cuts
 """
 
 
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) sample construction
+# ---------------------------------------------------------------------------
+
+_FIM_PRE, _FIM_SUF, _FIM_MID = "<fim_prefix>", "<fim_suffix>", "<fim_middle>"
+
+
+def fim_transform(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fill-in-the-middle sample construction (the code/infilling
+    training transform): pick two deterministic cut points per
+    document, split tokens into prefix/middle/suffix, and emit the PSM
+    re-ordering ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` so the
+    model learns to generate the middle conditioned on both sides.
+
+    Cut points are md5-derived per document (engine-shared hash idiom)
+    instead of an RNG, so the transform is reproducible across engines,
+    retries, and partitionings — the property that makes epoch-stable
+    training data. Pure column math: split, two hashes, three slices,
+    one concat; no shuffle at all (embarrassingly parallel over docs)."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    did = F.col(id_col).cast("string")
+    h1 = _md5int_col(F.concat(F.lit("fim1_"), did)) % (n + 1)
+    h2 = _md5int_col(F.concat(F.lit("fim2_"), did)) % (n + 1)
+    lo, hi = F.least(h1, h2), F.greatest(h1, h2)
+    prefix = F.array_join(F.slice(t, 1, lo), " ")
+    middle = F.array_join(F.slice(t, lo + 1, hi - lo), " ")
+    suffix = F.array_join(F.slice(t, hi + 1, n - hi), " ")
+    return df.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        lo.cast("bigint").alias("cut_lo"),
+        hi.cast("bigint").alias("cut_hi"),
+        F.concat(
+            F.lit(_FIM_PRE), prefix, F.lit(_FIM_SUF), suffix, F.lit(_FIM_MID), middle
+        ).alias("fim_text"),
+    )
+
+
+def _md5int_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % 1000000007
+
+
+def corpus_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fim_transform(_docs(spark, sf_dir))
+
+
+_FIM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, t, n,
+         {_sql_md5int("concat('fim1_', CAST(doc_id AS VARCHAR))")} % (n + 1) AS h1,
+         {_sql_md5int("concat('fim2_', CAST(doc_id AS VARCHAR))")} % (n + 1) AS h2
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(LEAST(h1, h2) AS BIGINT) AS cut_lo,
+       CAST(GREATEST(h1, h2) AS BIGINT) AS cut_hi,
+       concat(
+         '{_FIM_PRE}', array_to_string(list_slice(t, 1, LEAST(h1, h2)), ' '),
+         '{_FIM_SUF}', array_to_string(list_slice(t, GREATEST(h1, h2) + 1, n), ' '),
+         '{_FIM_MID}', array_to_string(
+            list_slice(t, LEAST(h1, h2) + 1, GREATEST(h1, h2)), ' ')
+       ) AS fim_text
+FROM cuts
+"""
+
+
 QUERIES = {
+    "corpus_fim_split": corpus_fim_split,
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
     "corpus_tfidf_topk": corpus_tfidf_topk,
@@ -1211,6 +1286,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_fim_split": _FIM_ORACLE,
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_collocations": _COLLOC_ORACLE,
     "corpus_tfidf_topk": _TFIDF_ORACLE,

@@ -293,13 +293,85 @@ FROM lineitem"""
     return "\nUNION ALL".join(blocks)
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-rollup refresh)
+# ---------------------------------------------------------------------------
+
+#: the refresh boundary: rows strictly before are the "already
+#: materialized" base; rows at/after are the late-arriving delta
+ROLLUP_CUTOFF = "1998-01-01"
+
+
+def mergeable_daily_rollup(orders: DataFrame) -> DataFrame:
+    """Per-day PARTIAL aggregate states — decimal sum (exact, mergeable)
+    and count. Keeping states mergeable is what makes the rollup
+    incrementally maintainable: refresh cost is O(delta) + O(groups),
+    never O(history)."""
+    return orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("price_state"),
+        F.count("*").alias("n_state"),
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Union partial-state tables and re-merge: SUM over decimal states
+    is associative, so merging K state tables equals aggregating the
+    union of their inputs — asserted by this query's full-recompute
+    oracle."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionAll(s)
+    return (
+        merged.groupBy("day")
+        .agg(
+            F.sum("price_state").alias("price_state"),
+            F.sum("n_state").alias("n_state"),
+        )
+        .select(
+            "day",
+            F.col("n_state").cast("bigint").alias("n_orders"),
+            F.col("price_state").cast("double").alias("total_price"),
+        )
+    )
+
+
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup refresh: the base (history before
+    ``ROLLUP_CUTOFF``) is aggregated once into mergeable states — in
+    production those live in a parquet/Delta state table and are NOT
+    recomputed — and a refresh only aggregates the delta partition and
+    merges states. The oracle is the full recompute over all orders:
+    the gate certifies base⊕delta ≡ full, i.e. the refresh is lossless.
+
+    100 TB framing: this is the pattern that turns a daily 100 TB
+    re-aggregation into an O(1-day) job; it needs only (a) mergeable
+    states (sum/count/min/max/HLL — not medians), (b) a monotone
+    partition column to split base from delta."""
+    orders = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    cutoff = F.lit(ROLLUP_CUTOFF).cast("timestamp")
+    base = mergeable_daily_rollup(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = mergeable_daily_rollup(orders.filter(F.col("o_orderdate") >= cutoff))
+    return merge_rollup_states(base, delta)
+
+
+_ROLLUP_INC_ORACLE = f"""
+SELECT CAST(o_orderdate AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "merge_scd1": merge_scd1,
     "merge_scd2": merge_scd2,
     "lineitem_profile": lineitem_profile,
+    "rollup_incremental": rollup_incremental,
 }
 ORACLES = {
     "merge_scd1": _SCD1_ORACLE,
     "merge_scd2": _SCD2_ORACLE,
     "lineitem_profile": _profile_oracle(),
+    "rollup_incremental": _ROLLUP_INC_ORACLE,
 }
