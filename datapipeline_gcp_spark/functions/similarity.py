@@ -595,7 +595,53 @@ FROM q
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact brute-force ground
+    truth, per query — the quality gauge every ANN deployment needs
+    next to its speedup claim (tune BANDS/band width against THIS
+    number). Left-join the exact top-k to the approximate top-k on
+    (query, neighbor) and count hits: k and n_hit are exact integers,
+    recall is one final division.
+
+    Scale shape: ground truth is the already-bounded O(Q·N) broadcast
+    scan; the join is per-(query, neighbor) — Q·k rows, metadata-scale.
+    At 100 TB you'd compute ground truth on a SAMPLE of queries — the
+    eval is O(sample), never O(corpus²)."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("k"), F.count("hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("k").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+_RECALL_ORACLE = f"""
+SELECT bf.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(l.vec_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(l.vec_id) AS DOUBLE) / COUNT(*) AS recall
+FROM ({_BRUTE_ORACLE}) bf
+LEFT JOIN ({_LSH_ORACLE}) l
+  ON bf.query_id = l.query_id AND bf.vec_id = l.vec_id
+GROUP BY bf.query_id
+"""
+
+
 QUERIES = {
+    "ann_recall_eval": ann_recall_eval,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -605,6 +651,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_eval": _RECALL_ORACLE,
     "embedding_label_centroids": _CENTROIDS_ORACLE,
     "ann_bruteforce_topk": _BRUTE_ORACLE,
     "ann_lsh_topk": _LSH_ORACLE,
