@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: their stale-green entries re-enter the check window before untouched
 #: modules' entries do.
 _MODULES = [
+    "datapipeline_gcp_spark.functions.retrieval",
     "datapipeline_gcp_spark.functions.bpe",
     "datapipeline_gcp_spark.functions.quality",
     "datapipeline_gcp_spark.functions.udfs",
