@@ -800,12 +800,17 @@ def substring_dup_scores(
 
     Scale shape: windows explode to one row per (doc, position) — the
     corpus's token count, the same cardinality every tokenizing op here
-    handles. Three shuffles, all partial-aggregated: count distinct
-    docs per window-hash, semi-join the duplicated hashes back (AQE
-    broadcasts when the dup set is small), count per doc. Window
-    hashing is md5-based integer math (engine-identical); short
-    documents (< window tokens) yield one shorter window, mirroring the
-    shingle rule."""
+    handles. ONE pass over the exploded windows (tokenize + md5 run
+    once — the r2 shape recomputed them 3×, once per consumer of the
+    exploded plan), then three key-local steps with no big-big join:
+    partial-aggregated count per (window-hash, doc), a window count
+    over the hash partition for the distinct-doc cardinality, and a
+    per-doc roll-up where a window counts as duplicated iff its hash
+    occurs in ≥2 docs. Window hashing is md5-based integer math
+    (engine-identical); short documents (< window tokens) yield one
+    shorter window, mirroring the shingle rule. Null hashes (empty
+    token arrays via explode_outer) count toward ``n_windows`` but are
+    never "duplicated", matching the r2 inner-join-on-hash semantics."""
     toks = df.withColumn("_toks", F.split(normalized(F.col(text_col)), " "))
     exploded = toks.select(
         F.col(id_col),
@@ -813,26 +818,26 @@ def substring_dup_scores(
             F.transform(grams_of(F.col("_toks"), window), base_hash)
         ).alias("wh"),
     )
-    dup = (
-        exploded.groupBy("wh")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wh")
+    # (wh, doc) multiplicity — rows after this are ≤ one per distinct
+    # (window-hash, doc), with map-side partial aggregation upstream
+    per_pair = exploded.groupBy("wh", id_col).agg(F.count("*").alias("c"))
+    # distinct-doc count per hash == row count of the (wh, *) partition
+    nd = F.count("*").over(Window.partitionBy("wh"))
+    scored = per_pair.withColumn("nd", nd)
+    agg = scored.groupBy(id_col).agg(
+        F.sum("c").alias("n_windows"),
+        F.sum(
+            F.when(
+                F.col("wh").isNotNull() & (F.col("nd") >= 2), F.col("c")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("n_dup_windows"),
     )
-    tot = exploded.groupBy(id_col).agg(F.count("*").alias("n_windows"))
-    dups = (
-        exploded.join(dup, "wh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_windows"))
-    )
-    return tot.join(dups, id_col, "left").select(
+    return agg.select(
         F.col(id_col),
         "n_windows",
-        F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias(
-            "n_dup_windows"
-        ),
+        "n_dup_windows",
         (
-            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("double")
+            F.col("n_dup_windows").cast("double")
             / F.col("n_windows").cast("double")
         ).alias("dup_frac"),
     )
