@@ -27,7 +27,7 @@ end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.schemas import load_testdata
@@ -134,10 +134,63 @@ FROM agg
 """
 
 
+def quantile_normalized_scores(scored: DataFrame) -> DataFrame:
+    """Per-source quantile calibration of quality scores.
+
+    Raw classifier scores are not comparable ACROSS sources (a 0.2 from
+    a books crawl and a 0.2 from a forum dump mean different things —
+    each source has its own score distribution), so corpus-mixing
+    recipes filter on each document's quantile WITHIN its source, not
+    on the raw score. ``pct`` is the percent_rank of the score inside
+    its source (ties broken on doc_id for a total order, so the rank —
+    and therefore the output — is engine- and partitioning-exact);
+    ``decile`` is the coarse bucket mixing recipes actually threshold
+    on.
+
+    Scale shape: one window over (source), i.e. one shuffle keyed on
+    the source column. Skew note: sources are few and large, so at
+    100 TB this is the textbook skewed-window case — the production
+    variant two-passes it (per-source count + broadcast, then a
+    partition-local rank over pre-sorted buckets) or lets AQE split;
+    semantics are unchanged, which is why the declarative form here is
+    the right spec.
+    """
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        pct.alias("pct"),
+        F.least(F.floor(pct * 10).cast("int"), F.lit(9)).alias("decile"),
+    )
+
+
+def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    return quantile_normalized_scores(hashed_quality_scores(docs))
+
+
+_QUANTILE_ORACLE = f"""
+WITH scored AS ({_QUALITY_ORACLE}),
+ranked AS (
+  SELECT doc_id, source, score,
+         percent_rank() OVER (
+           PARTITION BY source ORDER BY score, doc_id) AS pct
+  FROM scored
+)
+SELECT doc_id, source, score, pct,
+       CAST(least(floor(pct * 10), 9) AS INT) AS decile
+FROM ranked
+"""
+
+
 QUERIES = {
     "quality_linear_score": quality_linear_score,
+    "quality_quantile_norm": quality_quantile_norm,
 }
 
 ORACLES = {
     "quality_linear_score": _QUALITY_ORACLE,
+    "quality_quantile_norm": _QUANTILE_ORACLE,
 }

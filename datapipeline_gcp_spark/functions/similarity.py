@@ -628,6 +628,72 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    near misses that teach an embedding model the decision boundary
+    (easy negatives — random different-label vectors — carry almost no
+    gradient signal; the standard recipe mines the highest-scoring
+    wrong-label neighbors instead).
+
+    Same broadcast-scan shape as :func:`ann_bruteforce_topk` with a
+    label-inequality predicate fused into the scan filter, so the
+    wrong-label constraint prunes pairs BEFORE the cosine is computed.
+    At 100 TB the production path swaps the scan for the LSH/IVF
+    candidate generators (identical downstream ranking); the label
+    filter composes with either.
+    """
+    vecs = _prep(spark, sf_dir, with_bucket=False)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("vd").alias("qv"),
+        F.col("vnorm").alias("qn"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            qround(
+                cosine(F.col("qv"), F.col("vd"), F.col("qn"), F.col("vnorm")),
+                9,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "query_label", "vec_id", "neg_label", "score", "rank"
+        )
+    )
+
+
+_HARDNEG_ORACLE = f"""
+WITH vecs AS ({_D_PREP}),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         c.vec_id AS vec_id, c.label AS neg_label, {_D_SCORE} AS score
+  FROM vecs q JOIN vecs c ON c.label != q.label
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, vec_id, neg_label, score, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 _RECALL_ORACLE = f"""
 SELECT bf.query_id,
        CAST(COUNT(*) AS BIGINT) AS k,
@@ -641,6 +707,7 @@ GROUP BY bf.query_id
 
 
 QUERIES = {
+    "mining_hard_negatives": mining_hard_negatives,
     "ann_recall_eval": ann_recall_eval,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -651,6 +718,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mining_hard_negatives": _HARDNEG_ORACLE,
     "ann_recall_eval": _RECALL_ORACLE,
     "embedding_label_centroids": _CENTROIDS_ORACLE,
     "ann_bruteforce_topk": _BRUTE_ORACLE,

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 #: modules' entries do.
 _MODULES = [
     "datapipeline_gcp_spark.functions.retrieval",
+    "datapipeline_gcp_spark.functions.kmeans",
     "datapipeline_gcp_spark.functions.bpe",
     "datapipeline_gcp_spark.functions.quality",
     "datapipeline_gcp_spark.functions.udfs",
