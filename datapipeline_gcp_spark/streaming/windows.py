@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.determinism import dsum, sql_dsum
-from datapipeline_gcp_spark.schemas import load_testdata
+from datapipeline_gcp_spark.schemas import load_testdata, pin_utc
 
 DEFAULT_WATERMARK = "10 minutes"
 
@@ -174,13 +174,84 @@ FROM numbered
 GROUP BY user_id, session_no
 """
 
+def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling aggregation as a REAL structured stream —
+    ``readStream`` over the events parquet → ``withWatermark`` →
+    windowed agg → append-mode memory sink, ``availableNow`` trigger —
+    and return the sink's contents. This is the one registry entry
+    where the oracle checks *streaming* semantics, not a batch twin:
+
+    Append mode emits a window only once the watermark passes it, and
+    the final no-data micro-batch flushes every window the terminal
+    watermark ``max(ts) − delay`` has closed; windows newer than that
+    stay in state and are NOT in the result. The DuckDB oracle encodes
+    exactly that contract: the batch tumbling aggregation restricted to
+    ``window_end <= max(ts) − delay``. A wrong watermark
+    implementation (dropping data, emitting open windows, off-by-one
+    on the closure boundary) breaks the hash match.
+
+    Scale: this is the bounded-state streaming shape for 100 TB/day
+    event streams — state is (window × event_type) keyed and the
+    watermark caps it at (delay / width + 1) windows per key; the
+    memory sink holds only closed aggregate rows (window-cardinality,
+    not event-cardinality). ``availableNow`` is also the production
+    backfill pattern: replay a parquet landing zone through the SAME
+    query that tails the live stream.
+    """
+    pin_utc(spark)
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        # TIMESTAMP_NTZ → TIMESTAMP is wall-clock identity (session
+        # pinned UTC); watermarks require the instant type
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_tumbling(stream)
+    name = "stream_tumbling_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+#: append-mode closure: the terminal watermark is max(ts) − delay and a
+#: window is emitted iff the watermark passed its end
+_STREAM_TUMBLING_ORACLE = f"""
+WITH agg AS ({_TUMBLING_ORACLE})
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
 QUERIES = {
+    "events_stream_tumbling_gate": events_stream_tumbling_gate,
     "events_tumbling_window": events_tumbling,
     "events_sliding_window": events_sliding,
     "events_session_window": events_session,
 }
 
 ORACLES = {
+    "events_stream_tumbling_gate": _STREAM_TUMBLING_ORACLE,
     "events_tumbling_window": _TUMBLING_ORACLE,
     "events_sliding_window": _SLIDING_ORACLE,
     "events_session_window": _SESSION_ORACLE,
