@@ -95,3 +95,40 @@ def test_kpi_aggregates_read_pruned_master_columns(spark, name):
         schema = section.splitlines()[0]
         n_cols = schema.count(":")
         assert n_cols <= 6, f"{name} scan reads {n_cols} columns: {schema}"
+
+
+def test_bm25_broadcasts_query_terms_and_stats(spark):
+    """BM25's postings prune (query-term set), df table, and corpus
+    stats must all broadcast — the only shuffles are the tf/df
+    aggregations and the per-query ranking, never a shuffled join of
+    the postings against a dimension."""
+    plan = _plan(spark, "retrieval_bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    assert "WindowGroupLimit" in plan, plan  # top-k rank pushdown
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(spark):
+    """Lloyd assignment joins the exploded coordinates against the K·D
+    centroid table: both iterations must broadcast the centroid side
+    (a SortMergeJoin on `d` would shuffle the corpus per iteration)."""
+    plan = _plan(spark, "kmeans_lloyd")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    plan = _plan(spark, "mining_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_substring_dedup_single_pass(spark):
+    """The single-pass rewrite hashes windows once: no join anywhere
+    (the r2 shape joined the exploded windows against the duplicated
+    hash set) and exactly three shuffles — (wh, doc) aggregation, the
+    window repartition on wh, the per-doc roll-up. (Multiple parquet
+    scans remain: the planted-dup fixture UNIONs perturbed selects of
+    documents.)"""
+    plan = _plan(spark, "dedup_substring")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 3, plan
