@@ -628,6 +628,114 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.9
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): cluster the embedding space,
+    then WITHIN each cluster drop every vector whose cosine to a
+    lower-id cluster-mate is ≥ τ. Clustering bounds the quadratic step
+    to cluster-local pairs — the same "never corpus × corpus" rule as
+    the LSH dedup family, but driven by semantic cells instead of hash
+    buckets, so it removes *meaning-level* duplicates pairwise hashing
+    misses.
+
+    Pipeline: assignment reuses the IVF coarse-quantizer shape
+    (exploded-integer dots against ``N_CENTROIDS`` broadcast seed
+    centroids — deterministic stand-in for offline k-means, see
+    :func:`ann_ivf_topk`); candidate pairs come from
+    ``within_block_pairs`` on the cell id (ONE shuffle, vectors and
+    norms computed once); the keep rule is "dropped iff similar to any
+    lower-id cluster-mate" — deterministic, no iteration, and the rule
+    SemDeDup's reference implementation uses. Same planted-perturbation
+    fixture as :func:`embedding_cosine_neardup` (the natural corpus has
+    no near-dups; every 10th vector gets a ±4 % ramp copy, which lands
+    in its source's cell and scores ≈ 0.999).
+
+    Recall is cell-bounded BY DESIGN: a near-dup pair split across two
+    cells is never compared (measured 48/50 planted copies dropped at
+    sf0.01 — the 2 misses flipped argmax cells under perturbation).
+    That is SemDeDup's documented trade; raising N_CENTROIDS lowers
+    cost and recall together, and the LSH family covers the
+    hash-similarity side of the same spectrum.
+
+    Returns (vec_id, cent_id, keep) for the whole (planted) corpus.
+    """
+    vecs = _prep(spark, sf_dir, with_bucket=False)
+    perturbed = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.col("label"),
+        F.transform(
+            F.col("vd"),
+            lambda x, i: x * (1.0 + 0.02 * (((i * 7) % 5) - 2)),
+        ).alias("vd"),
+    )
+    allv = _with_stats(
+        vecs.select("vec_id", "label", "vd").unionAll(perturbed),
+        with_bucket=False,
+    )
+    cents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vd").alias("cd"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ex_v = (
+        allv.select("vec_id", F.posexplode("vd").alias("d", "x"))
+        .withColumn("qx", F.floor(F.col("x") * QUANT).cast("long"))
+        .drop("x")
+    )
+    ex_c = (
+        cents.select("cent_id", F.posexplode("cd").alias("d", "y"))
+        .withColumn("qc", F.floor(F.col("y") * QUANT).cast("long"))
+        .drop("y")
+    )
+    qdots = (
+        ex_v.join(F.broadcast(ex_c), "d")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("qx") * F.col("qc")).alias("qdot"))
+        .join(F.broadcast(cents.select("cent_id", "cnorm")), "cent_id")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("qdot").cast("double") / F.col("cnorm")).desc(), F.col("cent_id")
+    )
+    assign = (
+        qdots.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "cent_id")
+    )
+    members = assign.join(allv.select("vec_id", "vd", "vnorm"), "vec_id")
+    pairs = within_block_pairs(
+        members.select("cent_id", "vec_id", "vd", "vnorm"),
+        ["cent_id"],
+        ["vec_id", "vd", "vnorm"],
+    )
+    dropped = (
+        pairs.select(
+            F.col("b.vec_id").alias("vec_id"),
+            qround(
+                cosine(
+                    F.col("a.vd"), F.col("b.vd"), F.col("a.vnorm"), F.col("b.vnorm")
+                ),
+                9,
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        members.select("cent_id", "vec_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.coalesce(~F.col("dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each query
     vector, the top-k most-similar vectors with a DIFFERENT label —
@@ -676,6 +784,50 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_ORACLE = f"""
+WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings),
+perturbed AS (
+  SELECT vec_id + 100000 AS vec_id, label,
+    list_transform(generate_series(1, len(vd)),
+      i -> vd[i] * (1.0 + 0.02 * ((((i-1)*7) % 5) - 2))) AS vd
+  FROM base WHERE vec_id % 10 = 0
+),
+allv AS (
+  SELECT vec_id, label, vd, {_D_NORM} AS vnorm
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM perturbed)
+),
+cents AS (
+  SELECT vec_id AS cent_id, vd AS cd, vnorm AS cnorm
+  FROM allv WHERE vec_id < {N_CENTROIDS}
+),
+qdots AS (
+  SELECT v.vec_id, c.cent_id, {_D_QDOT_VC} AS qdot, c.cnorm
+  FROM allv v, cents c
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY CAST(qdot AS DOUBLE) / cnorm DESC, cent_id) AS crank
+    FROM qdots
+  ) WHERE crank = 1
+),
+members AS (
+  SELECT a.cent_id, v.vec_id, v.vd, v.vnorm
+  FROM assign a JOIN allv v USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM members a JOIN members b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE (floor(({_D_DOT.format(a='a.vd', b='b.vd')} / (a.vnorm * b.vnorm))
+               * 1e9 + 0.5) / 1e9) >= {SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cent_id, (d.vec_id IS NULL) AS keep
+FROM members m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+
 _HARDNEG_ORACLE = f"""
 WITH vecs AS ({_D_PREP}),
 scored AS (
@@ -707,6 +859,7 @@ GROUP BY bf.query_id
 
 
 QUERIES = {
+    "dedup_semantic": dedup_semantic,
     "mining_hard_negatives": mining_hard_negatives,
     "ann_recall_eval": ann_recall_eval,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -718,6 +871,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_semantic": _SEMDEDUP_ORACLE,
     "mining_hard_negatives": _HARDNEG_ORACLE,
     "ann_recall_eval": _RECALL_ORACLE,
     "embedding_label_centroids": _CENTROIDS_ORACLE,

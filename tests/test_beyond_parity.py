@@ -617,3 +617,58 @@ def test_ppl_buckets_cover_corpus_in_thirds(spark):
     assert set(sizes.index) == {"head", "middle", "tail"}
     for b in ("head", "middle", "tail"):
         assert 0.2 < sizes[b] / n < 0.47, (b, sizes[b] / n)
+
+
+def test_semantic_dedup_drops_planted_copies_only(spark):
+    """SemDeDup: every dropped vector must be a planted copy (the
+    natural corpus has no pair above τ=0.9), and cell-bounded recall on
+    the planted copies stays ≥ 0.9."""
+    out = similarity.dedup_semantic(spark, SF_SMOKE).toPandas()
+    dropped = set(out.loc[~out.keep, "vec_id"])
+    planted = set(out.loc[out.vec_id >= 100_000, "vec_id"])
+    assert dropped, "no planted copy was dropped"
+    assert dropped <= planted, f"false positives: {sorted(dropped - planted)[:5]}"
+    assert len(dropped) / len(planted) >= 0.9
+
+
+def test_semantic_dedup_keeps_the_lower_id_of_each_pair(spark):
+    """The keep rule is keep-first-by-id: a planted copy's SOURCE
+    (lower id) must never be dropped."""
+    out = similarity.dedup_semantic(spark, SF_SMOKE).toPandas()
+    sources = set(out.loc[~out.keep, "vec_id"] - 100_000)
+    kept = set(out.loc[out.keep, "vec_id"])
+    assert sources <= kept
+
+
+def test_bm25_self_similar_docs_rank_first(spark):
+    """A doc sharing most of a query doc's vocabulary must outrank
+    docs sharing a stopword: check the top hit shares more terms than
+    the bottom hit for every query."""
+    from datapipeline_gcp_spark.functions.retrieval import retrieval_bm25_topk
+
+    out = retrieval_bm25_topk(spark, SF_SMOKE).toPandas()
+    assert (out.groupby("query_id")["rank"].min() == 1).all()
+    for qid, grp in out.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert g.bm25.is_monotonic_decreasing
+        assert g.n_terms.iloc[0] >= g.n_terms.iloc[-1] - 2  # top hit matches broadly
+
+
+def test_kmeans_inertia_decreases_with_iterations(spark):
+    """Lloyd's invariant: total inertia after 2 iterations ≤ after 1."""
+    from datapipeline_gcp_spark.functions.kmeans import kmeans_clusters
+    from datapipeline_gcp_spark.schemas import load_testdata
+
+    emb = load_testdata(spark, SF_SMOKE, ("embeddings",))["embeddings"]
+    i1 = kmeans_clusters(emb, n_iter=1).agg(F.sum("inertia")).first()[0]
+    i2 = kmeans_clusters(emb, n_iter=2).agg(F.sum("inertia")).first()[0]
+    n1 = kmeans_clusters(emb, n_iter=1).agg(F.sum("n_members")).first()[0]
+    n2 = kmeans_clusters(emb, n_iter=2).agg(F.sum("n_members")).first()[0]
+    assert n1 == n2  # every vector assigned in both runs
+    assert i2 <= i1 + 1e-9
+
+
+def test_hard_negatives_never_return_query_label(spark):
+    out = similarity.mining_hard_negatives(spark, SF_SMOKE).toPandas()
+    assert (out.query_label != out.neg_label).all()
+    assert (out.groupby("query_id").size() == similarity.TOP_K).all()
