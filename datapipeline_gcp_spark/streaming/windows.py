@@ -243,8 +243,64 @@ WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
 """
 
 
+def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window twin of :func:`events_stream_tumbling_gate`:
+    readStream → watermark → ``session_window`` agg → append-mode
+    memory sink (availableNow). Session state is the harder case the
+    gate should pin — windows MERGE as events arrive (two sessions
+    within gap collapse into one), so wrong merge logic silently
+    corrupts aggregates in a way the batch twin can't reveal; the
+    closure rule is the same (a session emits once the terminal
+    watermark ``max(ts) − delay`` passes its end = last event + gap).
+
+    Scale: state per (user, open session); the gap bounds merge scope
+    and the watermark expires closed sessions — the unbounded-key
+    analogue of the tumbling case's fixed window count per key.
+    """
+    pin_utc(spark)
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_session(stream)
+    name = "stream_session_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+_STREAM_SESSION_ORACLE = f"""
+WITH agg AS ({_SESSION_ORACLE})
+SELECT * FROM agg
+WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
 QUERIES = {
     "events_stream_tumbling_gate": events_stream_tumbling_gate,
+    "events_stream_session_gate": events_stream_session_gate,
     "events_tumbling_window": events_tumbling,
     "events_sliding_window": events_sliding,
     "events_session_window": events_session,
@@ -252,6 +308,7 @@ QUERIES = {
 
 ORACLES = {
     "events_stream_tumbling_gate": _STREAM_TUMBLING_ORACLE,
+    "events_stream_session_gate": _STREAM_SESSION_ORACLE,
     "events_tumbling_window": _TUMBLING_ORACLE,
     "events_sliding_window": _SLIDING_ORACLE,
     "events_session_window": _SESSION_ORACLE,
