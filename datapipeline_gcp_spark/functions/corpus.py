@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.functions.dedup import (
+    _D_BH,
     _D_NORM,
     P,
     base_hash,
@@ -1265,8 +1266,134 @@ FROM cuts
 """
 
 
+PAD_BATCH = 16
+PAD_SHARDS = 32
+
+
+def padding_waste(
+    docs: DataFrame, batch: int = PAD_BATCH, shards: int = PAD_SHARDS
+) -> DataFrame:
+    """Padding-waste audit for batch construction — the throughput
+    metric behind length-bucketed batching: a batch pads every sequence
+    to its longest member, so arrival-order batches burn
+    ``B·max(len) − Σlen`` pad tokens while length-sorted batches
+    mostly eliminate it. Returns one row per strategy
+    (arrival | sorted): n_batches, total_tokens, padded_tokens,
+    waste_frac — the number that justifies (or kills) adding a sort
+    stage to a data loader.
+
+    Batches form WITHIN md5 hash shards, never across the global
+    corpus: a global row_number would serialize on one partition, and
+    real training shards are batch-local anyway. Both strategies use
+    the same shards, differing only in within-shard order (doc_id vs
+    (n_tok, doc_id)). Everything is integer math except the final
+    waste division — engine-exact.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(normalized(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tok"),
+        (base_hash(F.col("doc_id").cast("string")) % shards).alias("shard"),
+    )
+    out = []
+    for strategy, order in (
+        ("arrival", [F.col("doc_id")]),
+        ("sorted", [F.col("n_tok"), F.col("doc_id")]),
+    ):
+        w = Window.partitionBy("shard").orderBy(*order)
+        # floor-division on both sides: CAST(double AS BIGINT) rounds
+        # half-even in DuckDB but truncates in Spark
+        batched = toks.withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w) - 1) / batch).cast("long"),
+        )
+        per_batch = batched.groupBy("shard", "batch_id").agg(
+            F.count("*").alias("n_in_batch"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        out.append(
+            per_batch.agg(
+                F.count("*").alias("n_batches"),
+                F.sum("sum_tok").alias("total_tokens"),
+                F.sum(F.col("n_in_batch") * F.col("max_tok")).alias(
+                    "padded_tokens"
+                ),
+            ).select(
+                F.lit(strategy).alias("strategy"),
+                "n_batches",
+                "total_tokens",
+                "padded_tokens",
+            )
+        )
+    u = out[0].unionAll(out[1])
+    return u.select(
+        "strategy",
+        "n_batches",
+        "total_tokens",
+        "padded_tokens",
+        (
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double")
+            / F.col("padded_tokens").cast("double")
+        ).alias("waste_frac"),
+    )
+
+
+def corpus_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return padding_waste(_docs(spark, sf_dir))
+
+
+_PAD_TOKS = f"""
+  SELECT doc_id,
+         CAST(len(string_split({_D_NORM}, ' ')) AS BIGINT) AS n_tok,
+         ({_D_BH.format(s="CAST(doc_id AS VARCHAR)")} % {PAD_SHARDS}) AS shard
+  FROM documents
+"""
+
+_PAD_STRATEGY = """
+(
+  SELECT '{name}' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(sum_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_in_batch * max_tok) AS BIGINT) AS padded_tokens
+  FROM (
+    SELECT shard, batch_id,
+           COUNT(*) AS n_in_batch, MAX(n_tok) AS max_tok,
+           SUM(n_tok) AS sum_tok
+    FROM (
+      SELECT *, CAST((ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY {order}) - 1) // {batch}
+             AS BIGINT) AS batch_id
+      FROM toks
+    )
+    GROUP BY shard, batch_id
+  )
+)
+"""
+
+_PAD_ORACLE = (
+    f"WITH toks AS ({_PAD_TOKS}),\n"
+    "u AS (\n"
+    + _PAD_STRATEGY.format(name="arrival", order="doc_id", batch=PAD_BATCH)
+    + "\nUNION ALL\n"
+    + _PAD_STRATEGY.format(
+        name="sorted", order="n_tok, doc_id", batch=PAD_BATCH
+    )
+    + """
+)
+SELECT strategy, n_batches, total_tokens, padded_tokens,
+       1.0 - CAST(total_tokens AS DOUBLE) / CAST(padded_tokens AS DOUBLE)
+         AS waste_frac
+FROM u
+"""
+)
+
+
 QUERIES = {
     "corpus_fim_split": corpus_fim_split,
+    "corpus_padding_waste": corpus_padding_waste,
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
     "corpus_tfidf_topk": corpus_tfidf_topk,
@@ -1287,6 +1414,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_fim_split": _FIM_ORACLE,
+    "corpus_padding_waste": _PAD_ORACLE,
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_collocations": _COLLOC_ORACLE,
     "corpus_tfidf_topk": _TFIDF_ORACLE,
