@@ -416,7 +416,71 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation via FULL OUTER join — the diff primitive
+    behind CDC validation, backfill audits, and cross-system
+    consistency checks (the reference's append-only layers have no
+    diff; its rerun semantics make this the first tool you need when a
+    backfill double-loads — see SURVEY §1.5.4).
+
+    Two deterministic snapshots of orders diverge three ways: keys
+    missing from "old" (added), keys missing from "new" (removed), and
+    keys whose price changed; everything else is unchanged. The join
+    coalesces the key (USING semantics, identical in both engines);
+    classification is a null/equality CASE over the two payloads.
+
+    Scale: fact-to-fact FULL OUTER — deliberately NOT broadcastable;
+    it shuffles both sides on the join key (SortMergeJoin), which is
+    the right plan, and the reconciliation of two bucketed snapshots
+    written with `sinks.write_bucketed` co-locates for free. Double
+    equality is safe here because unchanged values are bit-identical
+    copies, not recomputed floats."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .when(F.col("old_price") != F.col("new_price"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "o_orderkey", "old_price", "new_price", status.alias("status")
+    )
+
+
+_RECONCILE_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT o_orderkey, old_price, new_price,
+       CASE WHEN old_price IS NULL THEN 'added'
+            WHEN new_price IS NULL THEN 'removed'
+            WHEN old_price <> new_price THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+"""
+
+
 QUERIES = {
+    "snapshot_reconcile": snapshot_reconcile,
     "join_skew_salted": join_skew_salted,
     "scan_filter_project": scan_filter_project,
     "case_when_projection": case_when_projection,
@@ -431,6 +495,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "snapshot_reconcile": _RECONCILE_ORACLE,
     "join_skew_salted": _SALTED_ORACLE,
     "scan_filter_project": _SCAN_FILTER_ORACLE,
     "case_when_projection": _CASE_WHEN_ORACLE,
