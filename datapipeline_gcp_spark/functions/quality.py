@@ -95,6 +95,10 @@ def hashed_quality_scores(
 
 def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    # small parquet = ONE input split; spread the per-feature md5 work
+    # across cores before the explode (free at real scale — the source
+    # is already many splits; see contamination_check's measured 27→3 s)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return hashed_quality_scores(docs)
 
 
@@ -168,6 +172,7 @@ def quantile_normalized_scores(scored: DataFrame) -> DataFrame:
 
 def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return quantile_normalized_scores(hashed_quality_scores(docs))
 
 

@@ -132,6 +132,8 @@ def bm25_topk(
 
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    # one input split at fixture scale → spread tokenize+explode work
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return bm25_topk(docs)
 
 
