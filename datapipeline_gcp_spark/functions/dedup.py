@@ -526,6 +526,27 @@ FROM fixture
 GROUP BY 1
 """
 
+_IMPACT_ORACLE = f"""
+WITH fixture AS ({_FIXTURE_SQL}),
+flagged AS (
+  SELECT lang, source,
+         CASE WHEN ROW_NUMBER() OVER (
+           PARTITION BY md5({_D_NORM}) ORDER BY doc_id) = 1
+         THEN 1 ELSE 0 END AS kept
+  FROM fixture
+),
+agg AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(kept) AS BIGINT) AS n_kept
+  FROM flagged GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_kept,
+       n_docs - n_kept AS n_dropped,
+       CAST(n_docs - n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS drop_frac
+FROM agg
+"""
+
 # CTE list (no WITH keyword) so downstream oracles — e.g. the
 # connected-components clustering in clusters.py, which needs a
 # WITH RECURSIVE prefix — can compose the same pair pipeline verbatim.
@@ -615,6 +636,47 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(neardup_fixture(spark, sf_dir))
+
+
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) survivorship rollup for corpus-global exact
+    dedup — the governance report a data team reads BEFORE deleting
+    anything: which slices lose how much. Duplicates are attributed to
+    the slice of the LOSING document (keep-first by doc_id on the
+    normalized-content fingerprint), so a mirror site shows up in its
+    own source's drop count, not the original's.
+
+    Shape: fingerprint projection → ONE window over the fingerprint
+    (keep-first needs the corpus-global rule, not per-slice) → one
+    (lang, source) rollup. Same two-shuffle cost as exact dedup itself;
+    the report is group-cardinality. Returns (lang, source, n_docs,
+    n_kept, n_dropped, drop_frac)."""
+    df = neardup_fixture(spark, sf_dir)
+    fp = df.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.md5(normalized(F.col("text"))).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flagged = fp.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("long")
+    )
+    agg = flagged.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        (
+            (F.col("n_docs") - F.col("n_kept")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("drop_frac"),
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1068,6 +1130,7 @@ FROM agg
 QUERIES = {
     "dedup_passages": dedup_passages,
     "dedup_exact": dedup_exact,
+    "dedup_impact_report": dedup_impact_report,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1079,6 +1142,7 @@ QUERIES = {
 ORACLES = {
     "dedup_passages": _PASSAGE_ORACLE,
     "dedup_exact": _EXACT_ORACLE,
+    "dedup_impact_report": _IMPACT_ORACLE,
     "dedup_minhash_lsh": _MINHASH_ORACLE,
     "dedup_simhash": _SIMHASH_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
