@@ -22,13 +22,13 @@ def main() -> None:
         if a.startswith("--sf="):
             sf = a.split("=", 1)[1]
     from datapipeline_gcp_spark import registry
+    from datapipeline_gcp_spark.session import get_session
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
+    # bench-identical session (tuned confs), so numbers here are
+    # comparable to BENCH_DETAIL.json
+    spark = get_session(
+        app_name="time_query",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
