@@ -130,11 +130,73 @@ SELECT e.user_id, e.event_id, e.event_type, e.value,
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
+def events_stream_interval_join_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run the attribution join as a REAL stream-stream join — two
+    ``readStream`` sides (purchases, clicks) with watermarks on both,
+    availableNow, append-mode memory sink — and return the sink.
+
+    The semantic this gate pins: a stream-stream INNER join emits a
+    pair in the micro-batch where both rows are present — the
+    watermark bounds STATE, not emission — so the availableNow replay
+    must equal the batch interval join EXACTLY (the oracle is the
+    unfiltered batch SQL). Contrast with the windowed-agg gates
+    (`windows.events_stream_*_gate`), whose append mode withholds
+    open windows: a hash match here + a closure-filtered match there
+    certifies both halves of append-mode semantics. Outer interval
+    joins are the case that would need a closure filter (NULL rows
+    emit only after the watermark passes); inner join is deliberately
+    the gate because its contract is exactness.
+    """
+    from datapipeline_gcp_spark.schemas import pin_utc
+
+    pin_utc(spark)
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+
+    def _side() -> DataFrame:
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    agg = streaming_interval_join(
+        _side().filter(F.col("event_type") == "purchase"),
+        _side().filter(F.col("event_type") == "click"),
+    )
+    name = "stream_interval_join_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+        "gap_us",
+    )
+
+
 QUERIES = {
     "events_interval_join": events_interval_join,
+    "events_stream_interval_join_gate": events_stream_interval_join_gate,
     "events_enriched": events_enriched,
 }
 ORACLES = {
     "events_interval_join": _INTERVAL_ORACLE,
+    # inner stream-stream join must equal the batch join exactly
+    "events_stream_interval_join_gate": _INTERVAL_ORACLE,
     "events_enriched": _ENRICH_ORACLE,
 }
