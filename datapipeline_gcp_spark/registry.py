@@ -64,6 +64,7 @@ _MODULES = [
     "datapipeline_gcp_spark.sources.readers",
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.streaming.joins",
+    "datapipeline_gcp_spark.streaming.stateful",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -216,3 +216,122 @@ def streaming_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gate entry: the custom stateful sessionizer vs a closure-semantics oracle
+# ---------------------------------------------------------------------------
+
+GATE_GAP_MS = 10 * 60 * 1000
+GATE_DELAY_MS = 30 * 60 * 1000
+
+
+def events_stream_stateful_session_gate(spark, sf_dir: str) -> DataFrame:
+    """Run the HAND-ROLLED ``applyInPandasWithState`` sessionizer as a
+    real stream (readStream → availableNow → append memory sink) and
+    hash-compare it against a DuckDB encoding of its full contract —
+    this is the registry's only gate over custom Python streaming
+    state, and it pins four things at once:
+
+    1. gaps-and-islands session assembly on MILLISECOND-truncated event
+       time (the operator buffers epoch-ms; the oracle truncates
+       ``epoch_us // 1000`` identically — events carry µs precision, so
+       an oracle on raw timestamps would split sessions differently);
+    2. append-mode closure: a session emits iff the terminal watermark
+       ``(max_ts_ms − delay)`` strictly passed its end (the operator's
+       ``end_ms < wm``), including QUIET keys woken by event-time
+       timeout — the path a naive implementation starves;
+    3. exact aggregates: ``total_value`` is a sequential left-fold over
+       (ts_ms, value)-sorted floats in BOTH engines (Python ``sum`` ≡
+       DuckDB ``list_reduce`` over an ordered ``list()`` — same IEEE
+       additions in the same order, bitwise-equal);
+    4. the ms→timestamp round-trip of the emitted boundaries.
+    """
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.schemas import pin_utc
+
+    pin_utc(spark)
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_sessionize_stateful(stream)
+    name = "stream_stateful_session_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+_STATEFUL_SESSION_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_ms, value,
+    CASE WHEN lag(ts_ms) OVER w IS NULL
+           OR ts_ms - lag(ts_ms) OVER w >= {GATE_GAP_MS}
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, value)
+),
+numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_ms, value
+      ROWS UNBOUNDED PRECEDING
+    ) AS session_no
+  FROM flagged
+),
+sess AS (
+  SELECT user_id,
+         MIN(ts_ms) AS start_ms,
+         MAX(ts_ms) + {GATE_GAP_MS} AS end_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         list_reduce(list(value ORDER BY ts_ms, value),
+                     (x, y) -> x + y) AS total_value
+  FROM numbered
+  GROUP BY user_id, session_no
+),
+wm AS (
+  SELECT (epoch_us(max(ts)) // 1000) - {GATE_DELAY_MS} AS wm_ms FROM events
+)
+SELECT user_id,
+       make_timestamp(start_ms * 1000) AS session_start,
+       make_timestamp(end_ms * 1000) AS session_end,
+       n_events,
+       total_value
+FROM sess, wm
+WHERE end_ms < wm_ms
+"""
+
+
+QUERIES = {
+    "events_stream_stateful_session_gate": events_stream_stateful_session_gate,
+}
+
+ORACLES = {
+    "events_stream_stateful_session_gate": _STATEFUL_SESSION_ORACLE,
+}
