@@ -363,13 +363,125 @@ GROUP BY 1
 """
 
 
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders (the dbt-test /
+    Great-Expectations tier a pipeline runs before publishing a layer —
+    the reference enforces schema contracts at load time via BigQuery
+    schemas, `cloud_composer/datapipeline_gcp.py` load jobs; this is
+    the post-load twin for semantic constraints schemas can't express).
+
+    Five constraints, one row each (constraint, n_violations, passed):
+    not_null and accepted_values are metadata-free single-pass
+    aggregates over ONE scan (a conditional-count fused aggregate — no
+    per-constraint rescans); uniqueness is a group-count; referential
+    integrity is a LEFT ANTI join against the dimension (broadcast —
+    the standard FK probe). At 100 TB: the fused scan reads only the
+    constrained columns; the anti-join shuffles at most the violating
+    side, and AQE broadcasts customer.
+
+    Registered as an operator (not a test) deliberately: expectation
+    results are DATA — pipelines route on them (publish/quarantine) and
+    audit logs keep them, so they belong in the engine surface.
+    """
+    loaded = load_testdata(spark, sf_dir, ("orders", "customer"))
+    o, c = loaded["orders"], loaded["customer"]
+    viol = lambda cond, name: F.sum(  # noqa: E731
+        F.when(cond, 1).otherwise(0)
+    ).cast("bigint").alias(name)
+    fused = o.agg(
+        viol(F.col("o_orderkey").isNull(), "null_key"),
+        viol(
+            ~F.col("o_orderstatus").isin("O", "F", "P"), "bad_status"
+        ),
+        viol(F.col("o_totalprice") <= 0, "nonpos_price"),
+    )
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count("*").cast("bigint").alias("dup_key"))
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count("*").cast("bigint").alias("orphan_fk"))
+    )
+    wide = fused.crossJoin(dup_keys).crossJoin(orphans)
+    checks = [
+        ("o_orderkey_not_null", "null_key"),
+        ("o_orderkey_unique", "dup_key"),
+        ("o_orderstatus_accepted_values", "bad_status"),
+        ("o_totalprice_positive", "nonpos_price"),
+        ("o_custkey_references_customer", "orphan_fk"),
+    ]
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint"),
+                        F.col(col).alias("n_violations"),
+                    )
+                    for name, col in checks
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select(
+        F.col("r.constraint").alias("constraint"),
+        F.col("r.n_violations").alias("n_violations"),
+        (F.col("r.n_violations") == 0).alias("passed"),
+    )
+
+
+_EXPECT_ORACLE = """
+WITH fused AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_key,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+      AS BIGINT) AS bad_status,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS nonpos_price
+  FROM orders
+),
+dups AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dup_key FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+  )
+),
+orph AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_fk
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+),
+stacked AS (
+  SELECT 'o_orderkey_not_null' AS constraint, null_key AS n_violations
+  FROM fused
+  UNION ALL
+  SELECT 'o_orderkey_unique', dup_key FROM dups
+  UNION ALL
+  SELECT 'o_orderstatus_accepted_values', bad_status FROM fused
+  UNION ALL
+  SELECT 'o_totalprice_positive', nonpos_price FROM fused
+  UNION ALL
+  SELECT 'o_custkey_references_customer', orphan_fk FROM orph
+)
+SELECT "constraint", n_violations, n_violations = 0 AS passed FROM stacked
+"""
+
+
 QUERIES = {
+    "table_expectations": table_expectations,
     "merge_scd1": merge_scd1,
     "merge_scd2": merge_scd2,
     "lineitem_profile": lineitem_profile,
     "rollup_incremental": rollup_incremental,
 }
 ORACLES = {
+    "table_expectations": _EXPECT_ORACLE,
     "merge_scd1": _SCD1_ORACLE,
     "merge_scd2": _SCD2_ORACLE,
     "lineitem_profile": _profile_oracle(),
