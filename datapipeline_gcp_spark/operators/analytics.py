@@ -729,7 +729,57 @@ FROM w WHERE event_type = 'purchase'
 """
 
 
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-completeness monitor: hours with ZERO events per type
+    between that type's first and last active hour — the freshness /
+    data-loss alarm a pipeline checks before trusting a day's ingest
+    (the reference's sensor waits for FILES to exist,
+    `datapipeline_gcp.py` poke loop; this checks the CONTENT landed).
+
+    Shape: distinct (type, hour) is one pre-aggregated projection of
+    the fact table; per-type bounds are a 5-row aggregate; the expected
+    grid explodes from the bounds row (grid cardinality = hours in
+    range — metadata-scale even for years); the missing set is a
+    LEFT ANTI join of grid against actual, broadcast from the actual
+    side's pre-aggregated hours. Nothing here rescans or shuffles raw
+    events beyond the first distinct. Returns (event_type,
+    missing_hour)."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    actual = ev.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    bounds = actual.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    expected = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return expected.join(actual, ["event_type", "h"], "left_anti").select(
+        "event_type", F.col("h").alias("missing_hour")
+    )
+
+
+_GAP_ORACLE = """
+WITH actual AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events
+),
+b AS (
+  SELECT event_type, min(h) AS lo, max(h) AS hi FROM actual GROUP BY 1
+),
+expected AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM b
+)
+SELECT event_type, h AS missing_hour
+FROM expected ANTI JOIN actual USING (event_type, h)
+"""
+
+
 QUERIES = {
+    "events_gap_detection": events_gap_detection,
     "events_cohort_retention": events_cohort_retention,
     "events_attribution": events_attribution,
     "events_sessionize": events_sessionize,
@@ -747,6 +797,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_gap_detection": _GAP_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
