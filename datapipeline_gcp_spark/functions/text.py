@@ -235,6 +235,44 @@ SELECT doc_id, text, lang, source, n_chars,
 FROM n
 """
 
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of predicted vs labeled
+    language plus per-cell recall within the labeled class — the
+    accept/retrain gauge for the cheap classifier tier (the number you
+    check before trusting `lang_pred` to drive per-language filters
+    like `corpus_length_filter`). One extra aggregation over
+    :func:`with_language_id`'s projection — the scan does all the
+    regex work, the matrix is (|langs|+1)² cells."""
+    pred = with_language_id(_docs(spark, sf_dir))
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return cells.join(totals, "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_lang").cast("double")).alias(
+            "frac_of_lang"
+        ),
+    )
+
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANGID_ORACLE}),
+cells AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, lang_pred
+),
+totals AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang FROM cells GROUP BY lang
+)
+SELECT c.lang, c.lang_pred, c.n_docs,
+       CAST(c.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE) AS frac_of_lang
+FROM cells c JOIN totals t USING (lang)
+"""
+
+
 # The pattern is shared verbatim: it is deliberately RE2-compatible, and
 # single-quotes are doubled for the SQL literal.
 _BPE_ORACLE = f"""
@@ -253,6 +291,7 @@ FROM p
 QUERIES = {
     "text_metrics": text_metrics,
     "text_language_id": text_language_id,
+    "lang_confusion_matrix": lang_confusion_matrix,
     "doc_fingerprint": doc_fingerprint,
     "text_bpe_pretokenize": text_bpe_pretokenize,
 }
@@ -260,6 +299,7 @@ QUERIES = {
 ORACLES = {
     "text_metrics": _METRICS_ORACLE,
     "text_language_id": _LANGID_ORACLE,
+    "lang_confusion_matrix": _CONFUSION_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "text_bpe_pretokenize": _BPE_ORACLE,
 }
