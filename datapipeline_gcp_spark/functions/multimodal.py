@@ -348,14 +348,116 @@ FROM frames
 """
 
 
+# ---------------------------------------------------------------------------
+# Resize: fixed-size nearest-neighbor downsample of decoded buffers
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 16
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("orig_len", T.LongType()),
+        T.StructField("resized_hex", T.StringType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, kind: str = "image") -> DataFrame:
+    """Image-path resize plumbing: Arrow-batched ``mapInPandas`` that
+    nearest-neighbor downsamples each decoded buffer to a fixed
+    ``RESIZE_TARGET`` bytes (``out[i] = buf[(i·n)//T]`` — the 1-D
+    analogue of NN image resize; a real deployment decodes with PIL
+    via ``register_decoder`` and resizes H×W×C, same worker shape).
+    Payloads shorter than the target are skipped inside the worker —
+    the filter a real thumbnailer applies.
+
+    Scale: scan → filter(kind) → Python stage, no shuffle; output rows
+    carry ``RESIZE_TARGET`` bytes as hex plus scalars, so downstream
+    stages (dedup by resized hash, embedding lookup) never touch the
+    original payload. ``mean_byte`` is an exact integer sum with one
+    final division."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n < RESIZE_TARGET:
+                    continue
+                out = bytes(
+                    b[(i * n) // RESIZE_TARGET] for i in range(RESIZE_TARGET)
+                )
+                rows.append(
+                    (
+                        int(aid),
+                        n,
+                        binascii.hexlify(out).decode(),
+                        hashlib.md5(out).hexdigest(),
+                        float(sum(out)) / RESIZE_TARGET,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "orig_len",
+                    "resized_hex",
+                    "resized_md5",
+                    "mean_byte",
+                ],
+            )
+
+    return (
+        assets.filter(F.col("kind") == kind)
+        .select("asset_id", "payload")
+        .mapInPandas(worker, RESIZE_SCHEMA)
+    )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_assets(assets_from_documents(spark, sf_dir))
+
+
+# image ⇔ doc_id%3=0; ASCII fixture ⇒ string positions = byte offsets
+_RESIZE_ORACLE = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, text, CAST(length(text) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= {RESIZE_TARGET}
+),
+resized AS (
+  SELECT asset_id, n,
+         array_to_string(list_transform(range(0, {RESIZE_TARGET}),
+           i -> substring(text, CAST((i * n) // {RESIZE_TARGET} + 1 AS INT), 1)),
+           '') AS outb
+  FROM assets
+)
+SELECT asset_id, n AS orig_len,
+       lower(hex(encode(outb))) AS resized_hex,
+       md5(outb) AS resized_md5,
+       CAST(list_sum(list_transform(range(1, {RESIZE_TARGET} + 1),
+              i -> ord(substring(outb, CAST(i AS INT), 1)))) AS DOUBLE)
+         / {RESIZE_TARGET} AS mean_byte
+FROM resized
+"""
+
+
 QUERIES = {
     "multimodal_asset_stats": multimodal_asset_stats,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLES = {
     "multimodal_asset_stats": _STATS_ORACLE,
     "multimodal_feature_extract": _FEATURE_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
+    "multimodal_resize": _RESIZE_ORACLE,
 }
