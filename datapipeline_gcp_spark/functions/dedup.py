@@ -36,6 +36,7 @@ import logging
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datapipeline_gcp_spark.determinism import qround, sql_qround
 from datapipeline_gcp_spark.schemas import load_testdata
 
 P = 1_000_000_007  # hash field modulus (fits 64-bit intermediate math)
@@ -736,6 +737,43 @@ def dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_neardup_pairs(neardup_fixture(spark, sf_dir))
 
 
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: bucket every LSH candidate pair
+    by its signature match fraction (the cheap estimate) and roll up
+    the EXACT Jaccard inside each bucket — the curve that tells you
+    what signature threshold to set for a target true-similarity
+    floor, and whether NUM_HASHES is large enough (wide buckets with
+    flat exact means ⇒ too few hashes). This is how the two-stage
+    dedup's knobs get tuned from the pipeline's own output instead of
+    folklore.
+
+    Shape: `verified_neardup_pairs` at threshold 0 (all candidates,
+    still candidate-bounded — never all pairs), then one 10-row
+    aggregation. Jaccard values are qround'd to 9 dp and summed through
+    exact decimals so the per-bucket means are order- and
+    partitioning-independent."""
+    pairs = verified_neardup_pairs(neardup_fixture(spark, sf_dir), threshold=0.0)
+    b = F.least(
+        F.floor(F.col("sig_match_frac") * 10).cast("int"), F.lit(9)
+    )
+    jq = qround(F.col("jaccard"), 9).cast("decimal(18,9)")
+    sq = qround(F.col("sig_match_frac"), 9).cast("decimal(18,9)")
+    agg = (
+        pairs.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.sum(sq).cast("double") / F.count("*")).alias("avg_sig"),
+            (F.sum(jq).cast("double") / F.count("*")).alias("avg_jaccard"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    return agg.select(
+        "bin", "n_pairs", "avg_sig", "avg_jaccard", "min_jaccard", "max_jaccard"
+    )
+
+
 _FRESH_PREFIX = "fresh document "
 _FRESH_SUFFIX = " entirely novel content alpha beta gamma"
 
@@ -927,6 +965,39 @@ JOIN shs b ON scored.doc_b = b.doc_id
 WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
     / CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS DOUBLE)
     >= 0.5
+"""
+
+_CALIB_ORACLE = f"""
+WITH {MINHASH_PAIR_CTES},
+shs AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_D_SHINGLES},
+                       s -> {_D_BH.format(s='s')})) AS shs
+  FROM fixture
+),
+pj AS (
+  SELECT scored.sig_match_frac,
+    CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      / CAST(len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))
+             AS DOUBLE) AS jaccard
+  FROM scored
+  JOIN shs a ON scored.doc_a = a.doc_id
+  JOIN shs b ON scored.doc_b = b.doc_id
+),
+binned AS (
+  SELECT LEAST(CAST(floor(sig_match_frac * 10) AS INT), 9) AS bin,
+         sig_match_frac, jaccard
+  FROM pj
+)
+SELECT bin,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CAST({sql_qround("sig_match_frac", 9)} AS DECIMAL(18,9)))
+       AS DOUBLE) / COUNT(*) AS avg_sig,
+  CAST(SUM(CAST({sql_qround("jaccard", 9)} AS DECIMAL(18,9)))
+       AS DOUBLE) / COUNT(*) AS avg_jaccard,
+  MIN(jaccard) AS min_jaccard,
+  MAX(jaccard) AS max_jaccard
+FROM binned GROUP BY bin
 """
 
 _INCREMENTAL_ORACLE = f"""
@@ -1131,6 +1202,7 @@ QUERIES = {
     "dedup_passages": dedup_passages,
     "dedup_exact": dedup_exact,
     "dedup_impact_report": dedup_impact_report,
+    "dedup_minhash_calibration": dedup_minhash_calibration,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1143,6 +1215,7 @@ ORACLES = {
     "dedup_passages": _PASSAGE_ORACLE,
     "dedup_exact": _EXACT_ORACLE,
     "dedup_impact_report": _IMPACT_ORACLE,
+    "dedup_minhash_calibration": _CALIB_ORACLE,
     "dedup_minhash_lsh": _MINHASH_ORACLE,
     "dedup_simhash": _SIMHASH_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
