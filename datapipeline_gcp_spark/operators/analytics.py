@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import dec, dsum, sql_dsum
+from datapipeline_gcp_spark.determinism import dec, dsum, qround, sql_dsum, sql_qround
 from datapipeline_gcp_spark.schemas import load_testdata
 
 
@@ -778,7 +778,114 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+ANOM_LOOKBACK = 24  # trailing hours in the baseline window
+ANOM_MIN_POINTS = 12  # don't score until the baseline has this many hours
+ANOM_Z = 3.0
+
+
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the event stream: per (type, hour),
+    z-score the hourly count against the trailing 24 ACTIVE hours and
+    flag |z| > 3 — the ingest-monitoring twin of `events_gap_detection`
+    (gaps find silence; this finds surges and partial outages).
+
+    Determinism is engineered, not hoped for: hourly counts are
+    integers, and the trailing mean/variance come from exact BIGINT
+    Σcnt and Σcnt² over a RANGE frame keyed on the integer epoch-hour
+    (a ROWS frame would silently mis-window over missing hours), so
+    both engines compute identical doubles; the z-score is qround'd
+    before the flag comparison. Population variance (the monitoring
+    convention), guarded to NULL when the baseline is flat or short.
+
+    Scale: one pre-aggregation to (type, hour) — metadata-cardinality —
+    then a per-type window; the event log is scanned once."""
+    from datapipeline_gcp_spark.determinism import qround
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "hnum",
+            (F.timestamp_diff("HOUR", F.lit("1970-01-01 00:00:00").cast(
+                "timestamp_ntz"
+            ), F.col("h").cast("timestamp_ntz"))).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hnum")
+        .rangeBetween(-ANOM_LOOKBACK, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.count("cnt").over(w).alias("n_base"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    )
+    n = F.col("n_base").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    z = qround((F.col("cnt").cast("double") - mean) / F.sqrt(var), 6)
+    scored = stats.filter(F.col("n_base") >= ANOM_MIN_POINTS).select(
+        "event_type",
+        F.col("h").alias("hour"),
+        "cnt",
+        qround(mean, 6).alias("baseline_mean"),
+        F.when(var > 0, z).alias("z"),
+        F.when(var > 0, F.abs(z) > ANOM_Z).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+    return scored
+
+
+_ANOMALY_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         epoch(date_trunc('hour', ts)) // 3600 AS hnum
+  FROM events GROUP BY 1, 2, 4
+),
+stats AS (
+  SELECT event_type, h, cnt,
+    COUNT(cnt) OVER w AS n_base,
+    SUM(cnt) OVER w AS s1,
+    SUM(cnt * cnt) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hnum
+               RANGE BETWEEN {ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, h AS hour, cnt,
+    CAST(n_base AS DOUBLE) AS n,
+    CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean,
+    CAST(s2 AS DOUBLE) / CAST(n_base AS DOUBLE)
+      - (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE))
+        * (CAST(s1 AS DOUBLE) / CAST(n_base AS DOUBLE)) AS var
+  FROM stats WHERE n_base >= {ANOM_MIN_POINTS}
+)
+SELECT event_type, hour, cnt,
+  {sql_qround("mean", 6)} AS baseline_mean,
+  CASE WHEN var > 0
+       THEN {sql_qround("(CAST(cnt AS DOUBLE) - mean) / sqrt(var)", 6)}
+  END AS z,
+  CASE WHEN var > 0
+       THEN abs({sql_qround("(CAST(cnt AS DOUBLE) - mean) / sqrt(var)", 6)})
+              > {ANOM_Z}
+       ELSE FALSE END AS is_anomaly
+FROM scored
+"""
+
+
 QUERIES = {
+    "events_anomaly_hours": events_anomaly_hours,
     "events_gap_detection": events_gap_detection,
     "events_cohort_retention": events_cohort_retention,
     "events_attribution": events_attribution,
@@ -798,6 +905,7 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_detection": _GAP_ORACLE,
+    "events_anomaly_hours": _ANOMALY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
