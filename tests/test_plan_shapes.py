@@ -132,3 +132,28 @@ def test_substring_dedup_single_pass(spark):
     plan = _plan(spark, "dedup_substring")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 3, plan
+
+
+def test_expectations_broadcasts_fk_dimension(spark):
+    """The referential-integrity probe must anti-join against a
+    BROADCAST customer side, and the fused not-null/accepted-values
+    scan must not multiply scans of orders (3 single-pass aggregates +
+    1 anti join ⇒ at most 3 orders scans)."""
+    plan = _plan(spark, "table_expectations")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_anomaly_hours_single_event_scan(spark):
+    """Anomaly scoring pre-aggregates to (type, hour) before any
+    window: exactly one scan of events and no join."""
+    plan = _plan(spark, "events_anomaly_hours")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_gap_detection_anti_join_on_preaggregated_hours(spark):
+    """The expected-hours grid anti-joins the pre-aggregated actual
+    hours — events are scanned, distinct-aggregated, and never
+    re-shuffled at event cardinality."""
+    plan = _plan(spark, "events_gap_detection")
+    assert "LeftAnti" in plan, plan
