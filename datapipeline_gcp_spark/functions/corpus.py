@@ -1266,6 +1266,50 @@ FROM cuts
 """
 
 
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the end-of-pipeline artifact a trainer
+    actually consumes: hash-split the corpus, keep the train split,
+    window it into context chunks, and pack the chunks into
+    token-budget bins inside hash shards, yielding the (shard, bin,
+    doc, chunk, offset) manifest that maps every training sequence back
+    to its source document (provenance — the thing a flat text dump
+    loses). Each stage is an already-gate-proven operator
+    (`corpus_split_assign`, `doc_chunking`, `corpus_pack_chunks`); this
+    entry proves the COMPOSITION end-to-end against one unrolled SQL
+    oracle, the same way `corpus_curation` proves the cleaning chain.
+
+    Scale: the split is a pushed-down hash filter (no shuffle); chunking
+    is a generator projection; packing is one window per shard — the
+    composition adds ZERO shuffles beyond `corpus_pack_chunks` itself.
+    """
+    from datapipeline_gcp_spark.functions.indexing import split_assign
+
+    train = (
+        split_assign(_docs(spark, sf_dir))
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
+    return pack_chunks(chunk_documents(train))
+
+
+def _manifest_oracle() -> str:
+    from datapipeline_gcp_spark.functions.indexing import (
+        _SPLIT_SQL_BUCKET,
+        TRAIN_UPTO,
+    )
+
+    train_chunk = _CHUNK_ORACLE.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {_SPLIT_SQL_BUCKET} < {TRAIN_UPTO})",
+        1,
+    )
+    return (
+        _PACK_ORACLE_TMPL.replace("PACK_SHARDS_SLOT", str(PACK_SHARDS))
+        .replace("PACK_BUDGET_SLOT", str(PACK_BUDGET))
+        .format(chunk_oracle=train_chunk)
+    )
+
+
 PAD_BATCH = 16
 PAD_SHARDS = 32
 
@@ -1394,6 +1438,7 @@ FROM u
 QUERIES = {
     "corpus_fim_split": corpus_fim_split,
     "corpus_padding_waste": corpus_padding_waste,
+    "corpus_training_manifest": corpus_training_manifest,
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
     "corpus_tfidf_topk": corpus_tfidf_topk,
@@ -1415,6 +1460,7 @@ QUERIES = {
 ORACLES = {
     "corpus_fim_split": _FIM_ORACLE,
     "corpus_padding_waste": _PAD_ORACLE,
+    "corpus_training_manifest": _manifest_oracle(),
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_collocations": _COLLOC_ORACLE,
     "corpus_tfidf_topk": _TFIDF_ORACLE,
