@@ -628,6 +628,78 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-cell occupancy and mean
+    member→centroid cosine — the numbers that drive nprobe tuning and
+    the re-cluster decision (hot cells make probes quadratic-ish;
+    low-coherence cells mean the quantizer no longer fits the data
+    drift). Every production ANN service watches exactly this table.
+
+    ``hot`` flags cells above 2× ideal occupancy using exact integer
+    arithmetic (``n·C > 2·total``); the mean cosine divides the exact
+    integer dot by the two quantized norms, qround'd then
+    decimal-summed — partitioning-independent. Same broadcast
+    assignment shape as :func:`ann_ivf_topk`; the report adds one
+    cell-keyed aggregation."""
+    vecs = _prep(spark, sf_dir, with_bucket=False)
+    cents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vd").alias("cd"),
+        F.col("vnorm").alias("cnorm"),
+    )
+    ex_v = (
+        vecs.select("vec_id", F.posexplode("vd").alias("d", "x"))
+        .withColumn("qx", F.floor(F.col("x") * QUANT).cast("long"))
+        .drop("x")
+    )
+    ex_c = (
+        cents.select("cent_id", F.posexplode("cd").alias("d", "y"))
+        .withColumn("qc", F.floor(F.col("y") * QUANT).cast("long"))
+        .drop("y")
+    )
+    qdots = (
+        ex_v.join(F.broadcast(ex_c), "d")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(F.col("qx") * F.col("qc")).alias("qdot"))
+        .join(F.broadcast(cents.select("cent_id", "cnorm")), "cent_id")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        (F.col("qdot").cast("double") / F.col("cnorm")).desc(), F.col("cent_id")
+    )
+    members = (
+        qdots.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .join(vecs.select("vec_id", "vnorm"), "vec_id")
+    )
+    quant2 = float(QUANT) ** 2
+    cos = qround(
+        F.col("qdot").cast("double")
+        / (F.col("vnorm") * F.col("cnorm") * F.lit(quant2)),
+        9,
+    )
+    per_cell = members.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum(cos.cast("decimal(18,9)")).alias("_cos_sum"),
+    )
+    total = per_cell.agg(F.sum("n_members").alias("total"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))
+        .select(
+            "cent_id",
+            "n_members",
+            (
+                F.col("n_members").cast("double") / F.col("total").cast("double")
+            ).alias("frac_corpus"),
+            (F.col("_cos_sum").cast("double") / F.col("n_members")).alias(
+                "avg_cos"
+            ),
+            (
+                F.col("n_members") * N_CENTROIDS > F.lit(2) * F.col("total")
+            ).alias("hot"),
+        )
+    )
+
+
 SEMDEDUP_TAU = 0.9
 
 
@@ -784,6 +856,40 @@ def mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_STATS_ORACLE = f"""
+WITH vecs AS ({_D_PREP}),
+cents AS (
+  SELECT vec_id AS cent_id, vd AS cd, vnorm AS cnorm
+  FROM vecs WHERE vec_id < {N_CENTROIDS}
+),
+qdots AS (
+  SELECT v.vec_id, c.cent_id, {_D_QDOT_VC} AS qdot, c.cnorm, v.vnorm
+  FROM vecs v, cents c
+),
+members AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY CAST(qdot AS DOUBLE) / cnorm DESC, cent_id) AS crank
+    FROM qdots
+  ) WHERE crank = 1
+),
+per_cell AS (
+  SELECT cent_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         SUM(CAST({sql_qround(
+             f"CAST(qdot AS DOUBLE) / (vnorm * cnorm * {float(QUANT) ** 2})", 9
+         )} AS DECIMAL(18,9))) AS cos_sum
+  FROM members GROUP BY cent_id
+),
+tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS total FROM per_cell)
+SELECT cent_id, n_members,
+       CAST(n_members AS DOUBLE) / CAST(total AS DOUBLE) AS frac_corpus,
+       CAST(cos_sum AS DOUBLE) / n_members AS avg_cos,
+       n_members * {N_CENTROIDS} > 2 * total AS hot
+FROM per_cell, tot
+"""
+
+
 _SEMDEDUP_ORACLE = f"""
 WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings),
 perturbed AS (
@@ -860,6 +966,7 @@ GROUP BY bf.query_id
 
 QUERIES = {
     "dedup_semantic": dedup_semantic,
+    "ann_ivf_cell_stats": ann_ivf_cell_stats,
     "mining_hard_negatives": mining_hard_negatives,
     "ann_recall_eval": ann_recall_eval,
     "ann_bruteforce_topk": ann_bruteforce_topk,
@@ -872,6 +979,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_semantic": _SEMDEDUP_ORACLE,
+    "ann_ivf_cell_stats": _IVF_STATS_ORACLE,
     "mining_hard_negatives": _HARDNEG_ORACLE,
     "ann_recall_eval": _RECALL_ORACLE,
     "embedding_label_centroids": _CENTROIDS_ORACLE,
