@@ -672,3 +672,46 @@ def test_hard_negatives_never_return_query_label(spark):
     out = similarity.mining_hard_negatives(spark, SF_SMOKE).toPandas()
     assert (out.query_label != out.neg_label).all()
     assert (out.groupby("query_id").size() == similarity.TOP_K).all()
+
+
+def test_padding_waste_sorted_never_worse(spark):
+    """Length-sorted batching must not pad more than arrival batching
+    (same shards, same batch size — sorting only tightens batches)."""
+    from datapipeline_gcp_spark.functions.corpus import corpus_padding_waste
+
+    out = corpus_padding_waste(spark, SF_SMOKE).toPandas().set_index("strategy")
+    assert out.loc["sorted", "padded_tokens"] <= out.loc["arrival", "padded_tokens"]
+    assert out.loc["sorted", "total_tokens"] == out.loc["arrival", "total_tokens"]
+
+
+def test_expectations_all_pass_on_clean_fixture(spark):
+    """The driver fixture satisfies every constraint — violations must
+    be exactly zero (a nonzero count means the check itself is wrong)."""
+    from datapipeline_gcp_spark.operators.maintenance import table_expectations
+
+    out = table_expectations(spark, SF_SMOKE).toPandas()
+    assert len(out) == 5
+    assert (out.n_violations == 0).all() and out.passed.all()
+
+
+def test_ivf_cell_stats_cover_whole_corpus(spark):
+    from datapipeline_gcp_spark.functions.similarity import ann_ivf_cell_stats
+
+    out = ann_ivf_cell_stats(spark, SF_SMOKE).toPandas()
+    assert abs(out.frac_corpus.sum() - 1.0) < 1e-9
+    assert (out.avg_cos <= 1.0 + 1e-9).all()
+    # every vector is somewhere: sum of members == corpus size
+    n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert out.n_members.sum() == n
+
+
+def test_training_manifest_provenance_is_complete(spark):
+    """Every train-split doc with ≥1 token appears in the manifest, and
+    offsets within a shard are gapless."""
+    from datapipeline_gcp_spark.functions.corpus import corpus_training_manifest
+
+    out = corpus_training_manifest(spark, SF_SMOKE).toPandas()
+    for _, g in out.groupby("shard"):
+        g = g.sort_values("offset_in_shard")
+        expected = g.chunk_tokens.cumsum().shift(fill_value=0)
+        assert (g.offset_in_shard.values == expected.values).all()
