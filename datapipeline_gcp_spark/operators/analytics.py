@@ -778,6 +778,94 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-scoring rollup the reference's KPI layer stops just short
+    of (`b_customer_retention` computes the ingredients; this assigns
+    the segments marketing actually consumes).
+
+    Per customer: days since last order (vs the corpus max date —
+    data-derived, so the query is reproducible), order count, exact-
+    decimal spend; each metric quintiled with ``ntile(5)`` over a TOTAL
+    order (metric + custkey tie-break — without the tie-break ntile is
+    partition-order-dependent and hash-unstable), oriented so 5 = best;
+    then a rule-based segment label. One aggregation + three window
+    passes over the customer-cardinality rollup (NOT the fact table) +
+    a 1-row broadcast for the reference date. The quintile windows are
+    GLOBAL (single partition) — fine at customer cardinality locally;
+    the 100 TB variant computes the 4 quintile cut values with one
+    percentile aggregate and broadcasts them back (identical labels,
+    no global sort), the same two-pass shape as `corpus_ppl_buckets`."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.date_diff(F.col("ref_date"), F.col("last_order"))
+        .cast("bigint")
+        .alias("r_days"),
+        "n_orders",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.col("r_days").desc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("n_orders"), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary"), F.col("o_custkey"))
+    scored = base.select(
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        "monetary",
+        F.ntile(5).over(w_r).cast("bigint").alias("r_q"),
+        F.ntile(5).over(w_f).cast("bigint").alias("f_q"),
+        F.ntile(5).over(w_m).cast("bigint").alias("m_q"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_q") >= 4) & (F.col("f_q") >= 4) & (F.col("m_q") >= 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 4), F.lit("at_risk_loyal"))
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), F.lit("new"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select("*", seg.alias("segment"))
+
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order,
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
+         n_orders, monetary
+  FROM per_cust
+),
+scored AS (
+  SELECT *,
+    CAST(ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS BIGINT) AS r_q,
+    CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_q,
+    CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
+  FROM base
+)
+SELECT *,
+  CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+       WHEN r_q <= 2 AND f_q >= 4 THEN 'at_risk_loyal'
+       WHEN r_q >= 4 AND f_q <= 2 THEN 'new'
+       ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
 ANOM_LOOKBACK = 24  # trailing hours in the baseline window
 ANOM_MIN_POINTS = 12  # don't score until the baseline has this many hours
 ANOM_Z = 3.0
@@ -885,6 +973,7 @@ FROM scored
 
 
 QUERIES = {
+    "customers_rfm_segments": customers_rfm_segments,
     "events_anomaly_hours": events_anomaly_hours,
     "events_gap_detection": events_gap_detection,
     "events_cohort_retention": events_cohort_retention,
@@ -906,6 +995,7 @@ QUERIES = {
 ORACLES = {
     "events_gap_detection": _GAP_ORACLE,
     "events_anomaly_hours": _ANOMALY_ORACLE,
+    "customers_rfm_segments": _RFM_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
