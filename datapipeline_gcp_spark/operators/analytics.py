@@ -778,6 +778,112 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+BASKET_MIN_COUNT = 2
+BASKET_TOP_K = 100
+
+
+def parts_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in the same
+    order, ranked by lift ``P(ab)·N / (P(a)·P(b)·N²)`` — the
+    co-purchase signal behind recommendations and shelf planning.
+
+    Scale shape: the pair explosion is ORDER-local
+    (`within_block_pairs` on the order key — the dedup family's
+    candidate generator applied to relational data): baskets are small,
+    so pair cardinality is ~(basket size)²·orders, never parts². The
+    count/lift math is exact integers with one qround'd division;
+    top-k plans as TakeOrderedAndProject (rank by lift with pair-id
+    tie-breaks). Pairs below ``BASKET_MIN_COUNT`` support are cut
+    before ranking — the standard noise floor."""
+    from datapipeline_gcp_spark.determinism import qround
+    from datapipeline_gcp_spark.functions.dedup import within_block_pairs
+
+    li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = within_block_pairs(baskets, ["l_orderkey"], ["l_partkey"])
+    pair_counts = (
+        pairs.select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_COUNT)
+    )
+    item_counts = baskets.groupBy("l_partkey").agg(
+        F.count("*").alias("n_item")
+    )
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    lift = qround(
+        F.col("n_ab").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        9,
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_item").alias("n_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_item").alias("n_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select("part_a", "part_b", "n_ab", "n_a", "n_b", lift.alias("lift"))
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(BASKET_TOP_K)
+
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_COUNT}
+),
+item_counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM baskets GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets),
+scored AS (
+  SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+    {sql_qround(
+        "CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+        " / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE))", 9
+    )} AS lift
+  FROM pair_counts
+  JOIN item_counts ia ON ia.l_partkey = part_a
+  JOIN item_counts ib ON ib.l_partkey = part_b
+  CROSS JOIN n
+)
+SELECT * FROM scored
+ORDER BY lift DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary) — the classic
     customer-scoring rollup the reference's KPI layer stops just short
@@ -973,6 +1079,7 @@ FROM scored
 
 
 QUERIES = {
+    "parts_basket_affinity": parts_basket_affinity,
     "customers_rfm_segments": customers_rfm_segments,
     "events_anomaly_hours": events_anomaly_hours,
     "events_gap_detection": events_gap_detection,
@@ -996,6 +1103,7 @@ ORACLES = {
     "events_gap_detection": _GAP_ORACLE,
     "events_anomaly_hours": _ANOMALY_ORACLE,
     "customers_rfm_segments": _RFM_ORACLE,
+    "parts_basket_affinity": _BASKET_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
