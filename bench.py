@@ -84,6 +84,14 @@ def main() -> None:
                 pass
     warmup_seconds = round(time.time() - warmup_t0, 3)
 
+    # The warmup pass leaves ~150 queries' worth of garbage in the
+    # driver heap; a major GC landing inside the first heavy timed
+    # query inflates BOTH of its runs (observed: b_performance_metrics
+    # 17.7 s in-bench vs 2.3 s solo). Collect now, outside any timing
+    # window, so timed queries start from a settled heap.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+
     # Min of two timed runs per query: a single pass is hostage to JIT
     # compilation pauses, GC churn from the preceding queries, and
     # noisy-neighbor CPU on shared hosts (observed: identical plans
