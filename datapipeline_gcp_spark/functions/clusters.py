@@ -509,13 +509,72 @@ LIMIT {TRI_TOPK}
 """
 
 
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the trade graph — the first
+    diagnostic for every graph algorithm here: a heavy tail predicts
+    skewed shuffles (PageRank's hot nodes, triangle counting's hub
+    wedges) and tells you whether degree-ordered orientation / salting
+    is worth it BEFORE running the expensive op.
+
+    Binning by ``floor(log2(degree))`` is engine-safe: log2 is exact at
+    the only inputs where floor changes value (powers of two), so the
+    bin edges cannot disagree across engines. Cost: the edge-build
+    aggregation plus a degree-cardinality rollup."""
+    t = load_testdata(spark, sf_dir, ("lineitem", "orders"))
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
+            F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    b = F.floor(F.log2(F.col("degree").cast("double"))).cast("bigint")
+    return (
+        deg.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
+_DEGREE_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT concat('s_', l_suppkey) AS s, concat('c_', o_custkey) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+),
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src
+)
+SELECT CAST(floor(log2(CAST(degree AS DOUBLE))) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MIN(degree) AS min_degree,
+       MAX(degree) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
+    "graph_degree_histogram": graph_degree_histogram,
 }
 ORACLES = {
     "dedup_clusters": _CLUSTERS_ORACLE,
     "graph_pagerank": _pagerank_oracle(),
     "graph_triangles": _TRIANGLES_ORACLE,
+    "graph_degree_histogram": _DEGREE_ORACLE,
 }

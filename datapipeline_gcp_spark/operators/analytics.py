@@ -778,6 +778,108 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: per-user event sequences →
+    (current, next) transition counts → row-normalized probabilities.
+    The model behind next-action prediction, funnel-drop diagnosis, and
+    bot detection (bots have near-deterministic rows).
+
+    Shape: one user-keyed window (lead with a (ts, event_id) total
+    order — ties are real in event data and must break
+    deterministically), one (cur, next) aggregation, and the row
+    normalization rides a window over the TYPE-cardinality rollup —
+    event-log scale is touched exactly once."""
+    from datapipeline_gcp_spark.determinism import qround
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("event_type"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        qround(F.col("n").cast("double") / row_total.cast("double"), 9).alias(
+            "p"
+        ),
+    )
+
+
+_MARKOV_ORACLE = f"""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+  {sql_qround(
+      "CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type)"
+      " AS DOUBLE)", 9
+  )} AS p
+FROM counts
+"""
+
+
+def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year change —
+    the seasonality readout finance teams put on every dashboard (and a
+    lag-window composition the reference's monthly SQL rollups stop
+    short of).
+
+    The lag windows are GLOBAL but run at MONTH cardinality (the heavy
+    lifting is the one exact-decimal aggregation below them); lag(12)
+    is valid because TPC-H order dates populate every month — a gapped
+    calendar would need the `events_resample_ffill` grid first, which
+    is why that operator exists."""
+    from datapipeline_gcp_spark.determinism import qround
+
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    mom = F.col("revenue") / F.lag("revenue", 1).over(w) - 1.0
+    yoy = F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        qround(mom, 6).alias("mom_change"),
+        qround(yoy, 6).alias("yoy_change"),
+    )
+
+
+_SEASONALITY_ORACLE = f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders, revenue,
+  {sql_qround("revenue / lag(revenue, 1) OVER (ORDER BY month) - 1.0", 6)}
+    AS mom_change,
+  {sql_qround("revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0", 6)}
+    AS yoy_change
+FROM monthly
+"""
+
+
 BASKET_MIN_COUNT = 2
 BASKET_TOP_K = 100
 
@@ -1079,6 +1181,8 @@ FROM scored
 
 
 QUERIES = {
+    "events_markov_transitions": events_markov_transitions,
+    "orders_monthly_seasonality": orders_monthly_seasonality,
     "parts_basket_affinity": parts_basket_affinity,
     "customers_rfm_segments": customers_rfm_segments,
     "events_anomaly_hours": events_anomaly_hours,
@@ -1104,6 +1208,8 @@ ORACLES = {
     "events_anomaly_hours": _ANOMALY_ORACLE,
     "customers_rfm_segments": _RFM_ORACLE,
     "parts_basket_affinity": _BASKET_ORACLE,
+    "events_markov_transitions": _MARKOV_ORACLE,
+    "orders_monthly_seasonality": _SEASONALITY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
     "events_funnel": _FUNNEL_ORACLE,
