@@ -640,8 +640,9 @@ def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer dot by the two quantized norms, qround'd then
     decimal-summed — partitioning-independent. Same broadcast
     assignment shape as :func:`ann_ivf_topk`; the report adds one
-    cell-keyed aggregation."""
-    vecs = _prep(spark, sf_dir, with_bucket=False)
+    cell-keyed aggregation. The prepped corpus is checkpointed before
+    its four-consumer fan-out (same audit/fix as `dedup_semantic`)."""
+    vecs = _prep(spark, sf_dir, with_bucket=False).localCheckpoint()
     cents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("vd").alias("cd"),
@@ -733,6 +734,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-similarity side of the same spectrum.
 
     Returns (vec_id, cent_id, keep) for the whole (planted) corpus.
+
+    The prepped corpus (norms attached) is ``localCheckpoint``-ed
+    before fan-out: it feeds FOUR consumers (centroid slice, exploded
+    assignment, member payload join, final projection), and the lazy
+    form re-ran the whole prep+stats pipeline per consumer — audited
+    at 80 exchanges / 30 broadcast joins in one plan; checkpointing is
+    the same materialize-the-loop-state policy as PageRank.
     """
     vecs = _prep(spark, sf_dir, with_bucket=False)
     perturbed = vecs.filter(F.col("vec_id") % 10 == 0).select(
@@ -746,8 +754,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = _with_stats(
         vecs.select("vec_id", "label", "vd").unionAll(perturbed),
         with_bucket=False,
-    )
-    cents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+    ).localCheckpoint()
+    # centroids come from the checkpointed corpus (base ids < 32 are in
+    # allv with identical vd/vnorm — planted ids start at 100000)
+    cents = allv.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("vd").alias("cd"),
         F.col("vnorm").alias("cnorm"),
