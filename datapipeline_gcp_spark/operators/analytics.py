@@ -778,6 +778,90 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: Jaccard similarity of the distinct-user sets
+    behind every pair of event types — the segmentation readout that
+    answers "are clickers and purchasers the same people?" without
+    materializing user sets anywhere.
+
+    Scale shape: the pair expansion is USER-local
+    (`within_block_pairs` on user_id — a user touches at most
+    |event types| types, so pairs are ≤ T²/2 per user), then one
+    (type, type) aggregation; set sizes ride in via a broadcast of the
+    type-cardinality rollup. The user-set intersection is NEVER built
+    as a set — it's counted distributively. Exact integers + one
+    qround'd division."""
+    from datapipeline_gcp_spark.determinism import qround
+    from datapipeline_gcp_spark.functions.dedup import within_block_pairs
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    users = ev.select("event_type", "user_id").distinct()
+    sizes = users.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    pairs = within_block_pairs(users, ["user_id"], ["event_type"])
+    inter = (
+        pairs.select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    joined = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+    )
+    jac = qround(
+        F.col("n_both").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+        9,
+    )
+    return joined.select(
+        "type_a", "type_b", "n_a", "n_b", "n_both", jac.alias("jaccard")
+    )
+
+
+_OVERLAP_ORACLE = f"""
+WITH users AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM users GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM users a JOIN users b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+  {sql_qround(
+      "CAST(n_both AS DOUBLE)"
+      " / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE)", 9
+  )} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral Markov chain: per-user event sequences →
     (current, next) transition counts → row-normalized probabilities.
@@ -1181,6 +1265,7 @@ FROM scored
 
 
 QUERIES = {
+    "events_audience_overlap": events_audience_overlap,
     "events_markov_transitions": events_markov_transitions,
     "orders_monthly_seasonality": orders_monthly_seasonality,
     "parts_basket_affinity": parts_basket_affinity,
@@ -1209,6 +1294,7 @@ ORACLES = {
     "customers_rfm_segments": _RFM_ORACLE,
     "parts_basket_affinity": _BASKET_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
+    "events_audience_overlap": _OVERLAP_ORACLE,
     "orders_monthly_seasonality": _SEASONALITY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
