@@ -778,6 +778,77 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def supplier_service_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier service scorecard: per (supplier, nation), shipment
+    volume, return rate (``l_returnflag = 'R'``), and discounted
+    revenue — the vendor-management KPI the reference's business layer
+    pattern (group → derive → ratio) applies to a table it never had.
+
+    Shape: ONE fact aggregation keyed on suppkey (return counts fused
+    as a conditional sum — no second scan), then broadcast joins to
+    supplier and nation. Revenue multiplies in double per row
+    (IEEE-exact) and sums through decimals; the rate is one qround'd
+    division of exact counts."""
+    from datapipeline_gcp_spark.determinism import qround
+
+    t = load_testdata(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    per_supp = t["lineitem"].groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lineitems"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+    out = (
+        per_supp.join(
+            F.broadcast(
+                t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return out.select(
+        F.col("s_suppkey").alias("supp_key"),
+        F.col("s_name").alias("supplier"),
+        F.col("n_name").alias("nation"),
+        "n_lineitems",
+        "n_returned",
+        qround(
+            F.col("n_returned").cast("double")
+            / F.col("n_lineitems").cast("double"),
+            6,
+        ).alias("return_rate"),
+        "revenue",
+    )
+
+
+_SERVICE_ORACLE = f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey AS supp_key, s_name AS supplier, n_name AS nation,
+       n_lineitems, n_returned,
+       {sql_qround(
+           "CAST(n_returned AS DOUBLE) / CAST(n_lineitems AS DOUBLE)", 6
+       )} AS return_rate,
+       revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap: Jaccard similarity of the distinct-user sets
     behind every pair of event types — the segmentation readout that
@@ -1265,6 +1336,7 @@ FROM scored
 
 
 QUERIES = {
+    "supplier_service_quality": supplier_service_quality,
     "events_audience_overlap": events_audience_overlap,
     "events_markov_transitions": events_markov_transitions,
     "orders_monthly_seasonality": orders_monthly_seasonality,
@@ -1295,6 +1367,7 @@ ORACLES = {
     "parts_basket_affinity": _BASKET_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
     "events_audience_overlap": _OVERLAP_ORACLE,
+    "supplier_service_quality": _SERVICE_ORACLE,
     "orders_monthly_seasonality": _SEASONALITY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
