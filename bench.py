@@ -136,7 +136,13 @@ def main() -> None:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
-    # The driver-facing line: compact, fixed-size, LAST thing on stdout.
+    # Stop Spark BEFORE emitting the driver-facing line: shutdown can
+    # write executor/netty traces to stderr, and a driver capturing
+    # merged streams would see them AFTER the JSON — pushing it out of
+    # a tail window (the r2 truncation bug in a new coat). With the
+    # session already down, the compact line is the process's final
+    # output on either stream.
+    spark.stop()
     print(
         json.dumps(
             {
@@ -146,9 +152,9 @@ def main() -> None:
                 "queries": headline,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
