@@ -1310,6 +1310,113 @@ def _manifest_oracle() -> str:
     )
 
 
+def corpus_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass inequality per source (and corpus-wide): Gini
+    coefficient of per-document token counts plus the share of tokens
+    held by the longest decile — the balance report curation teams read
+    before setting mixture weights and length filters (a source whose
+    token mass lives in 10 % of its documents behaves like a much
+    smaller source after chunking).
+
+    Gini uses the sorted-index identity ``(2·Σ i·xᵢ)/(n·Σx) − (n+1)/n``
+    with a (tokens, doc_id) total order, so every term is an exact
+    integer until two final IEEE divisions (qround'd). Each document
+    feeds its source scope AND the 'ALL' scope via a 2-element explode
+    — one windowed pass over 2N rows, no second scan, no union of
+    plans. Scale: windows key on scope (source cardinality); the
+    100 TB variant replaces the per-scope sort with the binned
+    approximation, same as every exact-sort escape hatch here."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalized(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    scoped = toks.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.array(F.col("source"), F.lit("ALL"))).alias("scope"),
+    )
+    w = Window.partitionBy("scope").orderBy("n_tok", "doc_id")
+    ranked = scoped.select(
+        "scope",
+        "n_tok",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*")
+        .over(Window.partitionBy("scope"))
+        .cast("long")
+        .alias("n"),
+    )
+    agg = ranked.groupBy("scope").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("n_tok")).alias("iwx"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") * 9 / 10, F.col("n_tok")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("top10_tokens"),
+    )
+    n = F.col("n_docs").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("iwx").cast("double")
+        / (n * F.col("total_tokens").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "scope",
+        "n_docs",
+        "total_tokens",
+        qround(gini, 9).alias("gini"),
+        qround(
+            F.col("top10_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            9,
+        ).alias("top10_share"),
+    )
+
+
+_BALANCE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_D_NORM}, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+scoped AS (
+  SELECT doc_id, n_tok, u.scope
+  FROM toks, UNNEST([source, 'ALL']) AS u(scope)
+),
+ranked AS (
+  SELECT scope, n_tok,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY scope ORDER BY n_tok, doc_id) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY scope) AS BIGINT) AS n
+  FROM scoped
+),
+agg AS (
+  SELECT scope,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         CAST(SUM(i * n_tok) AS BIGINT) AS iwx,
+         CAST(SUM(CASE WHEN i > n * 9 / 10 THEN n_tok ELSE 0 END)
+              AS BIGINT) AS top10_tokens
+  FROM ranked GROUP BY scope
+)
+SELECT scope, n_docs, total_tokens,
+  {sql_qround(
+      "2.0 * CAST(iwx AS DOUBLE)"
+      " / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))"
+      " - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)", 9
+  )} AS gini,
+  {sql_qround(
+      "CAST(top10_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 9
+  )} AS top10_share
+FROM agg
+"""
+
+
 PAD_BATCH = 16
 PAD_SHARDS = 32
 
@@ -1438,6 +1545,7 @@ FROM u
 QUERIES = {
     "corpus_fim_split": corpus_fim_split,
     "corpus_padding_waste": corpus_padding_waste,
+    "corpus_balance_report": corpus_balance_report,
     "corpus_training_manifest": corpus_training_manifest,
     "contamination_eval_vs_train": contamination_eval_vs_train,
     "corpus_collocations": corpus_collocations,
@@ -1460,6 +1568,7 @@ QUERIES = {
 ORACLES = {
     "corpus_fim_split": _FIM_ORACLE,
     "corpus_padding_waste": _PAD_ORACLE,
+    "corpus_balance_report": _BALANCE_ORACLE,
     "corpus_training_manifest": _manifest_oracle(),
     "contamination_eval_vs_train": _CONTAM_ORACLE,
     "corpus_collocations": _COLLOC_ORACLE,
