@@ -451,7 +451,46 @@ FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+def text_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage scan — the ingest QC that catches mojibake
+    before it poisons tokenizers: per document, counts of C0/C1
+    control characters (tab/newline excluded), U+FFFD replacement
+    characters (the fingerprint of a wrong-charset decode), and
+    non-ASCII code points, plus a keep flag. Pure regexp_count column
+    math over one scan; the patterns are RE2-safe and shared verbatim
+    with the oracle."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    ctrl = F.regexp_count(
+        F.col("text"), F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ).cast("bigint")
+    repl = F.regexp_count(F.col("text"), F.lit("�")).cast("bigint")
+    nonascii = F.regexp_count(F.col("text"), F.lit(r"[^\x00-\x7f]")).cast(
+        "bigint"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ctrl.alias("n_control"),
+        repl.alias("n_replacement"),
+        nonascii.alias("n_nonascii"),
+        ((ctrl == 0) & (repl == 0)).alias("keep"),
+    )
+
+
+_ENCODING_ORACLE = r"""
+SELECT doc_id, lang,
+  CAST(len(regexp_extract_all(text,
+       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS n_control,
+  CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+  CAST(len(regexp_extract_all(text, '[^\x00-\x7f]')) AS BIGINT) AS n_nonascii,
+  (len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) = 0
+   AND len(regexp_extract_all(text, '�')) = 0) AS keep
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_encoding_anomalies": text_encoding_anomalies,
     "text_pii_redaction": text_pii_redaction,
     "text_line_filter": text_line_filter,
     "web_domain_caps": web_domain_caps,
@@ -459,6 +498,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_encoding_anomalies": _ENCODING_ORACLE,
     "text_pii_redaction": _PII_ORACLE,
     "text_line_filter": _LINE_ORACLE,
     "web_domain_caps": _DOMAIN_ORACLE,

@@ -680,6 +680,73 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_crosslingual_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate leakage: identical normalized content
+    filed under DIFFERENT language labels — the curation smell that
+    breaks per-language dedup, per-language mixing weights, AND
+    train/eval splits stratified by lang (the same text can land on
+    both sides). Fixture plants it deterministically: every 9th
+    document re-enters with a rotated lang label.
+
+    One fingerprint aggregation: per content group, the distinct
+    ordered label set, its size, and the keep-first id; only leaking
+    groups (≥2 labels) are reported. Same single-shuffle cost as exact
+    dedup."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    rotated = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        "text",
+        F.concat(F.lit("x-"), F.col("lang")).alias("lang"),
+        "source",
+        "n_chars",
+    )
+    allv = docs.unionAll(rotated)
+    groups = (
+        allv.select(
+            "doc_id", "lang", F.md5(normalized(F.col("text"))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_sort(F.collect_set("lang")).alias("_langs"),
+        )
+    )
+    return (
+        groups.withColumn("n_langs", F.size("_langs").cast("bigint"))
+        .filter(F.col("n_langs") >= 2)
+        .select(
+            "fp",
+            "n_docs",
+            "n_langs",
+            F.array_join(F.col("_langs"), ",").alias("langs"),
+            "keep_doc_id",
+        )
+    )
+
+
+_CROSSLINGUAL_ORACLE = f"""
+WITH allv AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text, 'x-' || lang
+  FROM documents WHERE doc_id % 9 = 0
+),
+groups AS (
+  SELECT md5({_D_NORM}) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS keep_doc_id,
+         list_sort(list_distinct(list(lang))) AS langs_l
+  FROM allv GROUP BY 1
+)
+SELECT fp, n_docs,
+       CAST(len(langs_l) AS BIGINT) AS n_langs,
+       array_to_string(langs_l, ',') AS langs,
+       keep_doc_id
+FROM groups WHERE len(langs_l) >= 2
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(neardup_fixture(spark, sf_dir))
     return lsh_candidate_pairs(sigs)
@@ -1203,6 +1270,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_impact_report": dedup_impact_report,
     "dedup_minhash_calibration": dedup_minhash_calibration,
+    "dedup_crosslingual_leakage": dedup_crosslingual_leakage,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1216,6 +1284,7 @@ ORACLES = {
     "dedup_exact": _EXACT_ORACLE,
     "dedup_impact_report": _IMPACT_ORACLE,
     "dedup_minhash_calibration": _CALIB_ORACLE,
+    "dedup_crosslingual_leakage": _CROSSLINGUAL_ORACLE,
     "dedup_minhash_lsh": _MINHASH_ORACLE,
     "dedup_simhash": _SIMHASH_ORACLE,
     "dedup_ngram_jaccard": _JACCARD_ORACLE,
