@@ -778,6 +778,86 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement: per calendar day, DAU plus trailing-7-day
+    WAU and trailing-30-day MAU (windows inclusive of the day) and the
+    DAU/MAU stickiness ratio — the product-health headline metric.
+
+    Rolling DISTINCT counts don't merge like sums, so the exact shape
+    is: dedup the log to (day, user) pairs once, broadcast-join the
+    (tiny) day spine against the pairs with an integer range predicate,
+    and count distinct per anchor day — cost = spine × pairs, the
+    honest exact form. At 100 TB the standard swap is a per-day HLL
+    sketch union (mergeable, one pass); the exact form stays as the
+    oracle-checkable spec. Day arithmetic is integer epoch-days —
+    DST-proof and engine-identical."""
+    from datapipeline_gcp_spark.determinism import qround
+
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    pairs = ev.select(
+        F.date_diff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day_num"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct()
+    spine = pairs.select("day_num", "day").distinct()
+    joined = pairs.alias("p").join(
+        F.broadcast(spine.alias("s")),
+        (F.col("p.day_num") <= F.col("s.day_num"))
+        & (F.col("p.day_num") > F.col("s.day_num") - 30),
+    )
+    agg = joined.groupBy(F.col("s.day").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("p.day_num") == F.col("s.day_num"), F.col("p.user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("p.day_num") > F.col("s.day_num") - 7, F.col("p.user_id")
+            )
+        ).alias("wau"),
+        F.countDistinct("p.user_id").alias("mau"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        qround(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
+_ACTIVE_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+         CAST(ts AS DATE) AS day,
+         user_id
+  FROM events
+),
+spine AS (SELECT DISTINCT day_num, day FROM pairs),
+joined AS (
+  SELECT s.day, s.day_num AS anchor, p.day_num, p.user_id
+  FROM pairs p JOIN spine s
+    ON p.day_num <= s.day_num AND p.day_num > s.day_num - 30
+),
+agg AS (
+  SELECT day,
+    CAST(COUNT(DISTINCT CASE WHEN day_num = anchor THEN user_id END)
+         AS BIGINT) AS dau,
+    CAST(COUNT(DISTINCT CASE WHEN day_num > anchor - 7 THEN user_id END)
+         AS BIGINT) AS wau,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM joined GROUP BY day
+)
+SELECT day, dau, wau, mau,
+  {sql_qround("CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)", 6)} AS stickiness
+FROM agg
+"""
+
+
 def supplier_service_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier service scorecard: per (supplier, nation), shipment
     volume, return rate (``l_returnflag = 'R'``), and discounted
@@ -1336,6 +1416,7 @@ FROM scored
 
 
 QUERIES = {
+    "events_active_users": events_active_users,
     "supplier_service_quality": supplier_service_quality,
     "events_audience_overlap": events_audience_overlap,
     "events_markov_transitions": events_markov_transitions,
@@ -1368,6 +1449,7 @@ ORACLES = {
     "events_markov_transitions": _MARKOV_ORACLE,
     "events_audience_overlap": _OVERLAP_ORACLE,
     "supplier_service_quality": _SERVICE_ORACLE,
+    "events_active_users": _ACTIVE_ORACLE,
     "orders_monthly_seasonality": _SEASONALITY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
