@@ -778,6 +778,71 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-distribution drift monitor: per month, each order
+    priority's share vs its corpus-wide baseline share, as a log-ratio
+    (the per-cell term of a KL/PSI drift score) — the alert that
+    catches an upstream product change or broken enum long before a
+    schema check would (the profiler covers schema drift; this covers
+    DISTRIBUTION drift).
+
+    Shape: one (month, priority) aggregation; monthly totals and
+    baseline shares ride windows over the month×priority rollup —
+    metadata cardinality; the fact table is scanned once. All shares
+    are exact-count ratios; the ln is qround'd (repo standard)."""
+    from datapipeline_gcp_spark.determinism import qround
+
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    cells = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderpriority",
+    ).agg(F.count("*").alias("n"))
+    month_tot = F.sum("n").over(Window.partitionBy("month"))
+    prio_tot = F.sum("n").over(Window.partitionBy("o_orderpriority"))
+    grand_tot = F.sum("n").over(Window.partitionBy())
+    share = F.col("n").cast("double") / month_tot.cast("double")
+    baseline = prio_tot.cast("double") / grand_tot.cast("double")
+    enriched = cells.select(
+        "month",
+        "o_orderpriority",
+        "n",
+        share.alias("share_raw"),
+        baseline.alias("baseline_raw"),
+    )
+    return enriched.select(
+        "month",
+        "o_orderpriority",
+        "n",
+        qround(F.col("share_raw"), 9).alias("share"),
+        qround(F.col("baseline_raw"), 9).alias("baseline"),
+        qround(
+            F.log(F.col("share_raw") / F.col("baseline_raw")), 6
+        ).alias("log_drift"),
+    )
+
+
+_DRIFT_ORACLE = f"""
+WITH cells AS (
+  SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+),
+enriched AS (
+  SELECT month, o_orderpriority, n,
+    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY month) AS DOUBLE)
+      AS share_raw,
+    CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+      / CAST(SUM(n) OVER () AS DOUBLE) AS baseline_raw
+  FROM cells
+)
+SELECT month, o_orderpriority, n,
+  {sql_qround("share_raw", 9)} AS share,
+  {sql_qround("baseline_raw", 9)} AS baseline,
+  {sql_qround("ln(share_raw / baseline_raw)", 6)} AS log_drift
+FROM enriched
+"""
+
+
 def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling engagement: per calendar day, DAU plus trailing-7-day
     WAU and trailing-30-day MAU (windows inclusive of the day) and the
@@ -1416,6 +1481,7 @@ FROM scored
 
 
 QUERIES = {
+    "orders_priority_drift": orders_priority_drift,
     "events_active_users": events_active_users,
     "supplier_service_quality": supplier_service_quality,
     "events_audience_overlap": events_audience_overlap,
@@ -1450,6 +1516,7 @@ ORACLES = {
     "events_audience_overlap": _OVERLAP_ORACLE,
     "supplier_service_quality": _SERVICE_ORACLE,
     "events_active_users": _ACTIVE_ORACLE,
+    "orders_priority_drift": _DRIFT_ORACLE,
     "orders_monthly_seasonality": _SEASONALITY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
