@@ -448,11 +448,114 @@ FROM resized
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup: aHash over the resized buffer
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup for the image path: average-hash (aHash)
+    over the ``RESIZE_TARGET``-byte downsample — bit *i* set iff
+    ``resized[i] > mean(resized)`` — then exact grouping on the 16-bit
+    hash. This is the multimodal twin of text exact-dedup: identical
+    (and, with a real decoder, *visually* identical) images collapse
+    to one hash with NO pairwise comparison — corpus-linear, exactly
+    like the MinHash family. Fixture plants exact copies of every 6th
+    image at id+3,000,000; the oracle reproduces the byte math, so
+    group membership is hash-checked end to end.
+
+    Returns (asset_id, ahash, n_same, keep) — ``keep`` is keep-first
+    by id within the hash group. At 100 TB: the Python stage emits 8
+    bytes per image; the dedup aggregation never touches payloads.
+    """
+    assets = assets_from_documents(spark, sf_dir).filter(
+        F.col("kind") == "image"
+    )
+    planted = assets.filter(F.col("asset_id") % 6 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 3_000_000
+    )
+    allv = assets.unionAll(planted).select("asset_id", "payload")
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n < RESIZE_TARGET:
+                    continue
+                out = [
+                    b[(i * n) // RESIZE_TARGET] for i in range(RESIZE_TARGET)
+                ]
+                mean = sum(out) / RESIZE_TARGET
+                h = 0
+                for i, v in enumerate(out):
+                    if v > mean:
+                        h |= 1 << i
+                rows.append((int(aid), h))
+            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
+
+    hashed = allv.mapInPandas(worker, AHASH_SCHEMA)
+    groups = hashed.groupBy("ahash").agg(
+        F.count("*").alias("n_same"),
+        F.min("asset_id").alias("keep_id"),
+    )
+    return hashed.join(groups, "ahash").select(
+        "asset_id",
+        "ahash",
+        "n_same",
+        (F.col("asset_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
+_PHASH_ORACLE = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND length(text) >= {RESIZE_TARGET}
+),
+allv AS (
+  SELECT asset_id, text FROM assets
+  UNION ALL
+  SELECT asset_id + 3000000, text FROM assets WHERE asset_id % 6 = 0
+),
+resized AS (
+  SELECT asset_id,
+         list_transform(range(0, {RESIZE_TARGET}),
+           i -> ord(substring(text,
+                CAST((i * CAST(length(text) AS BIGINT))
+                     // {RESIZE_TARGET} + 1 AS INT), 1))) AS ob
+  FROM allv
+),
+hashed AS (
+  SELECT asset_id,
+    CAST(list_sum(list_transform(range(0, {RESIZE_TARGET}), i ->
+      CASE WHEN ob[i + 1] > CAST(list_sum(ob) AS DOUBLE) / {RESIZE_TARGET}
+           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS ahash
+  FROM resized
+),
+groups AS (
+  SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_same,
+         MIN(asset_id) AS keep_id
+  FROM hashed GROUP BY ahash
+)
+SELECT h.asset_id, h.ahash, g.n_same, h.asset_id = g.keep_id AS keep
+FROM hashed h JOIN groups g USING (ahash)
+"""
+
+
 QUERIES = {
     "multimodal_asset_stats": multimodal_asset_stats,
     "multimodal_feature_extract": multimodal_feature_extract,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
 }
 
 ORACLES = {
@@ -460,4 +563,5 @@ ORACLES = {
     "multimodal_feature_extract": _FEATURE_ORACLE,
     "multimodal_frame_sample": _FRAME_ORACLE,
     "multimodal_resize": _RESIZE_ORACLE,
+    "multimodal_phash_dedup": _PHASH_ORACLE,
 }
