@@ -778,6 +778,78 @@ FROM expected ANTI JOIN actual USING (event_type, h)
 """
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, the gap between FIRST view and FIRST
+    subsequent purchase; rolled up to exact p50/p90/p99 latency (plus
+    conversion count and mean) — the time-to-convert readout that
+    turns `events_funnel`'s "did they convert" into "how fast".
+
+    Shape: one (user, type) min-timestamp aggregation over a pushed
+    two-type filter, a user-keyed self-join of its two slices (AQE
+    broadcasts the smaller), ``timestamp_diff`` microsecond arithmetic
+    (NTZ-safe, DST-proof), then one exact-percentile aggregate —
+    identical interpolation in both engines (see events_percentiles).
+    Negative gaps (purchase before any view) are excluded — those
+    users never converted THROUGH the funnel."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    v = firsts.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("first_ts").alias("view_ts")
+    )
+    p = firsts.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("first_ts").alias("purchase_ts")
+    )
+    lat = (
+        v.join(p, "user_id")
+        .select(
+            "user_id",
+            F.timestamp_diff(
+                "MICROSECOND", F.col("view_ts"), F.col("purchase_ts")
+            ).alias("latency_us"),
+        )
+        .filter(F.col("latency_us") >= 0)
+    )
+    q = F.percentile(
+        F.col("latency_us").cast("double"), F.lit([0.5, 0.9, 0.99])
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        (F.sum("latency_us").cast("double") / F.count("*")).alias(
+            "mean_latency_us"
+        ),
+        q[0].alias("p50_us"),
+        q[1].alias("p90_us"),
+        q[2].alias("p99_us"),
+    )
+
+
+_CONV_LATENCY_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id, event_type
+),
+lat AS (
+  SELECT v.user_id,
+         epoch_us(p.first_ts) - epoch_us(v.first_ts) AS latency_us
+  FROM firsts v JOIN firsts p
+    ON v.user_id = p.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+  WHERE epoch_us(p.first_ts) - epoch_us(v.first_ts) >= 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(SUM(latency_us) AS DOUBLE) / COUNT(*) AS mean_latency_us,
+       quantile_cont(CAST(latency_us AS DOUBLE), 0.5)  AS p50_us,
+       quantile_cont(CAST(latency_us AS DOUBLE), 0.9)  AS p90_us,
+       quantile_cont(CAST(latency_us AS DOUBLE), 0.99) AS p99_us
+FROM lat
+"""
+
+
 def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-distribution drift monitor: per month, each order
     priority's share vs its corpus-wide baseline share, as a log-ratio
@@ -1481,6 +1553,7 @@ FROM scored
 
 
 QUERIES = {
+    "events_conversion_latency": events_conversion_latency,
     "orders_priority_drift": orders_priority_drift,
     "events_active_users": events_active_users,
     "supplier_service_quality": supplier_service_quality,
@@ -1517,6 +1590,7 @@ ORACLES = {
     "supplier_service_quality": _SERVICE_ORACLE,
     "events_active_users": _ACTIVE_ORACLE,
     "orders_priority_drift": _DRIFT_ORACLE,
+    "events_conversion_latency": _CONV_LATENCY_ORACLE,
     "orders_monthly_seasonality": _SEASONALITY_ORACLE,
     "events_cohort_retention": _COHORT_ORACLE,
     "events_attribution": _ATTRIBUTION_ORACLE,
