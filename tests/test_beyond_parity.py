@@ -715,3 +715,48 @@ def test_training_manifest_provenance_is_complete(spark):
         g = g.sort_values("offset_in_shard")
         expected = g.chunk_tokens.cumsum().shift(fill_value=0)
         assert (g.offset_in_shard.values == expected.values).all()
+
+
+def test_active_users_monotonic_windows(spark):
+    """DAU ≤ WAU ≤ MAU on every day; stickiness in (0, 1]."""
+    from datapipeline_gcp_spark.operators.analytics import events_active_users
+
+    out = events_active_users(spark, SF_SMOKE).toPandas()
+    assert (out.dau <= out.wau).all() and (out.wau <= out.mau).all()
+    assert ((out.stickiness > 0) & (out.stickiness <= 1)).all()
+
+
+def test_markov_rows_are_distributions(spark):
+    from datapipeline_gcp_spark.operators.analytics import (
+        events_markov_transitions,
+    )
+
+    out = events_markov_transitions(spark, SF_SMOKE).toPandas()
+    sums = out.groupby("event_type").p.sum()
+    assert ((sums - 1.0).abs() < 1e-6).all()
+
+
+def test_priority_drift_shares_sum_to_one(spark):
+    from datapipeline_gcp_spark.operators.analytics import (
+        orders_priority_drift,
+    )
+
+    out = orders_priority_drift(spark, SF_SMOKE).toPandas()
+    sums = out.groupby("month").share.sum()
+    assert ((sums - 1.0).abs() < 1e-6).all()
+    base = out.groupby("o_orderpriority").baseline.first().sum()
+    assert abs(base - 1.0) < 1e-6
+
+
+def test_phash_groups_contain_planted_copies(spark):
+    """Every planted copy (id ≥ 3M) must share its hash group with its
+    source, and keep-first always keeps the source."""
+    from datapipeline_gcp_spark.functions.multimodal import (
+        multimodal_phash_dedup,
+    )
+
+    out = multimodal_phash_dedup(spark, SF_SMOKE).toPandas()
+    planted = out[out.asset_id >= 3_000_000]
+    assert len(planted) > 0
+    assert (planted.n_same >= 2).all()
+    assert (~planted.keep).all()  # the lower-id source wins
