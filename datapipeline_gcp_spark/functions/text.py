@@ -273,6 +273,47 @@ FROM cells c JOIN totals t USING (lang)
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability signals for quality filtering: per document, word
+    count, vowel-group syllable proxy, syllables-per-word, and the
+    fraction of long (≥7-letter) words — the cheap complexity features
+    readability formulas (Flesch/Dale–Chall) build on and corpus
+    filters threshold directly (very low syllable density ⇒ word-salad
+    or code; very high long-word fraction ⇒ boilerplate/legalese).
+    Pure regexp_count column math, RE2-safe shared patterns, one scan.
+    """
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    lower = F.lower(F.col("text"))
+    n_words = F.regexp_count(lower, F.lit(r"[a-z]+")).cast("bigint")
+    n_syll = F.regexp_count(lower, F.lit(r"[aeiouy]+")).cast("bigint")
+    n_long = F.regexp_count(lower, F.lit(r"\b[a-z]{7,}\b")).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        (n_syll.cast("double") / n_words.cast("double")).alias(
+            "syllables_per_word"
+        ),
+        (n_long.cast("double") / n_words.cast("double")).alias(
+            "long_word_frac"
+        ),
+    )
+
+
+_READABILITY_ORACLE = r"""
+SELECT doc_id, lang,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+    AS n_syllables,
+  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+    / len(regexp_extract_all(lower(text), '[a-z]+')) AS syllables_per_word,
+  CAST(len(regexp_extract_all(lower(text), '\b[a-z]{7,}\b')) AS DOUBLE)
+    / len(regexp_extract_all(lower(text), '[a-z]+')) AS long_word_frac
+FROM documents
+"""
+
+
 # The pattern is shared verbatim: it is deliberately RE2-compatible, and
 # single-quotes are doubled for the SQL literal.
 _BPE_ORACLE = f"""
@@ -292,6 +333,7 @@ QUERIES = {
     "text_metrics": text_metrics,
     "text_language_id": text_language_id,
     "lang_confusion_matrix": lang_confusion_matrix,
+    "text_readability": text_readability,
     "doc_fingerprint": doc_fingerprint,
     "text_bpe_pretokenize": text_bpe_pretokenize,
 }
@@ -300,6 +342,7 @@ ORACLES = {
     "text_metrics": _METRICS_ORACLE,
     "text_language_id": _LANGID_ORACLE,
     "lang_confusion_matrix": _CONFUSION_ORACLE,
+    "text_readability": _READABILITY_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "text_bpe_pretokenize": _BPE_ORACLE,
 }
