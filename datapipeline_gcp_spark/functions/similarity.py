@@ -179,6 +179,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = banded(_prep(spark, sf_dir, with_bucket=True))
     pairs = within_block_pairs(vecs, ["band_idx", "band_val"], ["vec_id", "vd", "vnorm"])
+    # Query-relevance filter BEFORE the both-orientation explode: only
+    # ~N_QUERIES/corpus of block-local pairs touch a query vector, so
+    # filtering the pair list first shrinks the explode+distinct input
+    # by orders of magnitude (at 100× corpus the unfiltered explode's
+    # candidate volume grows with corpus pairs, not query pairs).
+    pairs = pairs.filter(
+        (F.col("a.vec_id") < N_QUERIES) | (F.col("b.vec_id") < N_QUERIES)
+    )
     both = pairs.select(
         F.explode(
             F.array(
