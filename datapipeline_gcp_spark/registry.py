@@ -9,10 +9,13 @@ the registry orders queries by how much they need re-proving:
 
 1. checked-and-FAILED in some ``CORRECTNESS_r*.json`` and never green
    since (highest priority — a known-red fix awaiting proof),
-2. never checked by any round's gate,
-3. green in an old round but not in the latest (stale green — oldest
+2. rewritten since last green (``_RECHECK``): the implementing code
+   changed after the round that proved it, so the green no longer
+   covers the shipped code,
+3. never checked by any round's gate,
+4. green in an old round but not in the latest (stale green — oldest
    green first),
-4. green in the latest round's artifact (lowest priority).
+5. green in the latest round's artifact (lowest priority).
 
 Ties keep ``_MODULES`` declaration order, which fronts the modules most
 recently modified. Because each round's ``CORRECTNESS_r{N}.json`` lands
@@ -69,6 +72,48 @@ _MODULES = [
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: Queries whose implementing code was rewritten AFTER the round that
+#: last proved them green — the artifact row no longer covers the
+#: shipped code (the rotation cannot see git history, so rewrites are
+#: declared here by hand; VERDICT r3 "What's wrong" #2). Maps query
+#: name → the round in which the rewrite landed. An entry is inert once
+#: a round >= that value records the query green again, so the set is
+#: self-cleaning: stale pins cost nothing and can be pruned lazily.
+_RECHECK: dict[str, int] = {
+    # r2 rewrites (explode_outer fix / SWAR rewrite / bucketed agg /
+    # block-pair reshape) shipped after their only green row (r1):
+    "dedup_minhash_lsh": 2,
+    "dedup_simhash": 2,
+    "embedding_cosine_neardup": 2,
+    # r4: query-relevance filter pushed before the both-orientation
+    # explode (functions/similarity.py, VERDICT r3 "What's wrong" #1).
+    "ann_lsh_topk": 4,
+    # r4: gate-harness cost trim (8 shuffle partitions + tmpfs
+    # checkpoint, streaming/joins.py). Result-identical by design, but
+    # the green row predates the code, so re-prove it.
+    "events_stream_interval_join_gate": 4,
+}
+
+#: Newly-registered queries that must NOT jump ahead of the existing
+#: never-checked backlog (VERDICT r3 next-steps #1: the check window is
+#: ~50 entries and the backlog fills it). Ranked after never-checked
+#: but before every green, so they enter the window as the backlog
+#: drains; inert once the query has any green row.
+_DEFER: set[str] = {
+    "events_active_users_hll",
+    "customers_rfm_segments_cuts",
+}
+
+#: Queries with NO DuckDB oracle, each for a declared reason — the
+#: driver records the weaker rows-only check for these and the judge
+#: sees which. Kept deliberately tiny; ``tests/test_registry_rotation``
+#: enforces that every other query ships an oracle.
+ROWS_ONLY: set[str] = {
+    # HLL estimates are engine-specific (Datasketches vs DuckDB's own
+    # sketch); accuracy vs the exact twin is pinned by pytest instead.
+    "events_active_users_hll",
+}
+
 
 def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str], int]:
     """Parse every ``CORRECTNESS_r*.json`` in *root*.
@@ -114,12 +159,18 @@ def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str
     return last_green, ever_failed, latest
 
 
-def _rotation_rank(name: str, last_green: dict[str, int], ever_failed: set[str]) -> int:
+def _rotation_rank(
+    name: str, last_green: dict[str, int], ever_failed: set[str]
+) -> float:
     if name in ever_failed:
-        return 0  # checked and red, fix unproven — front of the line
+        return 0.0  # checked and red, fix unproven — front of the line
+    if name in last_green and last_green[name] < _RECHECK.get(name, 0):
+        return 0.5  # green, but the code was rewritten since — re-prove
     if name not in last_green:
-        return 1  # never entered the gate's window
-    return 2 + last_green[name]  # stale green first, latest green last
+        # new registrations queue behind the existing never-checked
+        # backlog instead of displacing it from the check window
+        return 1.5 if name in _DEFER else 1.0
+    return 2.0 + last_green[name]  # stale green first, latest green last
 
 
 def _collect() -> tuple[dict, dict]:

@@ -24,8 +24,11 @@ def _latest_green() -> set[str]:
 
 def test_every_query_has_an_oracle():
     queries, oracles = registry.all_queries(), registry.all_oracles()
-    missing = set(queries) - set(oracles)
+    missing = set(queries) - set(oracles) - registry.ROWS_ONLY
     assert not missing, f"queries without DuckDB oracles: {sorted(missing)}"
+    # the rows-only set must not quietly accumulate
+    assert registry.ROWS_ONLY <= set(queries)
+    assert len(registry.ROWS_ONLY) <= 3
 
 
 def test_queries_and_oracles_share_order():
@@ -60,6 +63,35 @@ def test_rotation_rank_prefers_known_failures():
     failed = {"c"}
     rank = lambda n: registry._rotation_rank(n, last_green, failed)  # noqa: E731
     assert rank("c") < rank("never-seen") < rank("a") < rank("b")
+
+
+def test_rewritten_since_green_precedes_never_checked_and_stale():
+    """A stale green whose module was rewritten after its last green
+    (declared in ``registry._RECHECK``) must rank between known
+    failures and never-checked entries — otherwise a rewritten operator
+    can hide behind its obsolete green row for rounds (VERDICT r3)."""
+    last_green = {"rewritten": 1, "stale": 1, "fresh": 3, "satisfied": 2}
+    failed = {"red"}
+    orig = registry._RECHECK
+    registry._RECHECK = {"rewritten": 2, "satisfied": 2}
+    try:
+        rank = lambda n: registry._rotation_rank(n, last_green, failed)  # noqa: E731
+        assert rank("red") < rank("rewritten") < rank("new") < rank("stale") < rank("fresh")
+        # a RECHECK pin is inert once a round >= its value re-proves the
+        # query: "satisfied" (green r2, rewrite r2) ranks as a plain green
+        assert rank("satisfied") > rank("new")
+    finally:
+        registry._RECHECK = orig
+
+
+def test_recheck_entries_enter_current_window():
+    """The four operators rewritten since their last green must sit in
+    the driver's ~50-entry check window right now."""
+    order = list(registry.all_queries())
+    last_green, _failed, _latest = registry.correctness_history(_REPO_ROOT)
+    for name, rewritten in registry._RECHECK.items():
+        if last_green.get(name, 0) < rewritten and name in order:
+            assert order.index(name) < 50, f"{name} outside the check window"
 
 
 def test_history_parses_committed_artifacts():
