@@ -148,8 +148,13 @@ def events_stream_interval_join_gate(
     joins are the case that would need a closure filter (NULL rows
     emit only after the watermark passes); inner join is deliberately
     the gate because its contract is exactness.
+
+    Harness cost settings (8 state partitions, tmpfs checkpoint —
+    result-identical) are shared gate policy: see
+    :mod:`datapipeline_gcp_spark.streaming.harness`.
     """
     from datapipeline_gcp_spark.schemas import pin_utc
+    from datapipeline_gcp_spark.streaming.harness import run_gate_query
 
     pin_utc(spark)
     path = f"{sf_dir}/events.parquet"
@@ -170,16 +175,8 @@ def events_stream_interval_join_gate(
         _side().filter(F.col("event_type") == "purchase"),
         _side().filter(F.col("event_type") == "click"),
     )
-    name = "stream_interval_join_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    run_gate_query(spark, agg, "stream_interval_join_gate")
+    return spark.table("stream_interval_join_gate").select(
         "user_id",
         "purchase_id",
         "click_id",

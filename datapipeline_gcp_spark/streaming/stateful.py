@@ -266,16 +266,11 @@ def events_stream_stateful_session_gate(spark, sf_dir: str) -> DataFrame:
         )
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from datapipeline_gcp_spark.streaming.harness import run_gate_query
+
     agg = streaming_sessionize_stateful(stream)
     name = "stream_stateful_session_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_gate_query(spark, agg, name)
     return spark.table(name).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),

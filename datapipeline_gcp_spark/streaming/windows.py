@@ -215,16 +215,11 @@ def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # TIMESTAMP_NTZ → TIMESTAMP is wall-clock identity (session
         # pinned UTC); watermarks require the instant type
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from datapipeline_gcp_spark.streaming.harness import run_gate_query
+
     agg = streaming_tumbling(stream)
     name = "stream_tumbling_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_gate_query(spark, agg, name)
     return spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         F.col("window_end").cast("timestamp_ntz").alias("window_end"),
@@ -272,16 +267,11 @@ def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    from datapipeline_gcp_spark.streaming.harness import run_gate_query
+
     agg = streaming_session(stream)
     name = "stream_session_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_gate_query(spark, agg, name)
     return spark.table(name).select(
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
