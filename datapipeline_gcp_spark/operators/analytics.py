@@ -925,7 +925,8 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) day spine against the pairs with an integer range predicate,
     and count distinct per anchor day — cost = spine × pairs, the
     honest exact form. At 100 TB the standard swap is a per-day HLL
-    sketch union (mergeable, one pass); the exact form stays as the
+    sketch union (mergeable, one pass) — registered as
+    :func:`events_active_users_hll`; this exact form stays as the
     oracle-checkable spec. Day arithmetic is integer epoch-days —
     DST-proof and engine-identical."""
     from datapipeline_gcp_spark.determinism import qround
@@ -993,6 +994,76 @@ SELECT day, dau, wau, mau,
   {sql_qround("CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)", 6)} AS stickiness
 FROM agg
 """
+
+
+def events_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`events_active_users` (the swap its
+    docstring promises): per-day HyperLogLog sketches of the user set,
+    merged over the trailing 7-/30-day windows, estimated once.
+
+    Why this is the at-scale shape: the exact query joins the day spine
+    against ALL (day, user) pairs — cost spine × pairs, with a 30-way
+    re-count of every user row. Sketches are mergeable where DISTINCT
+    is not, so here the fact table is touched ONCE (one hash aggregate
+    to a per-day sketch, map-side partial merges, Datasketches HLL via
+    the built-in ``hll_sketch_agg``), and the rolling windows operate
+    on day-cardinality sketch rows (~365/year, a broadcast range join)
+    — fact-table cost O(N), window cost O(days²) on tiny rows.
+
+    Estimates are approximate (±~2% at lgK=12), so there is NO DuckDB
+    oracle (different engines' sketches differ legitimately) — the
+    driver records the weaker rows-only check; the accuracy bound vs
+    the exact query is pinned by ``tests/test_analytics_scale_variants``.
+    Output shape mirrors the exact query (day, dau, wau, mau,
+    stickiness) with estimate semantics.
+    """
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    day_sketch = (
+        ev.select(
+            F.date_diff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("day_num", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        # day-cardinality result (~365 rows/year); checkpoint so the
+        # spine and the join probe reuse it instead of re-scanning the
+        # fact table (same policy as dedup_semantic's prepped corpus —
+        # without this the plan scans events twice)
+        .localCheckpoint()
+    )
+    spine = day_sketch.select("day_num", "day")
+    joined = day_sketch.alias("p").join(
+        F.broadcast(spine.alias("s")),
+        (F.col("p.day_num") <= F.col("s.day_num"))
+        & (F.col("p.day_num") > F.col("s.day_num") - 30),
+    )
+    agg = joined.groupBy(F.col("s.day").alias("day")).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(
+                F.when(F.col("p.day_num") == F.col("s.day_num"), F.col("p.sk"))
+            )
+        ).alias("dau"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(
+                F.when(
+                    F.col("p.day_num") > F.col("s.day_num") - 7, F.col("p.sk")
+                )
+            )
+        ).alias("wau"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("p.sk"))).alias("mau"),
+    )
+    return agg.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        qround(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )
 
 
 def supplier_service_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,9 +1444,10 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over the customer-cardinality rollup (NOT the fact table) +
     a 1-row broadcast for the reference date. The quintile windows are
     GLOBAL (single partition) — fine at customer cardinality locally;
-    the 100 TB variant computes the 4 quintile cut values with one
-    percentile aggregate and broadcasts them back (identical labels,
-    no global sort), the same two-pass shape as `corpus_ppl_buckets`."""
+    the 100 TB variant — registered as
+    :func:`customers_rfm_segments_cuts` — computes the 4 quintile cut
+    values with one percentile aggregate and broadcasts them back (no
+    global sort), the same two-pass shape as `corpus_ppl_buckets`."""
     o = load_testdata(spark, sf_dir, ("orders",))["orders"]
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1436,6 +1508,123 @@ scored AS (
     CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_q,
     CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
   FROM base
+)
+SELECT *,
+  CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+       WHEN r_q <= 2 AND f_q >= 4 THEN 'at_risk_loyal'
+       WHEN r_q >= 4 AND f_q <= 2 THEN 'new'
+       ELSE 'regular' END AS segment
+FROM scored
+"""
+
+
+def customers_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of :func:`customers_rfm_segments` (the swap its
+    docstring promises): quintile CUT VALUES computed with one exact
+    percentile aggregate per metric and broadcast back, replacing the
+    three global single-partition ``ntile`` windows.
+
+    Same two-pass shape as :func:`~..functions.corpus.ppl_buckets`:
+    pass 1 computes 12 doubles (4 cuts × 3 metrics, rounded at 6 dp so
+    the comparison cannot flip on last-ulp interpolation differences),
+    pass 2 assigns quintiles with stateless comparisons — the customer
+    rollup never passes through a global sort. Semantics differ from
+    ``ntile`` exactly where values tie across a boundary: value-based
+    cuts put equal metrics in equal quintiles (arguably more honest for
+    marketing segments), while ntile force-splits ties to balance
+    bucket sizes. Both variants stay registered; this one is what a
+    1000-executor deployment runs. Recency is oriented so 5 = most
+    recent, matching the exact variant."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.date_diff(F.col("ref_date"), F.col("last_order"))
+        .cast("bigint")
+        .alias("r_days"),
+        "n_orders",
+        qround(F.col("monetary").cast("double"), 6).alias("monetary"),
+    )
+    probs = F.lit([0.2, 0.4, 0.6, 0.8])
+    cuts = base.agg(
+        *[
+            qround(F.percentile(metric, probs)[i], 6).alias(f"{metric[0]}c{i}")
+            for metric in ("r_days", "n_orders", "monetary")
+            for i in range(4)
+        ]
+    )
+
+    def quint(col: str, prefix: str, invert: bool):
+        above = sum(
+            (F.col(col) > F.col(f"{prefix}c{i}")).cast("bigint") for i in range(4)
+        )
+        return (F.lit(5) - above if invert else F.lit(1) + above).cast("bigint")
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "r_days",
+        "n_orders",
+        "monetary",
+        # large r_days = stale customer = LOW recency score
+        quint("r_days", "r", invert=True).alias("r_q"),
+        quint("n_orders", "n", invert=False).alias("f_q"),
+        quint("monetary", "m", invert=False).alias("m_q"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_q") >= 4) & (F.col("f_q") >= 4) & (F.col("m_q") >= 4),
+            F.lit("champion"),
+        )
+        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 4), F.lit("at_risk_loyal"))
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), F.lit("new"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.select("*", seg.alias("segment"))
+
+
+def _rfm_cuts_sql_quint(col: str, cuts: list[str], invert: bool) -> str:
+    above = " + ".join(
+        f"CAST({col} > {c} AS BIGINT)" for c in cuts
+    )
+    return f"CAST({'5 - ' if invert else '1 + '}({above}) AS BIGINT)"
+
+
+_RFM_CUTS_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_dsum('o_totalprice')} AS monetary_dec
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order,
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
+         n_orders,
+         {sql_qround('CAST(monetary_dec AS DOUBLE)', 6)} AS monetary
+  FROM per_cust
+),
+cuts AS (
+  SELECT
+    {", ".join(
+        f"{sql_qround(f'quantile_cont({m}, {p!r})', 6)} AS {m[0]}c{i}"
+        for m in ("r_days", "n_orders", "monetary")
+        for i, p in enumerate((0.2, 0.4, 0.6, 0.8))
+    )}
+  FROM base
+),
+scored AS (
+  SELECT o_custkey, r_days, n_orders, monetary,
+    {_rfm_cuts_sql_quint('r_days', ['rc0', 'rc1', 'rc2', 'rc3'], True)} AS r_q,
+    {_rfm_cuts_sql_quint('n_orders', ['nc0', 'nc1', 'nc2', 'nc3'], False)} AS f_q,
+    {_rfm_cuts_sql_quint('monetary', ['mc0', 'mc1', 'mc2', 'mc3'], False)} AS m_q
+  FROM base, cuts
 )
 SELECT *,
   CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
@@ -1556,12 +1745,14 @@ QUERIES = {
     "events_conversion_latency": events_conversion_latency,
     "orders_priority_drift": orders_priority_drift,
     "events_active_users": events_active_users,
+    "events_active_users_hll": events_active_users_hll,
     "supplier_service_quality": supplier_service_quality,
     "events_audience_overlap": events_audience_overlap,
     "events_markov_transitions": events_markov_transitions,
     "orders_monthly_seasonality": orders_monthly_seasonality,
     "parts_basket_affinity": parts_basket_affinity,
     "customers_rfm_segments": customers_rfm_segments,
+    "customers_rfm_segments_cuts": customers_rfm_segments_cuts,
     "events_anomaly_hours": events_anomaly_hours,
     "events_gap_detection": events_gap_detection,
     "events_cohort_retention": events_cohort_retention,
@@ -1584,6 +1775,9 @@ ORACLES = {
     "events_gap_detection": _GAP_ORACLE,
     "events_anomaly_hours": _ANOMALY_ORACLE,
     "customers_rfm_segments": _RFM_ORACLE,
+    "customers_rfm_segments_cuts": _RFM_CUTS_ORACLE,
+    # events_active_users_hll is deliberately oracle-less: HLL estimates
+    # are engine-specific (rows-only gate; accuracy pinned by pytest).
     "parts_basket_affinity": _BASKET_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
     "events_audience_overlap": _OVERLAP_ORACLE,

@@ -1,0 +1,64 @@
+"""Tests for the registered 100 TB swap variants (VERDICT r3 #6).
+
+Each exact operator whose registered form would NOT be the one run at
+scale now ships its at-scale twin as a first-class registered query:
+
+- ``events_active_users_hll``: per-day HLL sketch union instead of the
+  spine × pairs exact rolling distinct. No DuckDB oracle possible
+  (sketches are engine-specific), so accuracy vs the exact twin is
+  pinned HERE: every estimate within 5% relative error at lgK default.
+- ``customers_rfm_segments_cuts``: broadcast quintile cut values
+  instead of three global single-partition ntile windows. This one IS
+  oracle-checked (cut semantics are deterministic); the test pins its
+  agreement with the ntile twin away from tie boundaries.
+"""
+
+from __future__ import annotations
+
+from datapipeline_gcp_spark.operators.analytics import (
+    customers_rfm_segments,
+    customers_rfm_segments_cuts,
+    events_active_users,
+    events_active_users_hll,
+)
+
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_hll_active_users_within_tolerance(spark):
+    exact = {
+        r["day"]: r
+        for r in events_active_users(spark, SF_CORRECTNESS).collect()
+    }
+    approx = events_active_users_hll(spark, SF_CORRECTNESS).collect()
+    assert len(approx) == len(exact)
+    for row in approx:
+        ref = exact[row["day"]]
+        for m in ("dau", "wau", "mau"):
+            rel = abs(row[m] - ref[m]) / max(ref[m], 1)
+            assert rel <= 0.05, (row["day"], m, row[m], ref[m])
+
+
+def test_hll_variant_shape_mirrors_exact(spark):
+    exact = events_active_users(spark, SF_CORRECTNESS)
+    approx = events_active_users_hll(spark, SF_CORRECTNESS)
+    assert approx.columns == exact.columns
+
+
+def test_rfm_cuts_mostly_agree_with_ntile(spark):
+    """Cut-based quintiles differ from ntile only where values tie
+    across a forced-equal-bucket boundary; the two labelings must agree
+    on the vast majority of customers and NEVER differ by more than one
+    quintile on the continuous-ish monetary metric."""
+    ntile = {
+        r["o_custkey"]: r
+        for r in customers_rfm_segments(spark, SF_CORRECTNESS).collect()
+    }
+    cuts = customers_rfm_segments_cuts(spark, SF_CORRECTNESS).collect()
+    assert len(cuts) == len(ntile)
+    m_agree = 0
+    for row in cuts:
+        ref = ntile[row["o_custkey"]]
+        assert abs(row["m_q"] - ref["m_q"]) <= 1, row["o_custkey"]
+        m_agree += row["m_q"] == ref["m_q"]
+    assert m_agree / len(cuts) > 0.9
