@@ -16,8 +16,11 @@ driver's capture → ``parsed: null``; see VERDICT.md "What's wrong" #2.)
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collection) so the number measures the Spark plan, not
-pandas conversion. A warmup pass on sf0.01 first touches every code
-path so JVM/codegen startup is not billed to the first query.
+pandas conversion. Warmup on sf0.01 first touches every code path so
+JVM/codegen startup is not billed to the first query — but in TWO
+blocks: the fixed headline set is warmed and timed before the long
+tail ever runs, so headline numbers are taken on a near-fresh JVM and
+stay comparable across rounds as the registered surface grows.
 """
 
 from __future__ import annotations
@@ -71,26 +74,25 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     queries = registry.all_queries()
-    names = [n for n in HEADLINE if n in queries]
-    # extend with any registered queries not in the fixed headline list
-    names += [n for n in sorted(queries) if n not in names]
+    headline_names = [n for n in HEADLINE if n in queries]
+    tail_names = [n for n in sorted(queries) if n not in headline_names]
 
-    warmup_t0 = time.time()
-    if os.path.isdir(WARMUP_DIR):
-        for name in names:
-            try:
-                materialize(queries[name](spark, WARMUP_DIR))
-            except Exception:
-                pass
-    warmup_seconds = round(time.time() - warmup_t0, 3)
+    def gc_settle() -> None:
+        # Collect OUTSIDE any timing window so a major GC can't land
+        # inside a timed query and inflate both of its runs (observed:
+        # b_performance_metrics 17.7 s in-bench vs 2.3 s solo).
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
 
-    # The warmup pass leaves ~150 queries' worth of garbage in the
-    # driver heap; a major GC landing inside the first heavy timed
-    # query inflates BOTH of its runs (observed: b_performance_metrics
-    # 17.7 s in-bench vs 2.3 s solo). Collect now, outside any timing
-    # window, so timed queries start from a settled heap.
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(1.0)
+    def warm(names: list[str]) -> float:
+        t0 = time.time()
+        if os.path.isdir(WARMUP_DIR):
+            for name in names:
+                try:
+                    materialize(queries[name](spark, WARMUP_DIR))
+                except Exception:
+                    pass
+        return round(time.time() - t0, 3)
 
     # Min of two timed runs per query: a single pass is hostage to JIT
     # compilation pauses, GC churn from the preceding queries, and
@@ -101,17 +103,39 @@ def main() -> None:
     # INSIDE the loop so a flaky second run can't discard a successful
     # first timing (ADVICE r2).
     timings: dict[str, float] = {}
-    for name in names:
-        best = -1.0
-        for _ in range(2):
-            try:
-                t0 = time.time()
-                materialize(queries[name](spark, SF_DIR))
-                took = round(time.time() - t0, 3)
-                best = took if best < 0 else min(best, took)
-            except Exception as ex:  # a failing run must not kill the bench
-                print(f"bench: {name} failed: {ex}", file=sys.stderr)
-        timings[name] = best
+
+    def time_block(names: list[str]) -> None:
+        for i, name in enumerate(names):
+            # Re-settle the heap every ~25 queries: the shared JVM
+            # accumulates codegen classes and shuffle buffers as the
+            # block progresses, which round 3 showed drifting untouched
+            # queries' timings up to 1.74× across rounds as the surface
+            # grew (VERDICT r3 "What's wrong" #3).
+            if i and i % 25 == 0:
+                gc_settle()
+            best = -1.0
+            for _ in range(2):
+                try:
+                    t0 = time.time()
+                    materialize(queries[name](spark, SF_DIR))
+                    took = round(time.time() - t0, 3)
+                    best = took if best < 0 else min(best, took)
+                except Exception as ex:  # a failing run must not kill the bench
+                    print(f"bench: {name} failed: {ex}", file=sys.stderr)
+            timings[name] = best
+
+    # Warm and time the FIXED headline block first, on a JVM that has
+    # only ever seen these 10 plans: round 3 proved that warming the
+    # whole registry first leaves enough heap/codegen pressure to shift
+    # headline and early-tail timings round-over-round even when their
+    # modules are untouched. The tail is warmed only after the headline
+    # numbers are in the bank.
+    warmup_seconds = warm(headline_names)
+    gc_settle()
+    time_block(headline_names)
+    warmup_seconds = round(warmup_seconds + warm(tail_names), 3)
+    gc_settle()
+    time_block(tail_names)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     sf_name = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
