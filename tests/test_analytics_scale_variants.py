@@ -45,6 +45,39 @@ def test_hll_variant_shape_mirrors_exact(spark):
     assert approx.columns == exact.columns
 
 
+def test_hll_counts_are_monotone_nested(spark):
+    """DAU ⊆ WAU ⊆ MAU as sets; HLL union only raises registers and
+    the estimator is monotone in them, so the ESTIMATES must be
+    ordered too — deterministically, not just in expectation."""
+    for row in events_active_users_hll(spark, SF_CORRECTNESS).collect():
+        assert row["dau"] <= row["wau"] <= row["mau"], row
+
+
+def test_rfm_cuts_quintiles_well_formed(spark):
+    """Every quintile label lands in 1..5, and the value-based cuts on
+    the effectively-continuous monetary metric keep buckets near 20%
+    (ties can't dominate a metric with distinct per-customer sums)."""
+    rows = customers_rfm_segments_cuts(spark, SF_CORRECTNESS).collect()
+    from collections import Counter
+
+    m_counts = Counter()
+    for r in rows:
+        for q in ("r_q", "f_q", "m_q"):
+            assert 1 <= r[q] <= 5, r
+        m_counts[r["m_q"]] += 1
+    for q in range(1, 6):
+        assert 0.1 <= m_counts[q] / len(rows) <= 0.3, m_counts
+
+
+def test_rfm_cuts_monotone_in_monetary(spark):
+    """Strictly more spend can never mean a lower monetary quintile —
+    the stateless comparison form makes this exact."""
+    rows = customers_rfm_segments_cuts(spark, SF_CORRECTNESS).collect()
+    by_m = sorted(rows, key=lambda r: r["monetary"])
+    for a, b in zip(by_m, by_m[1:]):
+        assert a["m_q"] <= b["m_q"], (a, b)
+
+
 def test_rfm_cuts_mostly_agree_with_ntile(spark):
     """Cut-based quintiles differ from ntile only where values tie
     across a forced-equal-bucket boundary; the two labelings must agree
