@@ -193,3 +193,34 @@ def test_gap_detection_anti_join_on_preaggregated_hours(spark):
     re-shuffled at event cardinality."""
     plan = _plan(spark, "events_gap_detection")
     assert "LeftAnti" in plan, plan
+
+
+def test_no_registered_query_plans_a_scale_antipattern(spark):
+    """Registry-wide linter: NO registered query may plan a
+    CartesianProduct (an unbroadcast big×big cross join — the one join
+    shape with no 100 TB story) or BatchEvalPython (a row-at-a-time
+    Python UDF — the repo's Python-boundary policy is Arrow-batched
+    pandas only, SCALE.md). Every crossJoin in the repo must stay a
+    BroadcastNestedLoopJoin over a bounded side, and every Python
+    stage an ArrowEvalPython / mapInPandas node.
+
+    Plans are built at sf0.001 (planning only for the lazy majority;
+    the few build-time-eager queries — checkpointed loops — run tiny
+    jobs). Streaming gates execute eagerly by design and their batch
+    twins are linted instead."""
+    from tests.conftest import SF_SMOKE
+
+    offenders: dict[str, object] = {}
+    for name, fn in registry.all_queries().items():
+        if "stream_" in name and "gate" in name:
+            continue
+        try:
+            df = fn(spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # a query that cannot even plan is worse
+            offenders[name] = f"plan failure: {ex}"
+            continue
+        hits = [t for t in ("CartesianProduct", "BatchEvalPython") if t in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
