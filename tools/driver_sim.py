@@ -60,8 +60,17 @@ def rows(pdf):
 
 
 def main():
-    # vanilla session — the driver's, not the engine's
-    spark = SparkSession.builder.master("local[32]").appName("driver-sim").getOrCreate()
+    # vanilla session — the driver's, not the engine's. SIM_DRIVER_MEM
+    # (off by default) sizes the single local-mode JVM heap for
+    # larger-SF probes: the default 1g fits the sf0.01 gate but dies on
+    # sf0.1 checkpoints. Heap size is a host property, not a semantic
+    # conf — the no-tuned-confs principle is about the latter.
+    import os as _os
+
+    b = SparkSession.builder.master("local[32]").appName("driver-sim")
+    if _os.environ.get("SIM_DRIVER_MEM"):
+        b = b.config("spark.driver.memory", _os.environ["SIM_DRIVER_MEM"])
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     mod = load_entry()
 
