@@ -89,8 +89,11 @@ _RECHECK: dict[str, int] = {
     # explode (functions/similarity.py, VERDICT r3 "What's wrong" #1).
     "ann_lsh_topk": 4,
     # r4: gate-harness cost trim (8 shuffle partitions + tmpfs
-    # checkpoint, streaming/joins.py). Result-identical by design, but
-    # the green row predates the code, so re-prove it.
+    # checkpoint, streaming/joins.py). Result-identical by design; no
+    # committed artifact records this gate green, so the pin is inert
+    # today (never-checked already outranks stale greens) — it exists
+    # so a pre-trim green row in any artifact this code can't see
+    # would still force a re-proof of the current code.
     "events_stream_interval_join_gate": 4,
 }
 
