@@ -129,7 +129,7 @@ def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str
     plain declaration order.
     """
     last_green: dict[str, int] = {}
-    ever_failed: set[str] = set()
+    last_red: dict[str, int] = {}
     latest = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -157,8 +157,14 @@ def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str
             if green:
                 last_green[name] = max(last_green.get(name, 0), rnd)
             else:
-                ever_failed.add(name)
-    ever_failed -= set(last_green)
+                last_red[name] = max(last_red.get(name, 0), rnd)
+    # "failed" means the most RECENT verdict is red — a green from an
+    # older round must not launder a later regression out of rank 0
+    # (each query appears at most once per round's artifact, so the
+    # comparison is well-defined).
+    ever_failed = {
+        n for n, r in last_red.items() if r > last_green.get(n, 0)
+    }
     return last_green, ever_failed, latest
 
 

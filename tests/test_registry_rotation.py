@@ -65,6 +65,36 @@ def test_rotation_rank_prefers_known_failures():
     assert rank("c") < rank("never-seen") < rank("a") < rank("b")
 
 
+def test_regression_after_green_ranks_as_failure(tmp_path):
+    """A red row in a round AFTER a query's last green is a caught
+    regression and must rank 0 — an old green may not launder it into
+    the stale-green tier (where the backlog would starve it)."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "x": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "y": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "x": {"rows_match": False, "schema_match": True, "hash_match": False},
+        "y": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    last_green, ever_failed, latest = registry.correctness_history(str(tmp_path))
+    assert latest == 3
+    assert ever_failed == {"x"}          # regressed after its green
+    assert last_green["y"] == 3
+    rank = lambda n: registry._rotation_rank(n, last_green, ever_failed)  # noqa: E731
+    assert rank("x") == 0.0
+    assert rank("x") < rank("never-seen") < rank("y")
+    # and the inverse order (red r1, green r3) counts as FIXED
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "x": {"rows_match": False, "schema_match": True, "hash_match": False},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "x": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    _green, failed2, _ = registry.correctness_history(str(tmp_path))
+    assert failed2 == set()
+
+
 def test_rewritten_since_green_precedes_never_checked_and_stale():
     """A stale green whose module was rewritten after its last green
     (declared in ``registry._RECHECK``) must rank between known
