@@ -175,8 +175,7 @@ def events_stream_interval_join_gate(
         _side().filter(F.col("event_type") == "purchase"),
         _side().filter(F.col("event_type") == "click"),
     )
-    run_gate_query(spark, agg, "stream_interval_join_gate")
-    return spark.table("stream_interval_join_gate").select(
+    return run_gate_query(spark, agg, "stream_interval_join_gate").select(
         "user_id",
         "purchase_id",
         "click_id",

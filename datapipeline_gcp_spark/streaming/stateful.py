@@ -269,9 +269,7 @@ def events_stream_stateful_session_gate(spark, sf_dir: str) -> DataFrame:
     from datapipeline_gcp_spark.streaming.harness import run_gate_query
 
     agg = streaming_sessionize_stateful(stream)
-    name = "stream_stateful_session_gate"
-    run_gate_query(spark, agg, name)
-    return spark.table(name).select(
+    return run_gate_query(spark, agg, "stream_stateful_session_gate").select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),

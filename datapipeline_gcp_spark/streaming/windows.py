@@ -218,9 +218,7 @@ def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_gcp_spark.streaming.harness import run_gate_query
 
     agg = streaming_tumbling(stream)
-    name = "stream_tumbling_gate"
-    run_gate_query(spark, agg, name)
-    return spark.table(name).select(
+    return run_gate_query(spark, agg, "stream_tumbling_gate").select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "event_type",
@@ -270,9 +268,7 @@ def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_gcp_spark.streaming.harness import run_gate_query
 
     agg = streaming_session(stream)
-    name = "stream_session_gate"
-    run_gate_query(spark, agg, name)
-    return spark.table(name).select(
+    return run_gate_query(spark, agg, "stream_session_gate").select(
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "user_id",
