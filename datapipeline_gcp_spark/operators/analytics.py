@@ -915,6 +915,20 @@ FROM enriched
 """
 
 
+def _day_user(ev: DataFrame) -> DataFrame:
+    """(day_num, day, user_id) projection shared by the exact and HLL
+    engagement twins — integer epoch-days, DST-proof and
+    engine-identical. One definition so the 5%-tolerance accuracy test
+    between the twins can never be skewed by a projection mismatch."""
+    return ev.select(
+        F.date_diff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day_num"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+
+
 def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling engagement: per calendar day, DAU plus trailing-7-day
     WAU and trailing-30-day MAU (windows inclusive of the day) and the
@@ -932,13 +946,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_gcp_spark.determinism import qround
 
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
-    pairs = ev.select(
-        F.date_diff(
-            F.to_date("ts"), F.lit("1970-01-01").cast("date")
-        ).cast("long").alias("day_num"),
-        F.to_date("ts").alias("day"),
-        "user_id",
-    ).distinct()
+    pairs = _day_user(ev).distinct()
     spine = pairs.select("day_num", "day").distinct()
     joined = pairs.alias("p").join(
         F.broadcast(spine.alias("s")),
@@ -1019,13 +1027,7 @@ def events_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     day_sketch = (
-        ev.select(
-            F.date_diff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-            .cast("long")
-            .alias("day_num"),
-            F.to_date("ts").alias("day"),
-            "user_id",
-        )
+        _day_user(ev)
         .groupBy("day_num", "day")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
         # day-cardinality result (~365 rows/year); checkpoint so the
@@ -1429,6 +1431,46 @@ LIMIT {BASKET_TOP_K}
 """
 
 
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM rollup shared by the ntile and broadcast-cuts
+    twins: (o_custkey, r_days vs the corpus max date, n_orders,
+    exact-decimal monetary). One definition so a future change to the
+    reference date or the spend aggregation cannot desynchronize the
+    twins (their agreement test assumes identical ingredients)."""
+    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    return per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.date_diff(F.col("ref_date"), F.col("last_order"))
+        .cast("bigint")
+        .alias("r_days"),
+        "n_orders",
+        "monetary",
+    )
+
+
+#: the SQL twin of :func:`_rfm_base` — shared by both RFM oracles
+_RFM_BASE_SQL = f"""per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+rfm_base AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order,
+              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
+         n_orders, monetary
+  FROM per_cust
+)"""
+
+
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary) — the classic
     customer-scoring rollup the reference's KPI layer stops just short
@@ -1448,21 +1490,7 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`customers_rfm_segments_cuts` — computes the 4 quintile cut
     values with one percentile aggregate and broadcasts them back (no
     global sort), the same two-pass shape as `corpus_ppl_buckets`."""
-    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("n_orders"),
-        dsum("o_totalprice").alias("monetary"),
-    )
-    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
-    base = per_cust.crossJoin(F.broadcast(ref)).select(
-        "o_custkey",
-        F.date_diff(F.col("ref_date"), F.col("last_order"))
-        .cast("bigint")
-        .alias("r_days"),
-        "n_orders",
-        "monetary",
-    )
+    base = _rfm_base(spark, sf_dir)
     w_r = Window.orderBy(F.col("r_days").desc(), F.col("o_custkey"))
     w_f = Window.orderBy(F.col("n_orders"), F.col("o_custkey"))
     w_m = Window.orderBy(F.col("monetary"), F.col("o_custkey"))
@@ -1488,26 +1516,13 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RFM_ORACLE = f"""
-WITH per_cust AS (
-  SELECT o_custkey,
-         MAX(o_orderdate) AS last_order,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         {sql_dsum('o_totalprice')} AS monetary
-  FROM orders GROUP BY o_custkey
-),
-base AS (
-  SELECT o_custkey,
-         CAST(date_diff('day', last_order,
-              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
-         n_orders, monetary
-  FROM per_cust
-),
+WITH {_RFM_BASE_SQL},
 scored AS (
   SELECT *,
     CAST(ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS BIGINT) AS r_q,
     CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_q,
     CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
-  FROM base
+  FROM rfm_base
 )
 SELECT *,
   CASE WHEN r_q >= 4 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
@@ -1535,20 +1550,9 @@ def customers_rfm_segments_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes. Both variants stay registered; this one is what a
     1000-executor deployment runs. Recency is oriented so 5 = most
     recent, matching the exact variant."""
-    o = load_testdata(spark, sf_dir, ("orders",))["orders"]
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("n_orders"),
-        dsum("o_totalprice").alias("monetary"),
-    )
-    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
-    base = per_cust.crossJoin(F.broadcast(ref)).select(
-        "o_custkey",
-        F.date_diff(F.col("ref_date"), F.col("last_order"))
-        .cast("bigint")
-        .alias("r_days"),
-        "n_orders",
-        qround(F.col("monetary").cast("double"), 6).alias("monetary"),
+    base = _rfm_base(spark, sf_dir).withColumn(
+        # double + 6dp rounding so cut comparisons are engine-exact
+        "monetary", qround(F.col("monetary").cast("double"), 6)
     )
     probs = F.lit([0.2, 0.4, 0.6, 0.8])
     cuts = base.agg(
@@ -1595,20 +1599,11 @@ def _rfm_cuts_sql_quint(col: str, cuts: list[str], invert: bool) -> str:
 
 
 _RFM_CUTS_ORACLE = f"""
-WITH per_cust AS (
-  SELECT o_custkey,
-         MAX(o_orderdate) AS last_order,
-         CAST(COUNT(*) AS BIGINT) AS n_orders,
-         {sql_dsum('o_totalprice')} AS monetary_dec
-  FROM orders GROUP BY o_custkey
-),
+WITH {_RFM_BASE_SQL},
 base AS (
-  SELECT o_custkey,
-         CAST(date_diff('day', last_order,
-              (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS r_days,
-         n_orders,
-         {sql_qround('CAST(monetary_dec AS DOUBLE)', 6)} AS monetary
-  FROM per_cust
+  SELECT o_custkey, r_days, n_orders,
+         {sql_qround('CAST(monetary AS DOUBLE)', 6)} AS monetary
+  FROM rfm_base
 ),
 cuts AS (
   SELECT
