@@ -14,6 +14,7 @@ Exit code 0 iff everything matches. This is the project verify harness
 import datetime as dt
 import importlib.util
 import math
+import os
 import sys
 import time
 
@@ -65,11 +66,9 @@ def main():
     # larger-SF probes: the default 1g fits the sf0.01 gate but dies on
     # sf0.1 checkpoints. Heap size is a host property, not a semantic
     # conf — the no-tuned-confs principle is about the latter.
-    import os as _os
-
     b = SparkSession.builder.master("local[32]").appName("driver-sim")
-    if _os.environ.get("SIM_DRIVER_MEM"):
-        b = b.config("spark.driver.memory", _os.environ["SIM_DRIVER_MEM"])
+    if os.environ.get("SIM_DRIVER_MEM"):
+        b = b.config("spark.driver.memory", os.environ["SIM_DRIVER_MEM"])
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     mod = load_entry()
@@ -78,7 +77,7 @@ def main():
     n = mod.entry(spark).count()
     print(f"SMOKE entry(): {n} rows in {time.time()-t0:.1f}s -> {'OK' if n > 0 else 'FAIL'}")
 
-    import os; sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
+    sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
