@@ -179,10 +179,11 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-based exact ``percentile`` aggregate. Exact quantiles are the
     right default for bounded group counts (one sort per group inside
     the hash-aggregate shuffle); at 100 TB with huge groups the escape
-    hatch is ``approx_percentile`` (t-digest, mergeable, one pass) —
-    but its sketch is engine-specific, so the oracle-checked surface is
-    the exact form. Both engines interpolate at (n-1)*p identically
-    (verified bitwise on this data — no rounding needed).
+    hatch is the mergeable one-pass sketch — registered as
+    :func:`events_percentiles_approx`; its sketch is engine-specific,
+    so the oracle-checked surface is this exact form. Both engines
+    interpolate at (n-1)*p identically (verified bitwise on this data —
+    no rounding needed).
     """
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     q = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
@@ -201,6 +202,37 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+PCT_ACCURACY = 10_000  # GK sketch accuracy: rank error ≤ n / accuracy
+
+
+def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB escape hatch :func:`events_percentiles` documents:
+    per-group quantiles via the mergeable Greenwald-Khanna sketch
+    (``percentile_approx``) instead of the sort-based exact aggregate.
+    One pass, map-side partial sketches, no per-group sort — the right
+    form when groups no longer fit a single aggregation buffer.
+
+    Completes the registered sketch family alongside the HLL
+    engagement twin and the bloom semi-join: distinct-count, quantile,
+    and membership — the three sketches a 100 TB pipeline leans on.
+
+    Like the HLL twin there is NO DuckDB oracle (sketch internals are
+    engine-specific; declared in ``registry.ROWS_ONLY``); the GK rank
+    contract — each estimate's empirical rank within its group is
+    within n/accuracy of the target rank (±1 rank for tie runs) — is
+    pinned against the exact twin by
+    ``tests/test_analytics_scale_variants``. Output shape mirrors the
+    exact query."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    q = F.percentile_approx(
+        "value", F.lit([0.5, 0.95, 0.99]), F.lit(PCT_ACCURACY)
+    )
+    return ev.groupBy("event_type").agg(
+        q[0].alias("p50"), q[1].alias("p95"), q[2].alias("p99"),
+        F.count("*").alias("n_events"),
+    )
 
 
 N_BINS = 20
@@ -1755,6 +1787,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "rolling_window_revenue": rolling_window_revenue,
     "events_percentiles": events_percentiles,
+    "events_percentiles_approx": events_percentiles_approx,
     "events_histogram": events_histogram,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,

@@ -16,10 +16,10 @@ handles it adaptively, salting handles it deterministically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import dsum, sql_dsum
+from datapipeline_gcp_spark.determinism import dsum, sql_dsum, sql_qround
 from datapipeline_gcp_spark.schemas import load_testdata
 
 # ---------------------------------------------------------------------------
@@ -479,8 +479,201 @@ FROM old FULL OUTER JOIN new USING (o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (hand-rolled, engine-exact)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65_472  # 1056 words × 62 usable bits (shifts stay < 62: no
+#                      sign-bit games, << is then value-identical in
+#                      Spark and DuckDB signed-64 arithmetic)
+BLOOM_WORD = 62
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(key: Column, prefix: str = "bloom") -> list[Column]:
+    """The BLOOM_K bit positions of *key*: seeded md5-derived hashes
+    (``base_hash`` — the repo's engine-shared hash; Spark's native
+    hash()/xxhash64 have no DuckDB twin) reduced mod BLOOM_BITS."""
+    from datapipeline_gcp_spark.functions.dedup import base_hash
+
+    return [
+        base_hash(F.concat(F.lit(f"{prefix}{i}_"), key.cast("string")))
+        % BLOOM_BITS
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_semijoin_report(orders: DataFrame, keys: DataFrame) -> DataFrame:
+    """Bloom-filter pre-filtering of a fact table against a dimension
+    key set, with exact false-positive accounting — the technique
+    behind runtime row-group pruning and shuffle-free semi-joins
+    (Spark's own runtime filters build exactly this; hand-rolling it
+    keeps every bit engine-exact and therefore oracle-checkable).
+
+    Build: each dim key sets BLOOM_K md5-derived bit positions; the
+    bitmap lives as (word, 62-bit mask) rows built with ONE ``bit_or``
+    hash aggregate — bitwise OR is commutative, so the build is
+    partitioning-independent and mergeable (the distributed-build
+    property that makes blooms work at 100 TB). Probe: three BROADCAST
+    left joins of the ~1k-word bitmap against the fact table — zero
+    fact shuffles; a row passes iff all K bits are set. The report
+    compares the bloom verdict against exact membership (broadcast
+    left join) per order priority: false positives are inherent to the
+    structure (and bounded by (1-e^{-kn/m})^k); false negatives are
+    impossible — the test suite pins both.
+
+    Returns (o_orderpriority, n_orders, n_exact, n_bloom_pass,
+    n_false_pos, fp_rate)."""
+    positions = (
+        keys.select(
+            F.explode(F.array(*_bloom_positions(F.col("c_custkey")))).alias(
+                "pos"
+            )
+        )
+    )
+    # per-row shift amounts need the SQL shiftleft (the PySpark helper
+    # only takes a Python-int shift)
+    _mask = "shiftleft(CAST(1 AS BIGINT), CAST({p} % {w} AS INT))"
+    words = (
+        positions.select(
+            F.floor(F.col("pos") / BLOOM_WORD).cast("long").alias("word"),
+            F.expr(_mask.format(p="pos", w=BLOOM_WORD)).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("w"))
+        # ~1k-row bitmap consumed by three probe joins; checkpoint so
+        # each broadcast reuses it instead of re-scanning the dimension
+        # and re-building the bitmap (same policy as the HLL sketch
+        # table in operators/analytics.py)
+        .localCheckpoint()
+    )
+    probe = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    pass_flags = []
+    for i, pos in enumerate(_bloom_positions(F.col("o_custkey"))):
+        probe = probe.withColumn(f"_p{i}", pos)
+        w_i = words.select(
+            F.col("word").alias(f"_word{i}"), F.col("w").alias(f"_w{i}")
+        )
+        probe = probe.withColumn(
+            f"_word{i}", F.floor(F.col(f"_p{i}") / BLOOM_WORD).cast("long")
+        ).join(F.broadcast(w_i), f"_word{i}", "left")
+        pass_flags.append(
+            F.col(f"_w{i}").isNotNull()
+            & (
+                F.col(f"_w{i}").bitwiseAND(
+                    F.expr(_mask.format(p=f"_p{i}", w=BLOOM_WORD))
+                )
+                != 0
+            )
+        )
+    bloom_pass = pass_flags[0] & pass_flags[1] & pass_flags[2]
+    member = keys.select("c_custkey", F.lit(1).alias("_is_member"))
+    flagged = probe.withColumn("_bloom_pass", bloom_pass).join(
+        F.broadcast(member),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    agg = flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.coalesce(F.col("_is_member"), F.lit(0))).alias("n_exact"),
+        F.sum(F.col("_bloom_pass").cast("bigint")).alias("n_bloom_pass"),
+        F.sum(
+            (F.col("_bloom_pass") & F.col("_is_member").isNull()).cast(
+                "bigint"
+            )
+        ).alias("n_false_pos"),
+    )
+    from datapipeline_gcp_spark.determinism import qround
+
+    fp_rate = F.when(
+        F.col("n_orders") > F.col("n_exact"),
+        qround(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_orders") - F.col("n_exact")).cast("double"),
+            9,
+        ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_exact",
+        "n_bloom_pass",
+        "n_false_pos",
+        fp_rate.alias("fp_rate"),
+    )
+
+
+def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir, ("orders", "customer"))
+    keys = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    return bloom_semijoin_report(t["orders"], keys)
+
+
+def _sql_bloom_pos(expr: str, i: int) -> str:
+    return (
+        f"((CAST(concat('0x', substr(md5(concat('bloom{i}_', "
+        f"CAST({expr} AS VARCHAR))),1,15)) AS BIGINT) % 1000000007)"
+        f" % {BLOOM_BITS})"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+),
+pos AS (
+  {" UNION ALL ".join(
+      f"SELECT {_sql_bloom_pos('c_custkey', i)} AS pos FROM keys"
+      for i in range(BLOOM_K)
+  )}
+),
+words AS (
+  SELECT pos // {BLOOM_WORD} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INTEGER)) AS w
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         {", ".join(f"{_sql_bloom_pos('o_custkey', i)} AS p{i}" for i in range(BLOOM_K))}
+  FROM orders
+),
+flagged AS (
+  SELECT pr.o_orderpriority,
+         ({" AND ".join(
+             f"(w{i}.w IS NOT NULL AND (w{i}.w & (CAST(1 AS BIGINT) << "
+             f"CAST(pr.p{i} % {BLOOM_WORD} AS INTEGER))) <> 0)"
+             for i in range(BLOOM_K)
+         )}) AS bloom_pass,
+         (k.c_custkey IS NOT NULL) AS is_member
+  FROM probe pr
+  {" ".join(
+      f"LEFT JOIN words w{i} ON pr.p{i} // {BLOOM_WORD} = w{i}.word"
+      for i in range(BLOOM_K)
+  )}
+  LEFT JOIN keys k ON pr.o_custkey = k.c_custkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_pos,
+       CASE WHEN COUNT(*) > SUM(CASE WHEN is_member THEN 1 ELSE 0 END)
+            THEN {sql_qround(
+                "CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / CAST(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS DOUBLE)", 9)}
+            END AS fp_rate
+FROM flagged
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "snapshot_reconcile": snapshot_reconcile,
+    "orders_bloom_semijoin": orders_bloom_semijoin,
     "join_skew_salted": join_skew_salted,
     "scan_filter_project": scan_filter_project,
     "case_when_projection": case_when_projection,
@@ -496,6 +689,7 @@ QUERIES = {
 
 ORACLES = {
     "snapshot_reconcile": _RECONCILE_ORACLE,
+    "orders_bloom_semijoin": _BLOOM_ORACLE,
     "join_skew_salted": _SALTED_ORACLE,
     "scan_filter_project": _SCAN_FILTER_ORACLE,
     "case_when_projection": _CASE_WHEN_ORACLE,

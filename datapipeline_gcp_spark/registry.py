@@ -105,6 +105,8 @@ _RECHECK: dict[str, int] = {
 _DEFER: set[str] = {
     "events_active_users_hll",
     "customers_rfm_segments_cuts",
+    "orders_bloom_semijoin",
+    "events_percentiles_approx",
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
@@ -112,9 +114,13 @@ _DEFER: set[str] = {
 #: sees which. Kept deliberately tiny; ``tests/test_registry_rotation``
 #: enforces that every other query ships an oracle.
 ROWS_ONLY: set[str] = {
-    # HLL estimates are engine-specific (Datasketches vs DuckDB's own
-    # sketch); accuracy vs the exact twin is pinned by pytest instead.
+    # Sketch-backed twins: estimates are engine-specific (Datasketches
+    # HLL / GK quantile summaries have no DuckDB bit-twin); accuracy
+    # contracts vs the exact twins are pinned by pytest instead. The
+    # third sketch, the bloom semi-join, is hand-rolled on md5 and IS
+    # oracle-checked.
     "events_active_users_hll",
+    "events_percentiles_approx",
 }
 
 

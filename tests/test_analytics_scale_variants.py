@@ -16,11 +16,15 @@ scale now ships its at-scale twin as a first-class registered query:
 from __future__ import annotations
 
 from datapipeline_gcp_spark.operators.analytics import (
+    PCT_ACCURACY,
     customers_rfm_segments,
     customers_rfm_segments_cuts,
     events_active_users,
     events_active_users_hll,
+    events_percentiles_approx,
 )
+from datapipeline_gcp_spark.operators.relational import orders_bloom_semijoin
+from datapipeline_gcp_spark.schemas import load_testdata
 
 from tests.conftest import SF_CORRECTNESS
 
@@ -76,6 +80,46 @@ def test_rfm_cuts_monotone_in_monetary(spark):
     by_m = sorted(rows, key=lambda r: r["monetary"])
     for a, b in zip(by_m, by_m[1:]):
         assert a["m_q"] <= b["m_q"], (a, b)
+
+
+def test_approx_percentiles_honor_gk_rank_contract(spark):
+    """Greenwald-Khanna guarantee: each estimate is an actual data
+    value whose rank in its group is within n/accuracy of the target
+    rank. Checked against the raw values, not the exact-percentile
+    twin, because the exact twin interpolates BETWEEN values while GK
+    returns a member — rank space is the honest comparison."""
+    approx = events_percentiles_approx(spark, SF_CORRECTNESS).collect()
+    ev = (
+        load_testdata(spark, SF_CORRECTNESS, ("events",))["events"]
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for row in approx:
+        vals = sorted(by_type[row["event_type"]])
+        n = len(vals)
+        assert row["n_events"] == n
+        for p, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            est = row[col]
+            lo = sum(v < est for v in vals)  # rank range of the estimate
+            hi = sum(v <= est for v in vals)
+            err = n / PCT_ACCURACY + 1
+            assert lo - err <= p * n <= hi + err, (row["event_type"], col)
+
+
+def test_bloom_semijoin_contract(spark):
+    """Structure guarantees, data-independent: a bloom filter can NEVER
+    produce a false negative (every exact member passes), so
+    n_bloom_pass == n_exact + n_false_pos exactly; and at these
+    parameters (k=3, ~300 keys, 65k bits) the false-positive rate must
+    sit far below the 1% theoretical envelope."""
+    for row in orders_bloom_semijoin(spark, SF_CORRECTNESS).collect():
+        assert row["n_bloom_pass"] == row["n_exact"] + row["n_false_pos"], row
+        assert row["n_bloom_pass"] >= row["n_exact"], row
+        if row["fp_rate"] is not None:
+            assert row["fp_rate"] < 0.01, row
 
 
 def test_rfm_cuts_mostly_agree_with_ntile(spark):

@@ -195,6 +195,17 @@ def test_gap_detection_anti_join_on_preaggregated_hours(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_bloom_semijoin_broadcasts_and_never_shuffles_the_fact(spark):
+    """All four joins (3 bitmap probes + exact membership) must
+    broadcast, the checkpointed bitmap must not re-derive per probe
+    (≤2 parquet scans: orders + the membership dimension), and the
+    fact table must never hit a SortMergeJoin."""
+    plan = _plan(spark, "orders_bloom_semijoin")
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") <= 2, plan
+
+
 def test_no_registered_query_plans_a_scale_antipattern(spark):
     """Registry-wide linter: NO registered query may plan a
     CartesianProduct (an unbroadcast big×big cross join — the one join
