@@ -101,12 +101,15 @@ _RECHECK: dict[str, int] = {
 #: never-checked backlog (VERDICT r3 next-steps #1: the check window is
 #: ~50 entries and the backlog fills it). Ranked after never-checked
 #: but before every green, so they enter the window as the backlog
-#: drains; inert once the query has any green row.
-_DEFER: set[str] = {
-    "events_active_users_hll",
-    "customers_rfm_segments_cuts",
-    "orders_bloom_semijoin",
-    "events_percentiles_approx",
+#: drains; an entry goes inert once the query has any green row. The
+#: VALUE is an explicit queue position within the tier (lower = enters
+#: the window sooner) — module declaration order is the wrong tie-break
+#: for a hand-prioritized queue.
+_DEFER: dict[str, int] = {
+    "events_active_users_hll": 0,  # VERDICT r3 #6 asks for this proof
+    "customers_rfm_segments_cuts": 1,  # the other r3 #6 variant
+    "orders_bloom_semijoin": 2,
+    "events_percentiles_approx": 3,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
@@ -183,8 +186,12 @@ def _rotation_rank(
         return 0.5  # green, but the code was rewritten since — re-prove
     if name not in last_green:
         # new registrations queue behind the existing never-checked
-        # backlog instead of displacing it from the check window
-        return 1.5 if name in _DEFER else 1.0
+        # backlog instead of displacing it from the check window,
+        # in their declared order (the 0.01 step keeps the whole
+        # deferred tier inside (1, 2))
+        if name in _DEFER:
+            return 1.5 + 0.01 * _DEFER[name]
+        return 1.0
     return 2.0 + last_green[name]  # stale green first, latest green last
 
 
