@@ -87,11 +87,14 @@ def main():
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
     fails = 0
+    rows_only: list[str] = []
+    failures: list[str] = []
     for name in sorted(qs):
         t0 = time.time()
         try:
             spdf = qs[name](spark, sf).toPandas()
             if name not in os_:
+                rows_only.append(name)
                 print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
                 continue
             opdf = con.execute(os_[name]).df()
@@ -108,11 +111,35 @@ def main():
             status = "MATCH" if not problems else "MISMATCH " + "; ".join(problems)
             if problems:
                 fails += 1
+                failures.append(name)
             print(f"{status:9s} {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
         except Exception as ex:
             fails += 1
+            failures.append(name)
             print(f"ERROR     {name}: {str(ex)[:200]}")
     print(f"\n{'ALL MATCH' if fails == 0 else f'{fails} FAILURES'} out of {len(qs)} queries")
+    # SIM_SUMMARY=path writes the machine-readable run record (the
+    # repo commits one per round as VERIFY_LOCAL.json so "locally
+    # verified" is an artifact, not a claim — VERDICT r3 #8).
+    if os.environ.get("SIM_SUMMARY"):
+        import json
+
+        with open(os.environ["SIM_SUMMARY"], "w") as fh:
+            json.dump(
+                {
+                    "harness": "tools/driver_sim.py (vanilla local[32] session, DuckDB oracles)",
+                    "sf_dir": sf,
+                    "tz": os.environ.get("TZ", "system"),
+                    "entry_smoke_rows": n,
+                    "queries_total": len(qs),
+                    "value_hash_matches": len(qs) - len(rows_only) - fails,
+                    "rows_only": rows_only,
+                    "failures": failures,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
     spark.stop()
     sys.exit(1 if fails else 0)
 
