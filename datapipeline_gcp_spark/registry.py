@@ -68,6 +68,7 @@ _MODULES = [
     "datapipeline_gcp_spark.streaming.windows",
     "datapipeline_gcp_spark.streaming.joins",
     "datapipeline_gcp_spark.streaming.stateful",
+    "datapipeline_gcp_spark.streaming.dedup",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -110,6 +111,7 @@ _DEFER: dict[str, int] = {
     "customers_rfm_segments_cuts": 1,  # the other r3 #6 variant
     "orders_bloom_semijoin": 2,
     "events_percentiles_approx": 3,
+    "events_stream_dedup_gate": 4,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

@@ -345,3 +345,20 @@ def test_enrichment_preserves_events_for_unknown_users(spark):
     assert len(out) == 2
     assert out.loc[1, "customer_name"] == "Customer#10"
     assert out.loc[2, "customer_name"] is None or out.loc[2, "customer_name"] != out.loc[2, "customer_name"]  # null/NaN
+
+
+def test_stream_dedup_gate_exactly_once_under_redelivery(spark):
+    """The redelivery-storm gate: every event delivered twice must
+    come out exactly once — equal to the batch DISTINCT of the key."""
+    from datapipeline_gcp_spark.streaming.dedup import events_stream_dedup_gate
+
+    got = events_stream_dedup_gate(spark, SF_CORRECTNESS).toPandas()
+    want = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    assert len(got) == got["event_id"].nunique()  # no duplicate survived
+    assert set(got["event_id"]) == set(want["event_id"])
