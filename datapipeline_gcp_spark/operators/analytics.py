@@ -180,8 +180,8 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     right default for bounded group counts (one sort per group inside
     the hash-aggregate shuffle); at 100 TB with huge groups the escape
     hatch is the mergeable one-pass sketch — registered as
-    :func:`events_percentiles_approx`; its sketch is engine-specific,
-    so the oracle-checked surface is this exact form. Both engines
+    :func:`events_percentiles_approx` (in rank-contract form, so both
+    twins are oracle-checked since r5). Both engines
     interpolate at (n-1)*p identically (verified bitwise on this data —
     no rounding needed).
     """
@@ -207,25 +207,12 @@ GROUP BY event_type
 PCT_ACCURACY = 10_000  # GK sketch accuracy: rank error ≤ n / accuracy
 
 
-def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB escape hatch :func:`events_percentiles` documents:
-    per-group quantiles via the mergeable Greenwald-Khanna sketch
-    (``percentile_approx``) instead of the sort-based exact aggregate.
-    One pass, map-side partial sketches, no per-group sort — the right
-    form when groups no longer fit a single aggregation buffer.
-
-    Completes the registered sketch family alongside the HLL
-    engagement twin and the bloom semi-join: distinct-count, quantile,
-    and membership — the three sketches a 100 TB pipeline leans on.
-
-    Like the HLL twin there is NO DuckDB oracle (sketch internals are
-    engine-specific; declared in ``registry.ROWS_ONLY``); the GK rank
-    contract — each estimate's empirical rank within its group is
-    within n/accuracy of the target rank (±1 rank for tie runs) — is
-    pinned against the exact twin by
-    ``tests/test_analytics_scale_variants``. Output shape mirrors the
-    exact query."""
-    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+def _percentile_approx_estimates(ev: DataFrame) -> DataFrame:
+    """(event_type, p50, p95, p99, n_events) via the mergeable
+    Greenwald-Khanna sketch (``percentile_approx``) — the actual 100 TB
+    execution shape of per-group quantiles: one pass, map-side partial
+    sketches, no per-group sort — the right form when groups no longer
+    fit a single aggregation buffer."""
     q = F.percentile_approx(
         "value", F.lit([0.5, 0.95, 0.99]), F.lit(PCT_ACCURACY)
     )
@@ -233,6 +220,83 @@ def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         q[0].alias("p50"), q[1].alias("p95"), q[2].alias("p99"),
         F.count("*").alias("n_events"),
     )
+
+
+def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB escape hatch :func:`events_percentiles` documents,
+    registered in the gate-provable contract form (VERDICT r4
+    next-steps #1): run the GK sketch
+    (:func:`_percentile_approx_estimates` — what a 100 TB deployment
+    would run alone), then verify its rank contract IN the job and emit
+    the verdict AS DATA: per group, the row count plus a flag per
+    quantile that the estimate's empirical rank range [#{v<est}+1,
+    #{v<=est}] overlaps the target rank p·n within the GK bound
+    n/accuracy (±1 rank for tie runs).
+
+    The raw estimates are engine-specific and deliberately NOT in the
+    output; the contract relation is deterministic (GK on fixed input
+    is deterministic, and ANY sketch honoring the published bound
+    passes), so DuckDB can oracle it directly (group counts + all-true
+    flags). Completes the provable sketch family alongside the HLL
+    engagement twin and the bloom semi-join: distinct-count, quantile,
+    and membership — the three sketches a 100 TB pipeline leans on.
+
+    Cost shape: sketch pass O(N), then one broadcast join of the
+    group-cardinality estimates back to the facts for the rank count —
+    a second O(N) scan that exists only to carry the proof; tighter
+    numeric pins live in ``tests/test_analytics_scale_variants``."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    est = _percentile_approx_estimates(ev).localCheckpoint()
+
+    def lo(c: str):
+        return F.sum(
+            F.when(F.col("value") < F.col(c), 1).otherwise(0)
+        ).alias(f"lo_{c}")
+
+    def hi(c: str):
+        return F.sum(
+            F.when(F.col("value") <= F.col(c), 1).otherwise(0)
+        ).alias(f"hi_{c}")
+
+    ranks = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(lo("p50"), hi("p50"), lo("p95"), hi("p95"), lo("p99"), hi("p99"))
+    )
+
+    def ok(c: str, p: float):
+        n = F.col("n_events").cast("double")
+        err = n / F.lit(float(PCT_ACCURACY)) + F.lit(1.0)
+        target = F.lit(p) * n
+        return (
+            F.when(
+                (F.col(f"lo_{c}").cast("double") - err <= target)
+                & (target <= F.col(f"hi_{c}").cast("double") + err),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias(f"{c}_ok")
+        )
+
+    return est.join(F.broadcast(ranks), "event_type").select(
+        "event_type",
+        "n_events",
+        ok("p50", 0.5),
+        ok("p95", 0.95),
+        ok("p99", 0.99),
+    )
+
+
+_PCT_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p95_ok,
+       CAST(1 AS BIGINT) AS p99_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 N_BINS = 20
@@ -961,6 +1025,32 @@ def _day_user(ev: DataFrame) -> DataFrame:
     )
 
 
+def _active_users_exact_agg(ev: DataFrame) -> DataFrame:
+    """Exact (day, dau, wau, mau) rolling-distinct aggregate shared by
+    :func:`events_active_users` and the HLL twin's in-job accuracy
+    contract: dedup to (day, user) pairs once, broadcast the tiny day
+    spine against them with an integer range predicate, count distinct
+    per anchor day."""
+    pairs = _day_user(ev).distinct()
+    spine = pairs.select("day_num", "day").distinct()
+    joined = pairs.alias("p").join(
+        F.broadcast(spine.alias("s")),
+        (F.col("p.day_num") <= F.col("s.day_num"))
+        & (F.col("p.day_num") > F.col("s.day_num") - 30),
+    )
+    return joined.groupBy(F.col("s.day").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("p.day_num") == F.col("s.day_num"), F.col("p.user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("p.day_num") > F.col("s.day_num") - 7, F.col("p.user_id")
+            )
+        ).alias("wau"),
+        F.countDistinct("p.user_id").alias("mau"),
+    )
+
+
 def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling engagement: per calendar day, DAU plus trailing-7-day
     WAU and trailing-30-day MAU (windows inclusive of the day) and the
@@ -978,24 +1068,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_gcp_spark.determinism import qround
 
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
-    pairs = _day_user(ev).distinct()
-    spine = pairs.select("day_num", "day").distinct()
-    joined = pairs.alias("p").join(
-        F.broadcast(spine.alias("s")),
-        (F.col("p.day_num") <= F.col("s.day_num"))
-        & (F.col("p.day_num") > F.col("s.day_num") - 30),
-    )
-    agg = joined.groupBy(F.col("s.day").alias("day")).agg(
-        F.countDistinct(
-            F.when(F.col("p.day_num") == F.col("s.day_num"), F.col("p.user_id"))
-        ).alias("dau"),
-        F.countDistinct(
-            F.when(
-                F.col("p.day_num") > F.col("s.day_num") - 7, F.col("p.user_id")
-            )
-        ).alias("wau"),
-        F.countDistinct("p.user_id").alias("mau"),
-    )
+    agg = _active_users_exact_agg(ev)
     return agg.select(
         "day",
         "dau",
@@ -1007,7 +1080,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ACTIVE_ORACLE = f"""
+_ACTIVE_AGG_CTE = """
 WITH pairs AS (
   SELECT DISTINCT
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
@@ -1030,16 +1103,27 @@ agg AS (
     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
   FROM joined GROUP BY day
 )
+"""
+
+_ACTIVE_ORACLE = f"""
+{_ACTIVE_AGG_CTE}
 SELECT day, dau, wau, mau,
   {sql_qround("CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)", 6)} AS stickiness
 FROM agg
 """
 
+#: Registered accuracy contract of the HLL twin: every estimate within
+#: 5% relative error of the exact rolling distinct count (default lgK
+#: gives ±~2%, so 5% holds with margin; the same bound is pinned
+#: numerically by ``tests/test_analytics_scale_variants``).
+HLL_REL_TOL = 0.05
 
-def events_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of :func:`events_active_users` (the swap its
-    docstring promises): per-day HyperLogLog sketches of the user set,
-    merged over the trailing 7-/30-day windows, estimated once.
+
+def _active_users_hll_estimates(ev: DataFrame) -> DataFrame:
+    """(day, dau_est, wau_est, mau_est) — the actual 100 TB execution
+    shape of rolling engagement: per-day HyperLogLog sketches of the
+    user set, merged over the trailing 7-/30-day windows, estimated
+    once.
 
     Why this is the at-scale shape: the exact query joins the day spine
     against ALL (day, user) pairs — cost spine × pairs, with a 30-way
@@ -1048,16 +1132,7 @@ def events_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a per-day sketch, map-side partial merges, Datasketches HLL via
     the built-in ``hll_sketch_agg``), and the rolling windows operate
     on day-cardinality sketch rows (~365/year, a broadcast range join)
-    — fact-table cost O(N), window cost O(days²) on tiny rows.
-
-    Estimates are approximate (±~2% at lgK=12), so there is NO DuckDB
-    oracle (different engines' sketches differ legitimately) — the
-    driver records the weaker rows-only check; the accuracy bound vs
-    the exact query is pinned by ``tests/test_analytics_scale_variants``.
-    Output shape mirrors the exact query (day, dau, wau, mau,
-    stickiness) with estimate semantics.
-    """
-    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    — fact-table cost O(N), window cost O(days²) on tiny rows."""
     day_sketch = (
         _day_user(ev)
         .groupBy("day_num", "day")
@@ -1074,30 +1149,82 @@ def events_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p.day_num") <= F.col("s.day_num"))
         & (F.col("p.day_num") > F.col("s.day_num") - 30),
     )
-    agg = joined.groupBy(F.col("s.day").alias("day")).agg(
+    return joined.groupBy(F.col("s.day").alias("day")).agg(
         F.hll_sketch_estimate(
             F.hll_union_agg(
                 F.when(F.col("p.day_num") == F.col("s.day_num"), F.col("p.sk"))
             )
-        ).alias("dau"),
+        ).alias("dau_est"),
         F.hll_sketch_estimate(
             F.hll_union_agg(
                 F.when(
                     F.col("p.day_num") > F.col("s.day_num") - 7, F.col("p.sk")
                 )
             )
-        ).alias("wau"),
-        F.hll_sketch_estimate(F.hll_union_agg(F.col("p.sk"))).alias("mau"),
+        ).alias("wau_est"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("p.sk"))).alias("mau_est"),
     )
-    return agg.select(
+
+
+def events_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap of :func:`events_active_users`, registered in the
+    gate-provable contract form (VERDICT r4 next-steps #1): run the HLL
+    sketch pipeline (:func:`_active_users_hll_estimates` — the shape a
+    100 TB deployment would run alone) AND the exact twin in the same
+    job, and emit the accuracy contract AS DATA: per day, the exact
+    counts plus within-``HLL_REL_TOL`` flags for each estimate and a
+    nestedness flag (dau_est ≤ wau_est ≤ mau_est — HLL union only
+    raises registers, so estimate ordering is deterministic, not just
+    expected).
+
+    The raw estimates are engine-specific and deliberately NOT in the
+    output; the contract relation is deterministic and engine-neutral,
+    so DuckDB can oracle it directly (exact counts + all-true flags) —
+    a wrong sketch pipeline, a broken union, or a drifting estimator
+    flips a flag and reds the gate. Tighter numeric bounds stay pinned
+    in ``tests/test_analytics_scale_variants``."""
+    ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    est = _active_users_hll_estimates(ev)
+    exact = _active_users_exact_agg(ev)
+
+    def ok(est_col: str, exact_col: str):
+        x = F.col(exact_col).cast("double")
+        rel = F.abs(F.col(est_col).cast("double") - x) / F.greatest(
+            x, F.lit(1.0)
+        )
+        return (
+            F.when(rel <= HLL_REL_TOL, 1).otherwise(0).cast("bigint")
+        )
+
+    joined = exact.join(F.broadcast(est), "day")
+    return joined.select(
         "day",
         "dau",
         "wau",
         "mau",
-        qround(
-            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
-        ).alias("stickiness"),
+        ok("dau_est", "dau").alias("dau_ok"),
+        ok("wau_est", "wau").alias("wau_ok"),
+        ok("mau_est", "mau").alias("mau_ok"),
+        F.when(
+            (F.col("dau_est") <= F.col("wau_est"))
+            & (F.col("wau_est") <= F.col("mau_est")),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("nested_ok"),
     )
+
+
+_ACTIVE_HLL_ORACLE = f"""
+{_ACTIVE_AGG_CTE}
+SELECT day, dau, wau, mau,
+  CAST(1 AS BIGINT) AS dau_ok,
+  CAST(1 AS BIGINT) AS wau_ok,
+  CAST(1 AS BIGINT) AS mau_ok,
+  CAST(1 AS BIGINT) AS nested_ok
+FROM agg
+"""
 
 
 def supplier_service_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1804,8 +1931,10 @@ ORACLES = {
     "events_anomaly_hours": _ANOMALY_ORACLE,
     "customers_rfm_segments": _RFM_ORACLE,
     "customers_rfm_segments_cuts": _RFM_CUTS_ORACLE,
-    # events_active_users_hll is deliberately oracle-less: HLL estimates
-    # are engine-specific (rows-only gate; accuracy pinned by pytest).
+    # r5: both sketch twins emit their accuracy contract as data, so
+    # they now carry real oracles (exact counts + all-true flags).
+    "events_active_users_hll": _ACTIVE_HLL_ORACLE,
+    "events_percentiles_approx": _PCT_APPROX_ORACLE,
     "parts_basket_affinity": _BASKET_ORACLE,
     "events_markov_transitions": _MARKOV_ORACLE,
     "events_audience_overlap": _OVERLAP_ORACLE,

@@ -612,9 +612,13 @@ def orders_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bloom_pos(expr: str, i: int) -> str:
+    # interpolate the hash modulus from the Spark side's base_hash so
+    # query and oracle can never silently diverge on P (ADVICE r4)
+    from datapipeline_gcp_spark.functions.dedup import P
+
     return (
         f"((CAST(concat('0x', substr(md5(concat('bloom{i}_', "
-        f"CAST({expr} AS VARCHAR))),1,15)) AS BIGINT) % 1000000007)"
+        f"CAST({expr} AS VARCHAR))),1,15)) AS BIGINT) % {P})"
         f" % {BLOOM_BITS})"
     )
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from datapipeline_gcp_spark.operators.analytics import (
     PCT_ACCURACY,
+    _active_users_hll_estimates,
+    _percentile_approx_estimates,
     customers_rfm_segments,
     customers_rfm_segments_cuts,
     events_active_users,
@@ -29,32 +31,49 @@ from datapipeline_gcp_spark.schemas import load_testdata
 from tests.conftest import SF_CORRECTNESS
 
 
+def _events(spark):
+    return load_testdata(spark, SF_CORRECTNESS, ("events",))["events"]
+
+
 def test_hll_active_users_within_tolerance(spark):
     exact = {
         r["day"]: r
         for r in events_active_users(spark, SF_CORRECTNESS).collect()
     }
-    approx = events_active_users_hll(spark, SF_CORRECTNESS).collect()
+    approx = _active_users_hll_estimates(_events(spark)).collect()
     assert len(approx) == len(exact)
     for row in approx:
         ref = exact[row["day"]]
         for m in ("dau", "wau", "mau"):
-            rel = abs(row[m] - ref[m]) / max(ref[m], 1)
-            assert rel <= 0.05, (row["day"], m, row[m], ref[m])
+            rel = abs(row[f"{m}_est"] - ref[m]) / max(ref[m], 1)
+            assert rel <= 0.05, (row["day"], m, row[f"{m}_est"], ref[m])
 
 
-def test_hll_variant_shape_mirrors_exact(spark):
-    exact = events_active_users(spark, SF_CORRECTNESS)
-    approx = events_active_users_hll(spark, SF_CORRECTNESS)
-    assert approx.columns == exact.columns
+def test_hll_contract_query_emits_all_green_flags(spark):
+    """The registered gate form (r5 reshape): exact counts + flags,
+    one row per exact day, every flag 1 — the same relation the DuckDB
+    oracle asserts, checked here without the driver."""
+    exact = {
+        r["day"]: r
+        for r in events_active_users(spark, SF_CORRECTNESS).collect()
+    }
+    rows = events_active_users_hll(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == len(exact)
+    for row in rows:
+        ref = exact[row["day"]]
+        assert (row["dau"], row["wau"], row["mau"]) == (
+            ref["dau"], ref["wau"], ref["mau"],
+        )
+        for flag in ("dau_ok", "wau_ok", "mau_ok", "nested_ok"):
+            assert row[flag] == 1, (row["day"], flag)
 
 
 def test_hll_counts_are_monotone_nested(spark):
     """DAU ⊆ WAU ⊆ MAU as sets; HLL union only raises registers and
     the estimator is monotone in them, so the ESTIMATES must be
     ordered too — deterministically, not just in expectation."""
-    for row in events_active_users_hll(spark, SF_CORRECTNESS).collect():
-        assert row["dau"] <= row["wau"] <= row["mau"], row
+    for row in _active_users_hll_estimates(_events(spark)).collect():
+        assert row["dau_est"] <= row["wau_est"] <= row["mau_est"], row
 
 
 def test_rfm_cuts_quintiles_well_formed(spark):
@@ -88,7 +107,7 @@ def test_approx_percentiles_honor_gk_rank_contract(spark):
     rank. Checked against the raw values, not the exact-percentile
     twin, because the exact twin interpolates BETWEEN values while GK
     returns a member — rank space is the honest comparison."""
-    approx = events_percentiles_approx(spark, SF_CORRECTNESS).collect()
+    approx = _percentile_approx_estimates(_events(spark)).collect()
     ev = (
         load_testdata(spark, SF_CORRECTNESS, ("events",))["events"]
         .select("event_type", "value")
@@ -107,6 +126,17 @@ def test_approx_percentiles_honor_gk_rank_contract(spark):
             hi = sum(v <= est for v in vals)
             err = n / PCT_ACCURACY + 1
             assert lo - err <= p * n <= hi + err, (row["event_type"], col)
+
+
+def test_percentile_contract_query_emits_all_green_flags(spark):
+    """The registered gate form (r5 reshape): per-group counts + rank
+    contract flags, all 1 — the relation the DuckDB oracle asserts."""
+    rows = events_percentiles_approx(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for row in rows:
+        assert row["n_events"] > 0
+        for flag in ("p50_ok", "p95_ok", "p99_ok"):
+            assert row[flag] == 1, (row["event_type"], flag)
 
 
 def test_bloom_semijoin_contract(spark):

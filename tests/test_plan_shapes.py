@@ -161,7 +161,8 @@ def test_ann_lsh_filters_pairs_before_orientation_explode(spark):
     import re
 
     plan = _plan(spark, "ann_lsh_topk")
-    orient = plan.index("Generate explode(array(struct")
+    orient = plan.find("Generate explode(array(struct")
+    assert orient != -1, plan
     m = re.search(r"Filter \(\(a#\d+\.vec_id < \d+\) OR \(b#\d+\.vec_id < \d+\)\)", plan)
     assert m, plan
     assert m.start() > orient, "pair filter sits above the orientation explode"
@@ -178,13 +179,34 @@ def test_rfm_cuts_variant_has_no_window(spark):
 
 
 def test_hll_active_users_scans_fact_once(spark):
-    """The HLL engagement variant checkpoints the day-cardinality
-    sketch table; the final plan must reuse it (zero parquet scans
-    after the checkpoint) instead of re-scanning events for the day
-    spine."""
-    plan = _plan(spark, "events_active_users_hll")
-    assert "Scan parquet" not in plan and "FileScan parquet" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan  # day-spine range join
+    """The HLL estimates pipeline (the part a 100 TB deployment runs
+    alone) checkpoints the day-cardinality sketch table; its plan must
+    reuse it (zero parquet scans after the checkpoint) instead of
+    re-scanning events for the day spine. The registered contract form
+    adds the exact twin in the same job, so IT may scan events — but
+    only for the exact pairs (exactly one scan), and the est↔exact
+    day join must broadcast."""
+    from datapipeline_gcp_spark.operators.analytics import (
+        _active_users_hll_estimates,
+    )
+    from datapipeline_gcp_spark.schemas import load_testdata
+
+    ev = load_testdata(spark, SF_CORRECTNESS, ("events",))["events"]
+    est_plan = (
+        _active_users_hll_estimates(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan parquet" not in est_plan and "FileScan parquet" not in est_plan, est_plan
+    assert "BroadcastNestedLoopJoin" in est_plan, est_plan  # day-spine range join
+
+    contract_plan = _plan(spark, "events_active_users_hll")
+    # the exact twin's own shape: one scan for the (day,user) pairs,
+    # one for the day-spine distinct — same as standalone
+    # events_active_users; the sketch half must add none
+    assert contract_plan.count("Scan parquet") == 2, contract_plan
+    assert "SortMergeJoin" not in contract_plan, contract_plan
 
 
 def test_gap_detection_anti_join_on_preaggregated_hours(spark):

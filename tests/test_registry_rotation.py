@@ -43,7 +43,15 @@ def test_unproven_queries_precede_latest_green():
     so the driver's fixed-size check window always spends itself on the
     unproven tail first."""
     order = list(registry.all_queries())
-    latest_green = _latest_green()
+    last_green, _failed, _latest = registry.correctness_history(_REPO_ROOT)
+    # an actively _RECHECK-pinned query is latest-green but deliberately
+    # re-queued at the FRONT (its code was rewritten after the green),
+    # so it must not anchor the "first proven" position
+    pinned = {
+        n for n, rnd in registry._RECHECK.items()
+        if last_green.get(n, 0) < rnd
+    }
+    latest_green = _latest_green() - pinned
     if not latest_green:
         return  # no artifacts yet — declaration order is fine
     first_proven = min(
@@ -93,6 +101,41 @@ def test_regression_after_green_ranks_as_failure(tmp_path):
     }))
     _green, failed2, _ = registry.correctness_history(str(tmp_path))
     assert failed2 == set()
+
+
+def test_no_oracle_visit_is_checked_not_red(tmp_path):
+    """The driver writes explicit nulls + err="no_oracle" for a query
+    it visited but had no oracle for (CORRECTNESS_r04.json). That row
+    must NOT rank as a failure — it would sit at 0.0 forever, burning
+    a window slot every round on a query the gate cannot prove
+    (VERDICT r4 "What's wrong" #1). It parks in the latest-green tier;
+    a _RECHECK pin re-fronts it when the code is made provable."""
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({
+        "sketchy": {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": 30, "oracle_rows": None, "err": "no_oracle",
+        },
+        # a genuine execution failure must still rank red
+        "broken": {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": "boom",
+        },
+    }))
+    last_green, ever_failed, latest = registry.correctness_history(str(tmp_path))
+    assert latest == 4
+    assert "sketchy" not in ever_failed
+    assert last_green.get("sketchy") == 4
+    assert "broken" in ever_failed
+    rank = lambda n: registry._rotation_rank(n, last_green, ever_failed)  # noqa: E731
+    assert rank("broken") == 0.0
+    assert rank("sketchy") > rank("never-seen")
+    # and with a _RECHECK pin at a later round it re-fronts
+    orig = registry._RECHECK
+    registry._RECHECK = {"sketchy": 5}
+    try:
+        assert rank("sketchy") == 0.5
+    finally:
+        registry._RECHECK = orig
 
 
 def test_rewritten_since_green_precedes_never_checked_and_stale():

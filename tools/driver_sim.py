@@ -87,14 +87,17 @@ def main():
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
     fails = 0
-    rows_only: list[str] = []
+    matches = 0
+    # membership comes from the oracle dict, not from successful
+    # execution: an oracle-less query that raises must not be deducted
+    # from the value-hash count as if it had one (ADVICE r4)
+    rows_only: list[str] = [n for n in sorted(qs) if n not in os_]
     failures: list[str] = []
     for name in sorted(qs):
         t0 = time.time()
         try:
             spdf = qs[name](spark, sf).toPandas()
             if name not in os_:
-                rows_only.append(name)
                 print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
                 continue
             opdf = con.execute(os_[name]).df()
@@ -112,6 +115,8 @@ def main():
             if problems:
                 fails += 1
                 failures.append(name)
+            else:
+                matches += 1
             print(f"{status:9s} {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
         except Exception as ex:
             fails += 1
@@ -132,7 +137,7 @@ def main():
                     "tz": os.environ.get("TZ", "system"),
                     "entry_smoke_rows": n,
                     "queries_total": len(qs),
-                    "value_hash_matches": len(qs) - len(rows_only) - fails,
+                    "value_hash_matches": matches,
                     "rows_only": rows_only,
                     "failures": failures,
                 },
