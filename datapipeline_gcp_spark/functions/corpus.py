@@ -1040,8 +1040,9 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(with_text_metrics(_docs(spark, sf_dir)))
 
 
-_MIXTURE_ORACLE = f"""
-WITH per_src AS (
+#: CTE prefix shared by the mixture oracle and the source-budget oracle
+#: (one definition of the temperature-scaled weights, two consumers)
+_MIX_CTES = f"""per_src AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM({_D_NTOK}) AS BIGINT) AS n_tokens
@@ -1051,7 +1052,10 @@ scaled AS (
   SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS qs
   FROM per_src
 ),
-tot AS (SELECT *, SUM(qs) OVER () AS qtotal FROM scaled)
+tot AS (SELECT *, SUM(qs) OVER () AS qtotal FROM scaled)"""
+
+_MIXTURE_ORACLE = f"""
+WITH {_MIX_CTES}
 SELECT source, n_docs, n_tokens,
        {sql_qround('CAST(qs AS DOUBLE) / CAST(qtotal AS DOUBLE)', 9)} AS weight,
        CAST(floor(CAST(qs AS DOUBLE) / CAST(qtotal AS DOUBLE)
@@ -1061,6 +1065,164 @@ SELECT source, n_docs, n_tokens,
            + str(float(MIX_BUDGET_TOKENS)) + ' / CAST(n_tokens AS DOUBLE)', 6
        )} AS epochs
 FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source budget enforcement (joined against the mixture weights)
+# ---------------------------------------------------------------------------
+
+#: leading sort-key granularity for budget admission: the running total
+#: shuffles on (source, bucket) — BUDGET_BUCKETS× finer than source
+#: alone, so no single reducer owns a whole source's cumsum
+BUDGET_BUCKETS = 256
+
+
+def source_budget_enforce(
+    df: DataFrame, budget: int = MIX_BUDGET_TOKENS
+) -> DataFrame:
+    """Token-count-aware budget enforcement per source: the overall
+    budget — 60% of the corpus's total tokens, computed integer-exact
+    so enforcement bites identically at every SF — is split by each
+    source's :func:`mixture_weights` weight into a per-source
+    ``target_tokens``, and documents are admitted greedily — in a
+    deterministic pseudo-random order — until the budget fills; the
+    rest are cut. This is the step that turns mixture WEIGHTS into an
+    actual training SELECTION (VERDICT r4 next-steps #6); under sqrt
+    temperature scaling it cuts over-represented sources hardest, which
+    is the point.
+
+    Admission order is (bucket, h, doc_id) with h = the engine-shared
+    md5 hash of doc_id and bucket = h % BUDGET_BUCKETS. The bucket is
+    deliberately the LEADING key: semantically it's still one total
+    order the oracle mirrors with a single window cumsum, but the
+    execution splits the running total in two exact halves —
+    per-(source, bucket) subtotals (metadata cardinality:
+    sources × BUDGET_BUCKETS, prefix-summed into each bucket's starting
+    offset) plus a within-bucket window cumsum whose partition key is
+    (source, bucket), BUDGET_BUCKETS× finer than a per-source window.
+    offset + within-bucket == the global ordered cumsum, exactly — no
+    single reducer ever sorts a whole source (the 100 TB skew story;
+    same decomposition as ``corpus_pack_chunks``'s shard grid).
+
+    Returns the per-source enforcement report: (source, n_docs,
+    n_tokens, target_tokens, n_docs_kept, tokens_kept, n_docs_dropped,
+    tokens_dropped, fill_pct). A doc is kept iff its running total fits
+    entirely (cum ≤ target) — integer comparison, engine-exact."""
+    mix = mixture_weights(df, budget).select("source", "weight")
+    bud = df.agg(F.sum("n_tokens").alias("ttotal")).select(
+        F.floor(
+            (F.col("ttotal") * 3).cast("double") / F.lit(5.0)
+        )
+        .cast("bigint")
+        .alias("budget_tokens")
+    )
+    tgt = (
+        mix.crossJoin(F.broadcast(bud))  # 1-row scalar fusion
+        .select(
+            "source",
+            F.floor(
+                F.col("weight") * F.col("budget_tokens").cast("double")
+            )
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+    )
+    d = (
+        df.select("doc_id", "source", "n_tokens")
+        .withColumn("h", base_hash(F.col("doc_id").cast("string")))
+        .withColumn("bucket", F.col("h") % BUDGET_BUCKETS)
+    )
+    bsub = d.groupBy("source", "bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsub.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("offset"),
+    )
+    ww = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        d.join(F.broadcast(boff), ["source", "bucket"])
+        .withColumn("cum", F.col("offset") + F.sum("n_tokens").over(ww))
+        .join(F.broadcast(tgt), "source")
+        .withColumn("kept", F.col("cum") <= F.col("target_tokens"))
+    )
+    kept_l = F.col("kept").cast("bigint")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max("target_tokens").alias("target_tokens"),
+        F.sum(kept_l).alias("n_docs_kept"),
+        F.sum(F.col("n_tokens") * kept_l).alias("tokens_kept"),
+        F.sum(1 - kept_l).alias("n_docs_dropped"),
+        F.sum(F.col("n_tokens") * (1 - kept_l)).alias("tokens_dropped"),
+        qround(
+            F.sum(F.col("n_tokens") * kept_l).cast("double")
+            / F.max("target_tokens").cast("double"),
+            6,
+        ).alias("fill_pct"),
+    )
+
+
+def corpus_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datapipeline_gcp_spark.functions.text import with_text_metrics
+
+    return source_budget_enforce(with_text_metrics(_docs(spark, sf_dir)))
+
+
+_BUDGET_ORACLE = f"""
+WITH {_MIX_CTES},
+bud AS (
+  SELECT CAST(floor(CAST(CAST(SUM({_D_NTOK}) AS BIGINT) * 3 AS DOUBLE) / 5.0)
+              AS BIGINT) AS budget_tokens
+  FROM documents
+),
+tgt AS (
+  SELECT source,
+         CAST(floor({sql_qround('CAST(qs AS DOUBLE) / CAST(qtotal AS DOUBLE)', 9)}
+                    * CAST(budget_tokens AS DOUBLE)) AS BIGINT) AS target_tokens
+  FROM tot CROSS JOIN bud
+),
+docs AS (
+  SELECT doc_id, source, {_D_NTOK} AS n_tokens,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+               AS BIGINT) % {P}) AS h
+  FROM documents
+),
+cum AS (
+  SELECT *, h % {BUDGET_BUCKETS} AS bucket,
+         SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY h % {BUDGET_BUCKETS}, h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM docs
+),
+flagged AS (
+  SELECT c.*, t.target_tokens, c.cum <= t.target_tokens AS kept
+  FROM cum c JOIN tgt t USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_docs_dropped,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_dropped,
+       {sql_qround(
+           'CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS DOUBLE)'
+           ' / CAST(MAX(target_tokens) AS DOUBLE)', 6
+       )} AS fill_pct
+FROM flagged
+GROUP BY source
 """
 
 
@@ -1561,6 +1723,7 @@ QUERIES = {
     "corpus_vocab_topk": corpus_vocab_topk,
     "corpus_length_filter": corpus_length_filter,
     "corpus_mixture_weights": corpus_mixture_weights,
+    "corpus_source_budget": corpus_source_budget,
     "corpus_shard_shuffle": corpus_shard_shuffle,
     "corpus_ppl_buckets": corpus_ppl_buckets,
 }
@@ -1584,6 +1747,7 @@ ORACLES = {
     "corpus_vocab_topk": _VOCAB_ORACLE,
     "corpus_length_filter": _LENGTH_ORACLE,
     "corpus_mixture_weights": _MIXTURE_ORACLE,
+    "corpus_source_budget": _BUDGET_ORACLE,
     "corpus_shard_shuffle": _SHARD_ORACLE,
     "corpus_ppl_buckets": _PPL_ORACLE,
 }

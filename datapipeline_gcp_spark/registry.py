@@ -49,6 +49,7 @@ _MODULES = [
     "datapipeline_gcp_spark.functions.clusters",
     "datapipeline_gcp_spark.functions.similarity",
     "datapipeline_gcp_spark.functions.text",
+    "datapipeline_gcp_spark.functions.urls",
     "datapipeline_gcp_spark.functions.cleaning",
     "datapipeline_gcp_spark.functions.curation",
     "datapipeline_gcp_spark.functions.corpus",
@@ -69,6 +70,7 @@ _MODULES = [
     "datapipeline_gcp_spark.streaming.joins",
     "datapipeline_gcp_spark.streaming.stateful",
     "datapipeline_gcp_spark.streaming.dedup",
+    "datapipeline_gcp_spark.streaming.e2e",
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -81,21 +83,16 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # r2 rewrites (explode_outer fix / SWAR rewrite / bucketed agg /
-    # block-pair reshape) shipped after their only green row (r1):
-    "dedup_minhash_lsh": 2,
-    "dedup_simhash": 2,
-    "embedding_cosine_neardup": 2,
-    # r4: query-relevance filter pushed before the both-orientation
-    # explode (functions/similarity.py, VERDICT r3 "What's wrong" #1).
-    "ann_lsh_topk": 4,
-    # r4: gate-harness cost trim (8 shuffle partitions + tmpfs
-    # checkpoint, streaming/joins.py). Result-identical by design; no
-    # committed artifact records this gate green, so the pin is inert
-    # today (never-checked already outranks stale greens) — it exists
-    # so a pre-trim green row in any artifact this code can't see
-    # would still force a re-proof of the current code.
-    "events_stream_interval_join_gate": 4,
+    # r5: both sketch twins were re-shaped to emit their accuracy
+    # contract as deterministic data (day/group + within-bound flags vs
+    # the exact twin computed in the same job) so they carry real
+    # DuckDB oracles (VERDICT r4 next-steps #1). The HLL twin's r4
+    # artifact row was a `no_oracle` visit (counted checked-not-red
+    # below), so the pin is what fronts the reshaped code for proof.
+    "events_active_users_hll": 5,
+    "events_percentiles_approx": 5,
+    # (r2-r4 pins pruned: all five were re-proven green in r4 —
+    # CORRECTNESS_r04.json — making them inert; VERDICT r4 hygiene #3.)
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
@@ -112,21 +109,24 @@ _DEFER: dict[str, int] = {
     "orders_bloom_semijoin": 2,
     "events_percentiles_approx": 3,
     "events_stream_dedup_gate": 4,
+    # r5 registrations (VERDICT r4 next-steps #6): queue behind the r4
+    # deferrals so those drain first.
+    "docs_url_dedup": 5,
+    "corpus_source_budget": 6,
+    "events_stream_e2e_ingest_gate": 7,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
 #: driver records the weaker rows-only check for these and the judge
 #: sees which. Kept deliberately tiny; ``tests/test_registry_rotation``
 #: enforces that every other query ships an oracle.
-ROWS_ONLY: set[str] = {
-    # Sketch-backed twins: estimates are engine-specific (Datasketches
-    # HLL / GK quantile summaries have no DuckDB bit-twin); accuracy
-    # contracts vs the exact twins are pinned by pytest instead. The
-    # third sketch, the bloom semi-join, is hand-rolled on md5 and IS
-    # oracle-checked.
-    "events_active_users_hll",
-    "events_percentiles_approx",
-}
+ROWS_ONLY: set[str] = set()
+# (Empty since r5: the two sketch twins — formerly here because HLL /
+# GK summaries have no DuckDB bit-twin — now emit their accuracy
+# contract AS DATA (group keys + exact counts + within-bound flags
+# computed against the exact twin in the same job), a deterministic
+# relation DuckDB can oracle directly. The tighter numeric bounds stay
+# pinned in ``tests/test_analytics_scale_variants``.)
 
 
 def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str], int]:
@@ -165,6 +165,17 @@ def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str
                 # them green on rows+schema so they rotate like the rest
                 and row.get("hash_match", True)
             )
+            # An oracle-less query the driver visited but could not
+            # check (it writes explicit nulls + err="no_oracle" rather
+            # than omitting the keys — CORRECTNESS_r04.json) is
+            # checked-NOT-red: counting it red would rank it 0.0
+            # forever and burn a window slot every round on a query
+            # the gate cannot prove (VERDICT r4 "What's wrong" #1).
+            # Recording it green parks it in the latest-green tier;
+            # a _RECHECK pin re-fronts it if its code is later made
+            # provable.
+            if row.get("err") == "no_oracle":
+                green = True
             if green:
                 last_green[name] = max(last_green.get(name, 0), rnd)
             else:

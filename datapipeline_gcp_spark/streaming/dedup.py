@@ -35,16 +35,22 @@ DEDUP_WATERMARK = "2 hours"
 
 
 def streaming_ingest_dedup(
-    stream: DataFrame, keys: list[str], watermark: str = DEDUP_WATERMARK
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = DEDUP_WATERMARK,
+    project_keys: bool = True,
 ) -> DataFrame:
-    """Watermark-bounded exactly-once dedup on *keys*; emits the key
-    columns only (which physical row survives a redelivery is
-    bus-dependent and deliberately not part of the contract)."""
-    return (
-        stream.withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(keys)
-        .select(*keys)
+    """Watermark-bounded exactly-once dedup on *keys*; by default emits
+    the key columns only (which physical row survives a redelivery is
+    bus-dependent and deliberately not part of the contract).
+    ``project_keys=False`` keeps the full row — for pipelines whose key
+    is unique per logical record (e.g. an event id), where every
+    surviving row is identical no matter which delivery won (the e2e
+    ingest gate's case)."""
+    out = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
     )
+    return out.select(*keys) if project_keys else out
 
 
 def events_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,136 @@
+"""End-to-end streaming ingest composition gate (VERDICT r4 #6): the
+landing-file router, the watermark-bounded exactly-once dedup, the raw
+table append, and the crash-safe deferred archival — composed into ONE
+running pipeline and proven against the batch equivalent.
+
+This is the full Spark-native redesign of the reference's event path
+(GCS finalize → Pub/Sub → consumer routes by filename → load DAG →
+archive; ``/root/reference/messaging/consumer/main.py:39-74``,
+``load_campaigns_csv.py:115-141``) exercised end to end: the pieces are
+individually gated (router e2e tests, ``events_stream_dedup_gate``,
+archival crash-replay tests), but only a composed run proves the seams
+— that the dedup operator rides the ingest checkpoint, that the append
+sees deduped rows, that archival fires for a transformed stream.
+
+The gate: the driver's events table is written out as THREE landing
+CSV files (hash-split by event id), and two of them are written AGAIN
+under new object names — a bus redelivering whole objects, the
+at-least-once failure mode the reference absorbs via GCS overwrite.
+One ``availableNow`` run of ``stream_landing_table`` with
+``transform=streaming_ingest_dedup`` must land exactly the distinct
+events in the raw table, and drain() must archive the landing files.
+Oracle: the events table itself (event ids are unique, so batch
+equivalence is plain SELECT — a leaked duplicate doubles rows, an
+over-eager dedup loses rows, a broken route loses a whole file's
+worth).
+
+Scale: identical machinery to production — file-source globbing,
+maxFilesPerTrigger batching, hash-partitioned dedup state bounded by
+the watermark, append sink, post-commit archival. The redelivered
+files land in the same trigger here (deterministic single-batch gate);
+cross-trigger redelivery is the already-proven
+``events_stream_dedup_gate`` contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipeline_gcp_spark.schemas import load_testdata, pin_utc
+from datapipeline_gcp_spark.sources.generators import write_landing_file
+from datapipeline_gcp_spark.streaming.dedup import streaming_ingest_dedup
+from datapipeline_gcp_spark.streaming.harness import GATE_SHUFFLE_PARTITIONS
+from datapipeline_gcp_spark.streaming.ingest import drain, stream_landing_table
+
+N_PARTS = 3
+REDELIVERED_PARTS = (0, 1)  # these parts arrive twice
+GATE_TABLE = "gate_e2e_raw_events"
+
+_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def events_stream_e2e_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_utc(spark)
+    ev = load_testdata(spark, sf_dir, ("events",))["events"].select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(dir=base, prefix="gate_e2e_")
+    landing = f"{root}/landing"
+    archive = f"{root}/archive"
+    ckpt = f"{root}/ckpt"
+    spark.sql(f"DROP TABLE IF EXISTS {GATE_TABLE}")
+    # a crashed earlier run can leave the managed location behind after
+    # the catalog entry is gone — saveAsTable then refuses the name
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_local = wh.split(":", 1)[1] if wh.startswith("file:") else wh
+    while wh_local.startswith("//"):
+        wh_local = wh_local[1:]
+    shutil.rmtree(os.path.join(wh_local, GATE_TABLE), ignore_errors=True)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        parts = {
+            i: ev.filter(F.pmod(F.col("event_id"), N_PARTS) == i)
+            for i in range(N_PARTS)
+        }
+        for i in range(N_PARTS):
+            write_landing_file(parts[i], landing, "events", "csv", "20240101")
+        for i in REDELIVERED_PARTS:  # same rows, new object name
+            write_landing_file(parts[i], landing, "events", "csv", "20240101")
+
+        spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
+        stream = stream_landing_table(
+            spark,
+            landing,
+            "events",
+            "csv",
+            _CSV_SCHEMA,
+            GATE_TABLE,
+            archive,
+            ckpt,
+            transform=lambda s: streaming_ingest_dedup(
+                s, ["event_id"], project_keys=False
+            ),
+        )
+        drain(stream)
+        n_landing = len(os.listdir(f"{landing}/csv"))
+        n_archived = len(
+            [f for f in os.listdir(archive) if f.endswith(".csv")]
+        )
+        if n_landing or n_archived != N_PARTS + len(REDELIVERED_PARTS):
+            raise AssertionError(
+                f"archival incomplete: {n_landing} still landing, "
+                f"{n_archived} archived"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(GATE_TABLE).select("event_id", "user_id", "event_type")
+
+
+_E2E_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+QUERIES = {
+    "events_stream_e2e_ingest_gate": events_stream_e2e_ingest_gate,
+}
+ORACLES = {
+    "events_stream_e2e_ingest_gate": _E2E_ORACLE,
+}

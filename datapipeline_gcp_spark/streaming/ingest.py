@@ -119,6 +119,38 @@ def flush_pending(
     return moved
 
 
+def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str] | None:
+    """The batch's input files straight from the FileStreamSource's own
+    checkpoint log (``sources/0/<batch>``) — the authoritative record of
+    what the batch READ. Deriving the archival set from output rows
+    instead silently skips any file whose rows were all dropped by a
+    stream transform (dedup under redelivery: the losing copy of every
+    event) or that was empty — those files would sit in landing forever.
+    Returns None if the log isn't readable (caller falls back to the
+    row-derived set). Handles compacted log files (entries carry a
+    batchId to filter on)."""
+    import json as _json
+
+    path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
+    if not os.path.exists(path):
+        path += ".compact"
+        if not os.path.exists(path):
+            return None
+    files: list[str] = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("v"):
+                continue
+            try:
+                entry = _json.loads(line)
+            except ValueError:
+                return None
+            if entry.get("batchId", batch_id) == batch_id:
+                files.append(entry["path"])
+    return files
+
+
 def _latest_committed_batch(checkpoint_dir: str) -> int | None:
     """Highest epoch id in the streaming checkpoint's commit log — the
     last batch whose commit is durable on disk. None if nothing has
@@ -174,6 +206,7 @@ def stream_landing_table(
     max_files_per_trigger: int = 100,
     available_now: bool = True,
     on_batch=None,
+    transform=None,
 ) -> IngestStream:
     """One (table, format) ingestion stream: landing glob → raw table
     append → record the batch's files for post-commit archival (see the
@@ -185,7 +218,14 @@ def stream_landing_table(
     ``on_batch(spark, batch_id)`` runs after each batch's append — the
     E3 "trigger downstream" hook (the reference POSTs the Airflow REST
     API to run the dependent DAG; here the dependent transform runs
-    in-process, e.g. refresh the master join for the new rows)."""
+    in-process, e.g. refresh the master join for the new rows).
+
+    ``transform(stream) -> stream`` splices a streaming transformation
+    between the file source and the sink — e.g.
+    ``streaming.dedup.streaming_ingest_dedup`` for exactly-once under
+    bus redelivery (the e2e ingest gate composes exactly that). The
+    transform must preserve the ``_src`` metadata column; stateful
+    operators are fine (their state rides the same checkpoint)."""
     path = f"{landing_dir}/{fmt}"
     stream_id = f"{table}_{fmt}"
     os.makedirs(path, exist_ok=True)
@@ -200,6 +240,8 @@ def stream_landing_table(
     else:
         stream = reader.option("header", True).csv(path)
     stream = stream.select("*", F.col("_metadata.file_path").alias("_src"))
+    if transform is not None:
+        stream = transform(stream)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         # archive predecessors first: their commits are durable, and the
@@ -208,7 +250,11 @@ def stream_landing_table(
         flush_pending(archive_dir, stream_id, upto_exclusive=batch_id)
         batch = batch.cache()
         try:
-            files = [r._src for r in batch.select("_src").distinct().collect()]
+            files = _source_log_files(checkpoint_dir, batch_id)
+            if files is None:  # log unreadable — fall back to output rows
+                files = [
+                    r._src for r in batch.select("_src").distinct().collect()
+                ]
             local_files = []
             for f in files:
                 # _metadata.file_path is a URI ("file:/x" or "file:///x")

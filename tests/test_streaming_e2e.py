@@ -1,0 +1,37 @@
+"""End-to-end ingest composition gate (streaming/e2e.py): router +
+watermark dedup + append + deferred archival in one run. The gate
+itself asserts archival completeness (it raises if landing files
+remain); these tests pin batch equivalence and idempotence across
+re-runs at smoke scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapipeline_gcp_spark.streaming.e2e import (
+    GATE_TABLE,
+    events_stream_e2e_ingest_gate,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_e2e_gate_matches_batch_distinct(spark):
+    out = events_stream_e2e_ingest_gate(spark, SF_SMOKE)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.count() == ev.count()  # every event once, none twice
+    got = {r["event_id"] for r in out.select("event_id").collect()}
+    want = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert got == want
+
+
+def test_e2e_gate_rerun_is_idempotent(spark):
+    """A second full run must rebuild the table from scratch (DROP at
+    entry), not append onto the previous run's rows."""
+    a = events_stream_e2e_ingest_gate(spark, SF_SMOKE).count()
+    b = events_stream_e2e_ingest_gate(spark, SF_SMOKE).count()
+    assert a == b
+    assert spark.table(GATE_TABLE).groupBy("event_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
