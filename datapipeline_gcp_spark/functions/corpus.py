@@ -1109,8 +1109,28 @@ def source_budget_enforce(
     n_tokens, target_tokens, n_docs_kept, tokens_kept, n_docs_dropped,
     tokens_dropped, fill_pct). A doc is kept iff its running total fits
     entirely (cum ≤ target) — integer comparison, engine-exact."""
-    mix = mixture_weights(df, budget).select("source", "weight")
-    bud = df.agg(F.sum("n_tokens").alias("ttotal")).select(
+    d = (
+        df.select("doc_id", "source", "n_tokens")
+        .withColumn("h", base_hash(F.col("doc_id").cast("string")))
+        .withColumn("bucket", F.col("h") % BUDGET_BUCKETS)
+    )
+    # ONE corpus aggregate to the (source, bucket) grid — metadata
+    # cardinality (sources × BUDGET_BUCKETS); checkpointed because the
+    # weights, the global budget, and the bucket offsets all derive
+    # from it (without this the plan re-scans and re-tokenizes the
+    # corpus once per consumer — measured 4 parquet scans)
+    bstats = (
+        d.groupBy("source", "bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .localCheckpoint()
+    )
+    # mixture weight depends only on each source's token TOTAL, so the
+    # pre-aggregated grid feeds it unchanged (weight is the only column
+    # consumed)
+    mix = mixture_weights(
+        bstats.select("source", F.col("btok").alias("n_tokens")), budget
+    ).select("source", "weight")
+    bud = bstats.agg(F.sum("btok").alias("ttotal")).select(
         F.floor(
             (F.col("ttotal") * 3).cast("double") / F.lit(5.0)
         )
@@ -1128,18 +1148,12 @@ def source_budget_enforce(
             .alias("target_tokens"),
         )
     )
-    d = (
-        df.select("doc_id", "source", "n_tokens")
-        .withColumn("h", base_hash(F.col("doc_id").cast("string")))
-        .withColumn("bucket", F.col("h") % BUDGET_BUCKETS)
-    )
-    bsub = d.groupBy("source", "bucket").agg(F.sum("n_tokens").alias("btok"))
     wb = (
         Window.partitionBy("source")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    boff = bsub.select(
+    boff = bstats.select(
         "source",
         "bucket",
         F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("offset"),

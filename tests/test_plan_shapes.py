@@ -228,6 +228,32 @@ def test_bloom_semijoin_broadcasts_and_never_shuffles_the_fact(spark):
     assert plan.count("Scan parquet") <= 2, plan
 
 
+def test_url_dedup_is_one_scan_one_aggregate(spark):
+    """The pre-content dedup stage must stay corpus-linear: pure column
+    expressions into a single hash aggregate — no join, one scan."""
+    plan = _plan(spark, "docs_url_dedup")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_source_budget_window_is_bucket_partitioned(spark):
+    """The budget cumsum's heavy window must partition by
+    (source, bucket) — BUDGET_BUCKETS× finer than source alone (the
+    skew story) — with all side tables broadcast (grid offsets,
+    targets, the 1-row budget scalar) and the final job scanning the
+    corpus exactly once (the grid is checkpointed at build time)."""
+    import re
+
+    plan = _plan(spark, "corpus_source_budget")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any(
+        "source" in s and "bucket" in s and "doc_id" in s for s in specs
+    ), specs
+
+
 def test_no_registered_query_plans_a_scale_antipattern(spark):
     """Registry-wide linter: NO registered query may plan a
     CartesianProduct (an unbroadcast big×big cross join — the one join
