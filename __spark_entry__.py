@@ -39,5 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted ⇒ rows-only check)."""
+    """DuckDB-runnable ANSI SQL per query. Complete since r5: every
+    registered query ships an oracle (sketch-backed ops emit their
+    accuracy contracts as deterministic data, so even they hash-check);
+    an omitted entry would fall back to the driver's rows-only check."""
     return registry.all_oracles()
