@@ -156,6 +156,16 @@ def main() -> None:
         "all_queries_seconds": round(sum(ok.values()), 3),
         "queries": timings,
     }
+    # carry forward the hand-recorded isolated re-timings (written by
+    # tools/time_query.py audits) — the shared-JVM tail numbers written
+    # here are order-sensitive and only interpretable next to them
+    try:
+        with open(DETAIL_PATH) as fh:
+            prev = json.load(fh)
+        if isinstance(prev, dict) and "isolated" in prev:
+            detail["isolated"] = prev["isolated"]
+    except (OSError, ValueError):
+        pass
     with open(DETAIL_PATH, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
