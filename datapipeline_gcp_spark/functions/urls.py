@@ -193,9 +193,136 @@ FROM raw
 GROUP BY 1
 """
 
+#: fixture doc_ids at/above this are planted mirror-site copies
+#: (``functions.dedup.neardup_fixture``) — their URLs get a distinct
+#: host, the way a real mirror lives on its own domain
+MIRROR_ID_FLOOR = 500_000
+
+
+def dedup_url_content_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged web-dedup cascade with per-source attrition accounting —
+    the order every real crawl pipeline runs: cheap URL-canonical dedup
+    FIRST (collapses re-crawls of the same page), exact content
+    fingerprint dedup SECOND (catches cross-host mirrors the URL stage
+    can't), near-dup (MinHash et al., registered separately) third.
+    The funnel report is what a data team reads to see where volume
+    goes: (source, n_raw, n_after_url, n_after_content, retained_pct).
+
+    Runs on the planted-duplicate fixture (``neardup_fixture``): mirror
+    copies (doc_id ≥ MIRROR_ID_FLOOR) get a ``<source>-mirror`` host,
+    so they survive the URL stage (different domain = different
+    canonical URL) and the exact-content stage must catch them — while
+    the near-variants (perturbed text) correctly survive BOTH stages,
+    pinning the boundary between exact and near dedup. Attribution uses
+    the fixture's original source column.
+
+    Scale: two content-cardinality hash aggregates (canonical_url,
+    fingerprint), two id-keyed survivor joins, then group-cardinality
+    report joins — corpus-linear, no windows, no pairwise work."""
+    from datapipeline_gcp_spark.functions.dedup import (
+        neardup_fixture,
+        normalized,
+    )
+
+    docs = neardup_fixture(spark, sf_dir)
+    host_src = F.when(
+        F.col("doc_id") >= MIRROR_ID_FLOOR,
+        F.concat(F.col("source"), F.lit("-mirror")),
+    ).otherwise(F.col("source"))
+    d = docs.select(
+        "doc_id", F.col("source").alias("src"), "text", host_src.alias("source")
+    )
+    canon = with_raw_url(d).withColumn(
+        "cu", canonicalize_url(F.col("raw_url"))
+    )
+    kept1 = canon.groupBy("cu").agg(F.min("doc_id").alias("doc_id"))
+    s1 = canon.select("doc_id", "src", "text").join(kept1, "doc_id")
+    kept2 = (
+        s1.select("doc_id", F.md5(normalized(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    s2 = s1.select("doc_id", "src").join(kept2.select("doc_id"), "doc_id")
+    from datapipeline_gcp_spark.determinism import qround
+
+    report = (
+        docs.groupBy(F.col("source").alias("src"))
+        .agg(F.count("*").alias("n_raw"))
+        .join(
+            s1.groupBy("src").agg(F.count("*").alias("n_after_url")),
+            "src",
+            "left",
+        )
+        .join(
+            s2.groupBy("src").agg(F.count("*").alias("n_after_content")),
+            "src",
+            "left",
+        )
+    )
+    return report.select(
+        F.col("src").alias("source"),
+        "n_raw",
+        F.coalesce(F.col("n_after_url"), F.lit(0)).alias("n_after_url"),
+        F.coalesce(F.col("n_after_content"), F.lit(0)).alias(
+            "n_after_content"
+        ),
+        qround(
+            F.coalesce(F.col("n_after_content"), F.lit(0)).cast("double")
+            / F.col("n_raw").cast("double"),
+            6,
+        ).alias("retained_pct"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from datapipeline_gcp_spark.determinism import sql_qround
+    from datapipeline_gcp_spark.functions.dedup import _D_NORM, _FIXTURE_SQL
+
+    return f"""
+WITH fixture AS ({_FIXTURE_SQL}),
+d AS (
+  SELECT doc_id, source AS src, text,
+         CASE WHEN doc_id >= {MIRROR_ID_FLOOR}
+              THEN source || '-mirror' ELSE source END AS source
+  FROM fixture
+),
+raw AS (
+  SELECT doc_id, src, text, {_RAW_URL} AS raw_url
+  FROM (SELECT *, CAST(doc_id % {PAGES_PER_SOURCE} AS VARCHAR) AS page FROM d)
+),
+canon AS (
+  SELECT doc_id, src, text, {_sql_canonicalize('raw_url')} AS cu FROM raw
+),
+kept1 AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY cu),
+s1 AS (SELECT c.doc_id, c.src, c.text FROM canon c JOIN kept1 USING (doc_id)),
+kept2 AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_D_NORM}) AS fp FROM s1) GROUP BY fp
+),
+s2 AS (SELECT s1.src FROM s1 JOIN kept2 USING (doc_id)),
+agg AS (
+  SELECT f.source AS src,
+         CAST(COUNT(*) AS BIGINT) AS n_raw
+  FROM fixture f GROUP BY 1
+),
+a1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_after_url FROM s1 GROUP BY 1),
+a2 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_after_content FROM s2 GROUP BY 1)
+SELECT agg.src AS source, n_raw,
+       CAST(COALESCE(n_after_url, 0) AS BIGINT) AS n_after_url,
+       CAST(COALESCE(n_after_content, 0) AS BIGINT) AS n_after_content,
+       {sql_qround(
+           'CAST(COALESCE(n_after_content, 0) AS DOUBLE)'
+           ' / CAST(n_raw AS DOUBLE)', 6
+       )} AS retained_pct
+FROM agg LEFT JOIN a1 USING (src) LEFT JOIN a2 USING (src)
+"""
+
+
 QUERIES = {
     "docs_url_dedup": docs_url_dedup,
+    "dedup_url_content_funnel": dedup_url_content_funnel,
 }
 ORACLES = {
     "docs_url_dedup": _URL_DEDUP_ORACLE,
+    "dedup_url_content_funnel": _funnel_oracle(),
 }

@@ -114,6 +114,7 @@ _DEFER: dict[str, int] = {
     "docs_url_dedup": 5,
     "corpus_source_budget": 6,
     "events_stream_e2e_ingest_gate": 7,
+    "dedup_url_content_funnel": 8,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

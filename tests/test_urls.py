@@ -92,6 +92,67 @@ def test_canonical_groups_match_page_grid(spark):
     assert grid <= n <= 2 * grid, (n, grid)
 
 
+def test_funnel_monotone_and_conserving(spark):
+    """Each stage can only shrink: n_raw >= n_after_url >=
+    n_after_content per source, with both stages showing real attrition
+    somewhere (the fixture plants same-page re-crawls for the URL stage
+    and cross-host exact mirrors for the content stage)."""
+    from datapipeline_gcp_spark.functions.urls import dedup_url_content_funnel
+
+    rows = dedup_url_content_funnel(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw"] >= r["n_after_url"] >= r["n_after_content"], r
+        assert 0.0 < r["retained_pct"] <= 1.0, r
+    assert sum(r["n_raw"] - r["n_after_url"] for r in rows) > 0
+    assert sum(r["n_after_url"] - r["n_after_content"] for r in rows) > 0
+
+
+def test_funnel_content_stage_drops_only_true_duplicates(spark):
+    """Recompute stage 2 driver-side: every content-stage drop must be
+    a document whose normalized text equals a surviving lower-id
+    document's — the exact stage may never delete unique content (the
+    near variants' perturbed text is unique, so wherever they survive
+    stage 1 they must survive stage 2)."""
+    from datapipeline_gcp_spark.functions.dedup import (
+        neardup_fixture,
+        normalized,
+    )
+    from datapipeline_gcp_spark.functions.urls import (
+        canonicalize_url,
+        dedup_url_content_funnel,
+        with_raw_url,
+    )
+
+    docs = neardup_fixture(spark, SF_CORRECTNESS)
+    host_src = F.when(
+        F.col("doc_id") >= 500_000, F.concat(F.col("source"), F.lit("-mirror"))
+    ).otherwise(F.col("source"))
+    canon = with_raw_url(
+        docs.select("doc_id", "text", host_src.alias("source"))
+    ).select(
+        "doc_id",
+        F.md5(normalized(F.col("text"))).alias("fp"),
+        canonicalize_url(F.col("raw_url")).alias("cu"),
+    )
+    rows = canon.collect()
+    url_min: dict[str, int] = {}
+    for r in rows:
+        url_min[r["cu"]] = min(url_min.get(r["cu"], r["doc_id"]), r["doc_id"])
+    s1 = [r for r in rows if url_min[r["cu"]] == r["doc_id"]]
+    fp_min: dict[str, int] = {}
+    for r in s1:
+        fp_min[r["fp"]] = min(fp_min.get(r["fp"], r["doc_id"]), r["doc_id"])
+    n_after_content = sum(1 for r in s1 if fp_min[r["fp"]] == r["doc_id"])
+    report = dedup_url_content_funnel(spark, SF_CORRECTNESS).collect()
+    assert sum(r["n_after_url"] for r in report) == len(s1)
+    assert sum(r["n_after_content"] for r in report) == n_after_content
+    # every stage-2 drop shares a fingerprint with a lower-id survivor
+    for r in s1:
+        if fp_min[r["fp"]] != r["doc_id"]:
+            assert fp_min[r["fp"]] < r["doc_id"]
+
+
 def test_keep_doc_id_is_group_min(spark):
     docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
     raw = with_raw_url(docs.select("doc_id", "source"))
