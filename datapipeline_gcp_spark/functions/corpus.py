@@ -1078,9 +1078,7 @@ FROM tot
 BUDGET_BUCKETS = 256
 
 
-def source_budget_enforce(
-    df: DataFrame, budget: int = MIX_BUDGET_TOKENS
-) -> DataFrame:
+def source_budget_enforce(df: DataFrame) -> DataFrame:
     """Token-count-aware budget enforcement per source: the overall
     budget — 60% of the corpus's total tokens, computed integer-exact
     so enforcement bites identically at every SF — is split by each
@@ -1128,7 +1126,7 @@ def source_budget_enforce(
     # pre-aggregated grid feeds it unchanged (weight is the only column
     # consumed)
     mix = mixture_weights(
-        bstats.select("source", F.col("btok").alias("n_tokens")), budget
+        bstats.select("source", F.col("btok").alias("n_tokens"))
     ).select("source", "weight")
     bud = bstats.agg(F.sum("btok").alias("ttotal")).select(
         F.floor(
@@ -1180,7 +1178,10 @@ def source_budget_enforce(
         F.sum(F.col("n_tokens") * (1 - kept_l)).alias("tokens_dropped"),
         qround(
             F.sum(F.col("n_tokens") * kept_l).cast("double")
-            / F.max("target_tokens").cast("double"),
+            # greatest(...,1): a target that floors to 0 admits nothing,
+            # so fill is exactly 0.0 — without the guard Spark emits
+            # NULL where DuckDB emits NaN (engine-artifact hash split)
+            / F.greatest(F.max("target_tokens"), F.lit(1)).cast("double"),
             6,
         ).alias("fill_pct"),
     )
@@ -1233,7 +1234,7 @@ SELECT source,
        CAST(SUM(CASE WHEN kept THEN 0 ELSE n_tokens END) AS BIGINT) AS tokens_dropped,
        {sql_qround(
            'CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS DOUBLE)'
-           ' / CAST(MAX(target_tokens) AS DOUBLE)', 6
+           ' / CAST(greatest(MAX(target_tokens), 1) AS DOUBLE)', 6
        )} AS fill_pct
 FROM flagged
 GROUP BY source

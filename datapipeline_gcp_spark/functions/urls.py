@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.functions.dedup import P, base_hash
+from datapipeline_gcp_spark.functions.dedup import _D_BH, base_hash
 from datapipeline_gcp_spark.schemas import load_testdata
 
 #: canonical pages per source — several documents map to one page, so
@@ -166,9 +166,10 @@ def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_report(with_raw_url(docs.select("doc_id", "source")))
 
 
-_BH = "(CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT) % " + str(P) + ")"
+# _D_BH: the single-sourced md5 base-hash SQL twin of base_hash — a
+# local copy could drift from the Spark side independently
 _RAW_URL = f"""
-CASE ({_BH.format(s="concat('url_', CAST(doc_id AS VARCHAR))")} % {N_VARIANTS})
+CASE ({_D_BH.format(s="concat('url_', CAST(doc_id AS VARCHAR))")} % {N_VARIANTS})
   WHEN 0 THEN 'https://' || source || '.example.com/p/' || page
   WHEN 1 THEN 'https://WWW.' || upper(source) || '.EXAMPLE.COM/p/' || page
   WHEN 2 THEN 'https://' || source || '.example.com:443/p/' || page || '/'

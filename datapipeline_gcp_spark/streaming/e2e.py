@@ -78,11 +78,10 @@ def events_stream_e2e_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     spark.sql(f"DROP TABLE IF EXISTS {GATE_TABLE}")
     # a crashed earlier run can leave the managed location behind after
     # the catalog entry is gone — saveAsTable then refuses the name
+    from datapipeline_gcp_spark.streaming.ingest import _local_path
+
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_local = wh.split(":", 1)[1] if wh.startswith("file:") else wh
-    while wh_local.startswith("//"):
-        wh_local = wh_local[1:]
-    shutil.rmtree(os.path.join(wh_local, GATE_TABLE), ignore_errors=True)
+    shutil.rmtree(os.path.join(_local_path(wh), GATE_TABLE), ignore_errors=True)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         parts = {

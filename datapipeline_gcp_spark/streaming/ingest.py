@@ -137,18 +137,31 @@ def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str] | None:
         if not os.path.exists(path):
             return None
     files: list[str] = []
-    with open(path) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line.startswith("v"):
-                continue
-            try:
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
                 entry = _json.loads(line)
-            except ValueError:
-                return None
-            if entry.get("batchId", batch_id) == batch_id:
-                files.append(entry["path"])
+                if entry.get("batchId", batch_id) == batch_id:
+                    files.append(entry["path"])
+    except (OSError, ValueError, KeyError, AttributeError, TypeError):
+        # any format drift (non-JSON line, non-dict entry, missing
+        # "path") means the log can't be trusted — fall back rather
+        # than failing the whole streaming query inside foreachBatch
+        return None
     return files
+
+
+def _local_path(uri: str) -> str:
+    """file-URI → local path ('file:/x' and 'file:///x' both → '/x');
+    shared by the archival record and the e2e gate's warehouse cleanup
+    so the normalization quirk lives in one place."""
+    local = uri.split(":", 1)[1] if uri.startswith("file:") else uri
+    while local.startswith("//"):
+        local = local[1:]
+    return local
 
 
 def _latest_committed_batch(checkpoint_dir: str) -> int | None:
@@ -255,13 +268,7 @@ def stream_landing_table(
                 files = [
                     r._src for r in batch.select("_src").distinct().collect()
                 ]
-            local_files = []
-            for f in files:
-                # _metadata.file_path is a URI ("file:/x" or "file:///x")
-                local = f.split(":", 1)[1] if f.startswith("file:") else f
-                while local.startswith("//"):
-                    local = local[1:]
-                local_files.append(local)
+            local_files = [_local_path(f) for f in files]
             sinks.append_table(batch.drop("_src"), target_table)
             _record_pending(local_files, archive_dir, stream_id, batch_id)
             # foreachBatch runs in a cloned session: its append invalidates

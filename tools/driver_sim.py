@@ -91,7 +91,7 @@ def main():
     # membership comes from the oracle dict, not from successful
     # execution: an oracle-less query that raises must not be deducted
     # from the value-hash count as if it had one (ADVICE r4)
-    rows_only: list[str] = [n for n in sorted(qs) if n not in os_]
+    oracle_less = [n for n in sorted(qs) if n not in os_]
     failures: list[str] = []
     for name in sorted(qs):
         t0 = time.time()
@@ -138,7 +138,10 @@ def main():
                     "entry_smoke_rows": n,
                     "queries_total": len(qs),
                     "value_hash_matches": matches,
-                    "rows_only": rows_only,
+                    # a crashed oracle-less query belongs in failures,
+                    # not rows_only — listing it there would claim the
+                    # weaker check completed when it never ran
+                    "rows_only": [n for n in oracle_less if n not in failures],
                     "failures": failures,
                 },
                 fh,
