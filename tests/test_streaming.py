@@ -362,3 +362,41 @@ def test_stream_dedup_gate_exactly_once_under_redelivery(spark):
     assert len(got) == len(want)
     assert len(got) == got["event_id"].nunique()  # no duplicate survived
     assert set(got["event_id"]) == set(want["event_id"])
+
+
+def test_source_log_files_parses_and_falls_back(tmp_path):
+    """The archival record's authoritative source: parse the
+    FileStreamSource log (v1 header + JSON lines, batchId filter for
+    compacted files), and return None - the row-derived fallback - on
+    ANY format drift rather than failing the query inside foreachBatch."""
+    from datapipeline_gcp_spark.streaming.ingest import _source_log_files
+
+    d = tmp_path / "ckpt" / "sources" / "0"
+    d.mkdir(parents=True)
+    (d / "3").write_text(
+        'v1\n{"path":"file:///a.csv","timestamp":1,"batchId":3}\n'
+        '{"path":"file:/b.csv","timestamp":2,"batchId":3}\n'
+    )
+    assert _source_log_files(str(tmp_path / "ckpt"), 3) == [
+        "file:///a.csv", "file:/b.csv",
+    ]
+    # compacted file: only the requested batch's entries
+    (d / "10.compact").write_text(
+        'v1\n{"path":"file:///old.csv","batchId":4}\n'
+        '{"path":"file:///new.csv","batchId":10}\n'
+    )
+    assert _source_log_files(str(tmp_path / "ckpt"), 10) == ["file:///new.csv"]
+    # missing log
+    assert _source_log_files(str(tmp_path / "ckpt"), 99) is None
+    # format drift: not JSON / not a dict / missing "path"
+    for bad in ("not json\n", "[1,2]\n", '{"timestamp":1,"batchId":7}\n'):
+        (d / "7").write_text("v1\n" + bad)
+        assert _source_log_files(str(tmp_path / "ckpt"), 7) is None
+
+
+def test_local_path_uri_forms():
+    from datapipeline_gcp_spark.streaming.ingest import _local_path
+
+    assert _local_path("file:/x/y.csv") == "/x/y.csv"
+    assert _local_path("file:///x/y.csv") == "/x/y.csv"
+    assert _local_path("/x/y.csv") == "/x/y.csv"
