@@ -103,8 +103,9 @@ def main() -> None:
     # INSIDE the loop so a flaky second run can't discard a successful
     # first timing (ADVICE r2).
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    def time_block(names: list[str]) -> None:
+    def time_block(names: list[str], runs: int = 2) -> None:
         for i, name in enumerate(names):
             # Re-settle the heap every ~25 queries: the shared JVM
             # accumulates codegen classes and shuffle buffers as the
@@ -114,11 +115,13 @@ def main() -> None:
             if i and i % 25 == 0:
                 gc_settle()
             best = -1.0
-            for _ in range(2):
+            samples[name] = []
+            for _ in range(runs):
                 try:
                     t0 = time.time()
                     materialize(queries[name](spark, SF_DIR))
                     took = round(time.time() - t0, 3)
+                    samples[name].append(took)
                     best = took if best < 0 else min(best, took)
                 except Exception as ex:  # a failing run must not kill the bench
                     print(f"bench: {name} failed: {ex}", file=sys.stderr)
@@ -130,9 +133,14 @@ def main() -> None:
     # headline and early-tail timings round-over-round even when their
     # modules are untouched. The tail is warmed only after the headline
     # numbers are in the bank.
+    # Min of THREE headline samples (the tail keeps two): r5's driver
+    # headline moved +8.6% on unchanged code and a single min-of-2
+    # leaves the ±10% freeze contract unfalsifiable — the artifact now
+    # records every headline sample plus a best/worst spread so a real
+    # regression is separable from host variance (VERDICT r5 #3).
     warmup_seconds = warm(headline_names)
     gc_settle()
-    time_block(headline_names)
+    time_block(headline_names, runs=3)
     warmup_seconds = round(warmup_seconds + warm(tail_names), 3)
     gc_settle()
     time_block(tail_names)
@@ -155,6 +163,17 @@ def main() -> None:
         "warmup_seconds": warmup_seconds,
         "all_queries_seconds": round(sum(ok.values()), 3),
         "queries": timings,
+        # variance evidence for the headline freeze: all raw samples
+        # plus the best-case/worst-case sums — if even the sum of WORST
+        # samples sits inside the contract, a drifted driver number is
+        # host variance, not a code regression
+        "headline_samples": {n: samples.get(n, []) for n in headline_names},
+        "headline_sum_best": round(
+            sum(min(s) for n in headline_names if (s := samples.get(n))), 3
+        ),
+        "headline_sum_worst": round(
+            sum(max(s) for n in headline_names if (s := samples.get(n))), 3
+        ),
     }
     # carry forward the hand-recorded isolated re-timings (written by
     # tools/time_query.py audits) — the shared-JVM tail numbers written

@@ -83,16 +83,10 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # r5: both sketch twins were re-shaped to emit their accuracy
-    # contract as deterministic data (day/group + within-bound flags vs
-    # the exact twin computed in the same job) so they carry real
-    # DuckDB oracles (VERDICT r4 next-steps #1). The HLL twin's r4
-    # artifact row was a `no_oracle` visit (counted checked-not-red
-    # below), so the pin is what fronts the reshaped code for proof.
-    "events_active_users_hll": 5,
-    "events_percentiles_approx": 5,
-    # (r2-r4 pins pruned: all five were re-proven green in r4 —
-    # CORRECTNESS_r04.json — making them inert; VERDICT r4 hygiene #3.)
+    # (r5 pins pruned: both reshaped sketch twins were proven green in
+    # r5 — CORRECTNESS_r05.json — making them inert; earlier rounds'
+    # pins pruned the same way. An empty dict means every green row
+    # covers the code as shipped.)
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
@@ -104,17 +98,16 @@ _RECHECK: dict[str, int] = {
 #: the window sooner) — module declaration order is the wrong tie-break
 #: for a hand-prioritized queue.
 _DEFER: dict[str, int] = {
-    "events_active_users_hll": 0,  # VERDICT r3 #6 asks for this proof
-    "customers_rfm_segments_cuts": 1,  # the other r3 #6 variant
-    "orders_bloom_semijoin": 2,
-    "events_percentiles_approx": 3,
-    "events_stream_dedup_gate": 4,
-    # r5 registrations (VERDICT r4 next-steps #6): queue behind the r4
-    # deferrals so those drain first.
-    "docs_url_dedup": 5,
-    "corpus_source_budget": 6,
-    "events_stream_e2e_ingest_gate": 7,
-    "dedup_url_content_funnel": 8,
+    # (r3-r5 entries pruned: all nine carried green rows by r5 —
+    # CORRECTNESS_r04/r05.json — making them inert.)
+    # r6 registrations (VERDICT r5 next-steps #2/#4/#6). They rank
+    # AHEAD of the 21 r2-stale greens the r6 window must also reach
+    # (21 stale + a ~25-query r3 tier fit the ~50-slot window with
+    # these four in front).
+    "events_stream_crossrun_redelivery_gate": 0,  # r5 verdict #2
+    "orders_partition_pruned_join": 1,  # r5 verdict #4 (DPP proof)
+    "dedup_clusters_incremental": 2,  # r5 verdict #6a
+    "multimodal_stream_ingest_gate": 3,  # r5 verdict #6b
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
@@ -175,7 +168,10 @@ def correctness_history(root: str = _REPO_ROOT) -> tuple[dict[str, int], set[str
             # Recording it green parks it in the latest-green tier;
             # a _RECHECK pin re-fronts it if its code is later made
             # provable.
-            if row.get("err") == "no_oracle":
+            # ... but only when the row carries no real verdict: an
+            # artifact that somehow recorded BOTH a mismatch and the
+            # no_oracle err must stay red, not be laundered green.
+            if row.get("err") == "no_oracle" and row.get("rows_match") is None:
                 green = True
             if green:
                 last_green[name] = max(last_green.get(name, 0), rnd)

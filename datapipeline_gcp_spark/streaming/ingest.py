@@ -144,7 +144,14 @@ def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str] | None:
                 if not line or line.startswith("v"):
                     continue
                 entry = _json.loads(line)
-                if entry.get("batchId", batch_id) == batch_id:
+                # Spark's FileStreamSourceLog always serializes a
+                # batchId per entry; one without it is format drift,
+                # and defaulting it to the CURRENT batch would claim
+                # other batches' files from a compacted log as pending
+                # for archival before their own commits are durable.
+                if "batchId" not in entry:
+                    return None
+                if entry["batchId"] == batch_id:
                     files.append(entry["path"])
     except (OSError, ValueError, KeyError, AttributeError, TypeError):
         # any format drift (non-JSON line, non-dict entry, missing

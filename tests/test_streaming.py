@@ -388,8 +388,15 @@ def test_source_log_files_parses_and_falls_back(tmp_path):
     assert _source_log_files(str(tmp_path / "ckpt"), 10) == ["file:///new.csv"]
     # missing log
     assert _source_log_files(str(tmp_path / "ckpt"), 99) is None
-    # format drift: not JSON / not a dict / missing "path"
-    for bad in ("not json\n", "[1,2]\n", '{"timestamp":1,"batchId":7}\n'):
+    # format drift: not JSON / not a dict / missing "path" / missing
+    # "batchId" (defaulting the latter to the current batch would claim
+    # other batches' compacted-log files as pending for archival)
+    for bad in (
+        "not json\n",
+        "[1,2]\n",
+        '{"timestamp":1,"batchId":7}\n',
+        '{"path":"file:///x.csv","timestamp":1}\n',
+    ):
         (d / "7").write_text("v1\n" + bad)
         assert _source_log_files(str(tmp_path / "ckpt"), 7) is None
 

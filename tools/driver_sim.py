@@ -7,8 +7,7 @@ comparison (floats via repr — the engine guarantees bitwise determinism).
 Usage:  cd /tmp && python /root/repo/tools/driver_sim.py
         SIM_SF=/root/testdata/sf0.1 python tools/driver_sim.py
 Run from OUTSIDE the repo dir to catch worker-import/pickling issues.
-Exit code 0 iff everything matches. This is the project verify harness
-(see .claude/skills/verify/SKILL.md).
+Exit code 0 iff everything matches. This is the project verify harness.
 """
 
 import datetime as dt
