@@ -119,23 +119,53 @@ def flush_pending(
     return moved
 
 
-def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str] | None:
-    """The batch's input files straight from the FileStreamSource's own
-    checkpoint log (``sources/0/<batch>``) — the authoritative record of
-    what the batch READ. Deriving the archival set from output rows
-    instead silently skips any file whose rows were all dropped by a
-    stream transform (dedup under redelivery: the losing copy of every
-    event) or that was empty — those files would sit in landing forever.
-    Returns None if the log isn't readable (caller falls back to the
-    row-derived set). Handles compacted log files (entries carry a
-    batchId to filter on)."""
+def _read_log_offset(checkpoint_dir: str, batch_id: int) -> int | None:
+    """The FileStreamSource ``logOffset`` the offset log recorded for
+    query batch *batch_id* (``offsets/<batch>``: a ``v1`` header, one
+    metadata JSON line, then one offset line per source). None on any
+    format drift — single-file-source checkpoints only (this engine
+    runs one stream per (table, fmt) route)."""
     import json as _json
 
-    path = os.path.join(checkpoint_dir, "sources", "0", str(batch_id))
-    if not os.path.exists(path):
-        path += ".compact"
-        if not os.path.exists(path):
+    path = os.path.join(checkpoint_dir, "offsets", str(batch_id))
+    try:
+        with open(path) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        if len(lines) != 3 or not lines[0].startswith("v"):
             return None
+        off = _json.loads(lines[2])
+        logoff = off["logOffset"]
+        return logoff if isinstance(logoff, int) else None
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _read_source_log_entries(
+    checkpoint_dir: str, source_batch: int
+) -> list[str] | None:
+    """The file paths the FileStreamSource logged under its OWN batch id
+    *source_batch* (``sources/0/<id>``, or a later ``<id>.compact`` that
+    folded it in — compacted entries carry a batchId to filter on).
+    None if the entry can't be located or parsed."""
+    import json as _json
+
+    sdir = os.path.join(checkpoint_dir, "sources", "0")
+    path = os.path.join(sdir, str(source_batch))
+    if not os.path.exists(path):
+        # the plain file may have been folded into a compact: use the
+        # OLDEST compact at-or-after it (later compacts contain it too)
+        try:
+            compacts = sorted(
+                int(f[: -len(".compact")])
+                for f in os.listdir(sdir)
+                if f.endswith(".compact") and f[: -len(".compact")].isdigit()
+            )
+        except OSError:
+            return None
+        candidates = [c for c in compacts if c >= source_batch]
+        if not candidates:
+            return None
+        path = os.path.join(sdir, f"{candidates[0]}.compact")
     files: list[str] = []
     try:
         with open(path) as fh:
@@ -146,18 +176,52 @@ def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str] | None:
                 entry = _json.loads(line)
                 # Spark's FileStreamSourceLog always serializes a
                 # batchId per entry; one without it is format drift,
-                # and defaulting it to the CURRENT batch would claim
-                # other batches' files from a compacted log as pending
-                # for archival before their own commits are durable.
+                # and guessing would let a compacted log attribute
+                # other batches' files to this one.
                 if "batchId" not in entry:
                     return None
-                if entry["batchId"] == batch_id:
+                if entry["batchId"] == source_batch:
                     files.append(entry["path"])
     except (OSError, ValueError, KeyError, AttributeError, TypeError):
-        # any format drift (non-JSON line, non-dict entry, missing
-        # "path") means the log can't be trusted — fall back rather
-        # than failing the whole streaming query inside foreachBatch
         return None
+    return files
+
+
+def _source_log_files(checkpoint_dir: str, batch_id: int) -> list[str] | None:
+    """The batch's input files straight from the FileStreamSource's own
+    checkpoint logs — the authoritative record of what the batch READ.
+    Deriving the archival set from output rows instead silently skips
+    any file whose rows were all dropped by a stream transform (dedup
+    under redelivery: the losing copy of every event) or that was empty
+    — those files would sit in landing forever.
+
+    The query's batch id is NOT the source log's: a stateful query runs
+    no-new-data batches (watermark advancement), and across restarts the
+    two counters drift apart permanently (run 1: data batch 0 + empty
+    batch 1; run 2's first data batch is query batch 2 but source-log
+    batch 1 — the cross-run redelivery gate's exact seam, where the old
+    ``sources/0/<query batch>`` lookup found nothing and stranded the
+    redelivered files in landing). The mapping goes through the offset
+    log: query batch N read source-log entries in
+    ``(logOffset(N-1), logOffset(N)]``.
+
+    Returns None if any log involved isn't readable (caller falls back
+    to the row-derived set)."""
+    cur = _read_log_offset(checkpoint_dir, batch_id)
+    if cur is None:
+        return None
+    if batch_id == 0:
+        prev = -1
+    else:
+        prev = _read_log_offset(checkpoint_dir, batch_id - 1)
+        if prev is None:  # offset-log retention purged the predecessor
+            return None
+    files: list[str] = []
+    for source_batch in range(prev + 1, cur + 1):
+        entries = _read_source_log_entries(checkpoint_dir, source_batch)
+        if entries is None:
+            return None
+        files.extend(entries)
     return files
 
 

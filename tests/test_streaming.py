@@ -365,32 +365,61 @@ def test_stream_dedup_gate_exactly_once_under_redelivery(spark):
 
 
 def test_source_log_files_parses_and_falls_back(tmp_path):
-    """The archival record's authoritative source: parse the
-    FileStreamSource log (v1 header + JSON lines, batchId filter for
+    """The archival record's authoritative source: map the query batch
+    to its FileStreamSource log-offset range through ``offsets/``, parse
+    the source log files (v1 header + JSON lines, batchId filter for
     compacted files), and return None - the row-derived fallback - on
     ANY format drift rather than failing the query inside foreachBatch."""
     from datapipeline_gcp_spark.streaming.ingest import _source_log_files
 
-    d = tmp_path / "ckpt" / "sources" / "0"
+    ckpt = tmp_path / "ckpt"
+    d = ckpt / "sources" / "0"
+    o = ckpt / "offsets"
     d.mkdir(parents=True)
-    (d / "3").write_text(
-        'v1\n{"path":"file:///a.csv","timestamp":1,"batchId":3}\n'
-        '{"path":"file:/b.csv","timestamp":2,"batchId":3}\n'
+    o.mkdir(parents=True)
+    meta = '{"batchWatermarkMs":0,"batchTimestampMs":1}\n'
+
+    def offset(batch: int, log_offset: int) -> None:
+        (o / str(batch)).write_text(f"v1\n{meta}{{\"logOffset\":{log_offset}}}\n")
+
+    # plain case: query batch == source batch
+    offset(0, 0)
+    (d / "0").write_text(
+        'v1\n{"path":"file:///a.csv","timestamp":1,"batchId":0}\n'
+        '{"path":"file:/b.csv","timestamp":2,"batchId":0}\n'
     )
-    assert _source_log_files(str(tmp_path / "ckpt"), 3) == [
-        "file:///a.csv", "file:/b.csv",
-    ]
-    # compacted file: only the requested batch's entries
+    assert _source_log_files(str(ckpt), 0) == ["file:///a.csv", "file:/b.csv"]
+
+    # the cross-run drift seam: an empty watermark-advance batch (1)
+    # does not move the source offset, so query batch 2's files live
+    # under SOURCE batch 1 — the old <query batch> lookup found nothing
+    # and stranded redelivered files in landing
+    offset(1, 0)
+    offset(2, 1)
+    (d / "1").write_text('v1\n{"path":"file:///redelivered.csv","batchId":1}\n')
+    assert _source_log_files(str(ckpt), 1) == []  # no new files
+    assert _source_log_files(str(ckpt), 2) == ["file:///redelivered.csv"]
+
+    # compacted source log: only the requested source batch's entries,
+    # resolved from the oldest compact at-or-after it
+    offset(9, 9)
+    offset(10, 10)
     (d / "10.compact").write_text(
         'v1\n{"path":"file:///old.csv","batchId":4}\n'
         '{"path":"file:///new.csv","batchId":10}\n'
     )
-    assert _source_log_files(str(tmp_path / "ckpt"), 10) == ["file:///new.csv"]
-    # missing log
-    assert _source_log_files(str(tmp_path / "ckpt"), 99) is None
-    # format drift: not JSON / not a dict / missing "path" / missing
-    # "batchId" (defaulting the latter to the current batch would claim
+    assert _source_log_files(str(ckpt), 10) == ["file:///new.csv"]
+
+    # missing offsets entry for the batch or its predecessor
+    assert _source_log_files(str(ckpt), 99) is None
+    offset(50, 20)
+    assert _source_log_files(str(ckpt), 50) is None  # no offsets/49
+
+    # format drift in the source log: not JSON / not a dict / missing
+    # "path" / missing "batchId" (defaulting the latter would claim
     # other batches' compacted-log files as pending for archival)
+    offset(6, 6)
+    offset(7, 7)
     for bad in (
         "not json\n",
         "[1,2]\n",
@@ -398,7 +427,11 @@ def test_source_log_files_parses_and_falls_back(tmp_path):
         '{"path":"file:///x.csv","timestamp":1}\n',
     ):
         (d / "7").write_text("v1\n" + bad)
-        assert _source_log_files(str(tmp_path / "ckpt"), 7) is None
+        assert _source_log_files(str(ckpt), 7) is None
+
+    # format drift in the offset log itself
+    (o / "8").write_text("v1\n" + meta + '{"weird":true}\n')
+    assert _source_log_files(str(ckpt), 8) is None
 
 
 def test_local_path_uri_forms():

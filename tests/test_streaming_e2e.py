@@ -10,7 +10,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.streaming.e2e import (
+    CROSSRUN_TABLE,
     GATE_TABLE,
+    events_stream_crossrun_redelivery_gate,
     events_stream_e2e_ingest_gate,
 )
 
@@ -33,5 +35,23 @@ def test_e2e_gate_rerun_is_idempotent(spark):
     b = events_stream_e2e_ingest_gate(spark, SF_SMOKE).count()
     assert a == b
     assert spark.table(GATE_TABLE).groupBy("event_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_crossrun_gate_matches_batch_distinct(spark):
+    """Cross-run redelivery (VERDICT r5 #2): a second availableNow run
+    on the same checkpoint redelivers two whole landing files — the
+    table must still equal batch DISTINCT (no dup leak through the
+    restored state/watermark, no loss) and the gate itself asserts both
+    runs' files archived (it raises otherwise — the seam where archival
+    must come from the source log, not surviving rows)."""
+    out = events_stream_crossrun_redelivery_gate(spark, SF_SMOKE)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert out.count() == ev.count()
+    got = {r["event_id"] for r in out.select("event_id").collect()}
+    want = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert got == want
+    assert spark.table(CROSSRUN_TABLE).groupBy("event_id").count().filter(
         F.col("count") > 1
     ).count() == 0
