@@ -254,6 +254,19 @@ def test_source_budget_window_is_bucket_partitioned(spark):
     ), specs
 
 
+def test_partition_pruned_join_plans_dpp(spark):
+    """The date-partitioned-layer story (VERDICT r5 #4): joining the
+    year-partitioned fact to the runtime-filtered hot-years dimension
+    must inject a DynamicPruningExpression into the fact scan's
+    PartitionFilters — the fact side reads only qualifying partitions —
+    and the dimension must broadcast (DPP rides the reused broadcast
+    exchange, costing zero extra jobs)."""
+    plan = _plan(spark, "orders_partition_pruned_join")
+    scan = plan[plan.find("PartitionFilters") :]
+    assert "dynamicpruning" in scan[: scan.find("]")], plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_no_registered_query_plans_a_scale_antipattern(spark):
     """Registry-wide linter: NO registered query may plan a
     CartesianProduct (an unbroadcast big×big cross join — the one join
