@@ -281,6 +281,34 @@ def test_connected_components_raises_on_max_iter(spark):
         clusters.connected_components(edges, max_iter=1)
 
 
+def test_incremental_components_merges_and_matches_full_cc(spark):
+    from datapipeline_gcp_spark.functions import clusters
+
+    # yesterday: components {1,2,3} and {10,11,12}; {40,41}
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (40, 41)], ["doc_a", "doc_b"]
+    )
+    comp_old = clusters.connected_components(old_edges)
+    # today: 100 joins component 10's LEAF (12); (3, 11) BRIDGES the two
+    # big old components through non-root nodes; 50-51 is a brand-new
+    # standalone pair; {40,41} is untouched
+    new_edges = spark.createDataFrame(
+        [(12, 100), (3, 11), (50, 51)], ["doc_a", "doc_b"]
+    )
+    inc = clusters.incremental_components(comp_old, new_edges).toPandas()
+    comp = dict(zip(inc.node, inc.component))
+    # merged component takes the global min label across BOTH old stars
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == comp[100] == 1
+    assert comp[50] == comp[51] == 50
+    assert comp[40] == comp[41] == 40
+    # star-contraction shortcut == full CC over the accumulated edges
+    full = clusters.connected_components(
+        old_edges.unionAll(new_edges)
+    ).toPandas()
+    assert dict(zip(full.node, full.component)) == comp
+
+
 def test_cluster_summary_elects_minimum_and_sizes(spark):
     from datapipeline_gcp_spark.functions import clusters
 
