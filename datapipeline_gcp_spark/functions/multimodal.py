@@ -460,6 +460,50 @@ AHASH_SCHEMA = T.StructType(
 )
 
 
+def ahash_stage(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """The aHash map stage shared by batch phash dedup and the streaming
+    multimodal ingest gate: ``(asset_id, payload, *passthrough)`` →
+    ``(asset_id, *passthrough, ahash)`` via Arrow-batched mapInPandas.
+    Bit *i* of the 16-bit hash is set iff ``resized[i] > mean(resized)``
+    over the ``RESIZE_TARGET``-byte downsample; payloads shorter than
+    the target emit NO row (nothing to hash).
+
+    This is THE payload boundary: downstream of this stage only 8-byte
+    hashes (plus the named passthrough columns) exist, so no shuffle —
+    batch aggregation or streaming dedup state — ever moves image
+    bytes. Works unchanged on a streaming DataFrame (mapInPandas is
+    stream-capable), which is how the ingest gate composes it."""
+    fields = [T.StructField("asset_id", T.LongType())]
+    fields += [df.schema[c] for c in passthrough]
+    fields += [T.StructField("ahash", T.LongType())]
+    out_schema = T.StructType(fields)
+    cols = list(passthrough)
+    target = RESIZE_TARGET
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                b = bytes(pdf["payload"].iloc[idx])
+                n = len(b)
+                if n < target:
+                    continue
+                out = [b[(i * n) // target] for i in range(target)]
+                mean = sum(out) / target
+                h = 0
+                for i, v in enumerate(out):
+                    if v > mean:
+                        h |= 1 << i
+                rows.append(
+                    (int(pdf["asset_id"].iloc[idx]),)
+                    + tuple(pdf[c].iloc[idx] for c in cols)
+                    + (h,)
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", *cols, "ahash"])
+
+    return df.mapInPandas(worker, out_schema)
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash dedup for the image path: average-hash (aHash)
     over the ``RESIZE_TARGET``-byte downsample — bit *i* set iff
@@ -482,27 +526,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", F.col("asset_id") + 3_000_000
     )
     allv = assets.unionAll(planted).select("asset_id", "payload")
-
-    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                b = bytes(payload)
-                n = len(b)
-                if n < RESIZE_TARGET:
-                    continue
-                out = [
-                    b[(i * n) // RESIZE_TARGET] for i in range(RESIZE_TARGET)
-                ]
-                mean = sum(out) / RESIZE_TARGET
-                h = 0
-                for i, v in enumerate(out):
-                    if v > mean:
-                        h |= 1 << i
-                rows.append((int(aid), h))
-            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
-
-    hashed = allv.mapInPandas(worker, AHASH_SCHEMA)
+    hashed = ahash_stage(allv)
     groups = hashed.groupBy("ahash").agg(
         F.count("*").alias("n_same"),
         F.min("asset_id").alias("keep_id"),
