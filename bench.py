@@ -168,11 +168,20 @@ def main() -> None:
         # samples sits inside the contract, a drifted driver number is
         # host variance, not a code regression
         "headline_samples": {n: samples.get(n, []) for n in headline_names},
-        "headline_sum_best": round(
-            sum(min(s) for n in headline_names if (s := samples.get(n))), 3
+        # ADVICE r6: a headline query whose every run failed has an
+        # empty samples list — best/worst sums silently omitting it
+        # could sit inside the ±10% freeze while covering only 9
+        # queries. Null the sums out in that case; the 'failed' list
+        # names the culprits.
+        "headline_sum_best": (
+            round(sum(min(samples[n]) for n in headline_names), 3)
+            if all(samples.get(n) for n in headline_names)
+            else None
         ),
-        "headline_sum_worst": round(
-            sum(max(s) for n in headline_names if (s := samples.get(n))), 3
+        "headline_sum_worst": (
+            round(sum(max(samples[n]) for n in headline_names), 3)
+            if all(samples.get(n) for n in headline_names)
+            else None
         ),
     }
     # carry forward the hand-recorded isolated re-timings (written by

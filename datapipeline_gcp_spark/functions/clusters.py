@@ -200,6 +200,23 @@ def incremental_components(
 _NEW_ID_FLOOR = 2_000_000
 
 
+def assert_below_id_floor(docs: DataFrame) -> None:
+    """The +500k/+1M corpus planting and the +2M/+3M/+4M batch planting
+    assume base ``doc_id`` stays a full corpus-planting span below
+    ``_NEW_ID_FLOOR`` (ADVICE r6: the shipped testdata tops out at
+    doc_id 4999, but a larger fixture must fail LOUDLY here instead of
+    silently misclassifying edges into the wrong old/new set). One
+    metadata-scale max-aggregate over a single pruned column."""
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0][0] or 0
+    if max_id + 1_000_000 >= _NEW_ID_FLOOR:
+        raise AssertionError(
+            f"documents doc_id max {max_id} leaves the +1M corpus "
+            f"planting at or above the {_NEW_ID_FLOOR} id floor — the "
+            "old/new edge split would misclassify; raise the floor and "
+            "the planted offsets together"
+        )
+
+
 def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest clustering composed end to end: yesterday's
     component map (here derived from the near-dup corpus so the query
@@ -217,6 +234,9 @@ def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (their contraction is the persisted map) and the batch pass is
     :func:`dedup.probe_lsh_index` + a within-batch self-pair — this
     query pays the corpus side only to DERIVE yesterday's map."""
+    assert_below_id_floor(
+        load_testdata(spark, sf_dir, ("documents",))["documents"]
+    )
     existing = dedup.neardup_fixture(spark, sf_dir)
     new = _incremental_batch(spark, sf_dir)
     pairs = (

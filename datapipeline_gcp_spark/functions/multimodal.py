@@ -539,8 +539,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_ORACLE = f"""
-WITH assets AS (
+# The assets→allv→resized→hashed CTE chain is shared between the batch
+# dedup oracle and the streaming ingest gate's oracle (streaming/e2e.py)
+# — one definition so the two can never drift.
+PHASH_HASHED_CTES = f"""assets AS (
   SELECT doc_id AS asset_id, text FROM documents
   WHERE doc_id % 3 = 0 AND length(text) >= {RESIZE_TARGET}
 ),
@@ -563,7 +565,10 @@ hashed AS (
       CASE WHEN ob[i + 1] > CAST(list_sum(ob) AS DOUBLE) / {RESIZE_TARGET}
            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS ahash
   FROM resized
-),
+)"""
+
+_PHASH_ORACLE = f"""
+WITH {PHASH_HASHED_CTES},
 groups AS (
   SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_same,
          MIN(asset_id) AS keep_id
@@ -572,6 +577,33 @@ groups AS (
 SELECT h.asset_id, h.ahash, g.n_same, h.asset_id = g.keep_id AS keep
 FROM hashed h JOIN groups g USING (ahash)
 """
+
+
+#: 2024-01-01T00:00:00Z — the streaming fixture's event-time base
+PHASH_TS_EPOCH = 1_704_067_200
+
+
+def phash_stream_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(asset_id, ts, payload) fixture for the streaming multimodal
+    ingest gate (``streaming/e2e.py``): the exact batch phash-dedup
+    population — images plus planted copies of every 6th at +3,000,000
+    (same planting as :func:`multimodal_phash_dedup`, so the shared
+    ``PHASH_HASHED_CTES`` oracle covers both) — with a deterministic
+    event-time spread inside one watermark window (≤ 1 h spread vs the
+    2 h dedup watermark: no fixture row can be dropped as late)."""
+    assets = assets_from_documents(spark, sf_dir).filter(
+        F.col("kind") == "image"
+    )
+    planted = assets.filter(F.col("asset_id") % 6 == 0).withColumn(
+        "asset_id", F.col("asset_id") + 3_000_000
+    )
+    return assets.unionAll(planted).select(
+        "asset_id",
+        F.timestamp_seconds(
+            F.lit(PHASH_TS_EPOCH) + F.pmod(F.col("asset_id"), F.lit(3600))
+        ).alias("ts"),
+        "payload",
+    )
 
 
 QUERIES = {

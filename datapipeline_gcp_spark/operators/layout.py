@@ -128,6 +128,8 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DPP_TABLE = "dpp_orders_by_year"
+#: (applicationId, sf_dir) pairs whose DPP layer is already on disk
+_DPP_WRITTEN: dict[tuple[str, str], bool] = {}
 #: a year qualifies as "hot" when its shipped revenue clears this
 #: fraction of the best year's — relative, so it selects a strict
 #: subset at every SF (boundary years are partial and fall below it)
@@ -160,18 +162,28 @@ def orders_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, threshold comparison a single IEEE multiply of identical
     doubles — the hot set is bit-identical across Spark and DuckDB."""
     t = load_testdata(spark, sf_dir, ("orders", "lineitem"))
-    fact = t["orders"].withColumn("o_year", F.year("o_orderdate"))
-    # rebuild the partitioned layer idempotently; a crashed earlier run
-    # can leave the managed location behind after the catalog entry is
-    # gone, which saveAsTable then refuses
-    if not spark.catalog.tableExists(DPP_TABLE):
-        from datapipeline_gcp_spark.streaming.ingest import _local_path
+    # Write the partitioned layer once per (session, sf_dir) — ADVICE
+    # r6: rewriting the shared catalog table on EVERY invocation put the
+    # full partitioned write inside the benched timing and would race
+    # were two sessions to share a warehouse. A repeat invocation at the
+    # same sf reuses the layer, so the timing reflects the pruned join;
+    # a different sf (or a table someone else dropped) rebuilds it.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if not _DPP_WRITTEN.get(key) or not spark.catalog.tableExists(DPP_TABLE):
+        fact = t["orders"].withColumn("o_year", F.year("o_orderdate"))
+        # rebuild the partitioned layer idempotently; a crashed earlier
+        # run can leave the managed location behind after the catalog
+        # entry is gone, which saveAsTable then refuses
+        if not spark.catalog.tableExists(DPP_TABLE):
+            from datapipeline_gcp_spark.streaming.ingest import _local_path
 
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        shutil.rmtree(
-            os.path.join(_local_path(wh), DPP_TABLE), ignore_errors=True
-        )
-    fact.write.mode("overwrite").partitionBy("o_year").saveAsTable(DPP_TABLE)
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            shutil.rmtree(
+                os.path.join(_local_path(wh), DPP_TABLE), ignore_errors=True
+            )
+        fact.write.mode("overwrite").partitionBy("o_year").saveAsTable(DPP_TABLE)
+        _DPP_WRITTEN.clear()  # one table: any other sf's marker is now stale
+        _DPP_WRITTEN[key] = True
 
     yr = t["lineitem"].groupBy(F.year("l_shipdate").alias("o_year")).agg(
         D.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

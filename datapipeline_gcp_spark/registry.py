@@ -85,8 +85,17 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _RECHECK: dict[str, int] = {
     # (r5 pins pruned: both reshaped sketch twins were proven green in
     # r5 — CORRECTNESS_r05.json — making them inert; earlier rounds'
-    # pins pruned the same way. An empty dict means every green row
-    # covers the code as shipped.)
+    # pins pruned the same way.)
+    # r6 rewrote this gate's body + the archival machinery under it
+    # without pinning (VERDICT r6 "What's wrong" #1) — re-prove on the
+    # shipped code; r7 additionally adds the parquet landing branch to
+    # the shared ``streaming/ingest.py`` reader both event gates ride.
+    "events_stream_e2e_ingest_gate": 7,
+    "events_stream_crossrun_redelivery_gate": 7,
+    # r7 adds the id-floor guard (ADVICE r6) inside the query body
+    "dedup_clusters_incremental": 7,
+    # r7 makes the DPP layer write once per (session, sf) (ADVICE r6)
+    "orders_partition_pruned_join": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
@@ -100,14 +109,13 @@ _RECHECK: dict[str, int] = {
 _DEFER: dict[str, int] = {
     # (r3-r5 entries pruned: all nine carried green rows by r5 —
     # CORRECTNESS_r04/r05.json — making them inert.)
-    # r6 registrations (VERDICT r5 next-steps #2/#4/#6). They rank
-    # AHEAD of the 21 r2-stale greens the r6 window must also reach
-    # (21 stale + a ~25-query r3 tier fit the ~50-slot window with
-    # these four in front).
-    "events_stream_crossrun_redelivery_gate": 0,  # r5 verdict #2
-    "orders_partition_pruned_join": 1,  # r5 verdict #4 (DPP proof)
-    "dedup_clusters_incremental": 2,  # r5 verdict #6a
-    "multimodal_stream_ingest_gate": 3,  # r5 verdict #6b
+    # (r6 entries pruned: crossrun gate / DPP proof / incremental CC all
+    # carry r6 greens — inert.)
+    # r7 registrations (VERDICT r6 next-steps #2/#6). The r7 window:
+    # 3 _RECHECK pins + these two + the 24 r3-stale greens = 29 slots,
+    # leaving ~21 for the oldest r4 tier.
+    "multimodal_stream_ingest_gate": 0,  # r6 verdict #2 (r5 #6b)
+    "dedup_stream_incremental_gate": 1,  # r6 verdict #6
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

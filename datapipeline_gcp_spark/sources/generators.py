@@ -233,9 +233,13 @@ def write_landing_file(
     fmt: str = "csv",
     run_date: str | None = None,
 ) -> str:
-    """Write one landing file named ``{table}_{yyyymmdd}_{hex}.{csv|txt}``
+    """Write one landing file named ``{table}_{yyyymmdd}_{hex}.{ext}``
     (reference naming, ``create_campaigns/csv/main.py:21``): CSV with
-    header, TXT tab-separated headerless (``:30-36`` and txt sibling).
+    header, TXT tab-separated headerless (``:30-36`` and txt sibling),
+    PARQUET for typed/binary payloads (multimodal asset shards — the
+    reference consumer routes ANY extension by filename,
+    ``messaging/consumer/main.py:51-53``; text formats cannot carry
+    ``binary`` columns).
 
     Single-file output is inherent to the landing contract (the reference
     uploads one object per generator call), so ``coalesce(1)`` here is
@@ -249,14 +253,19 @@ def write_landing_file(
     os.makedirs(f"{landing_dir}/{fmt}", exist_ok=True)
     tmp = f"{landing_dir}/.tmp_{uuid.uuid4().hex[:8]}"
     out = df
-    for name, dtype in df.dtypes:
-        if dtype == "timestamp":
-            out = out.withColumn(name, F.date_format(name, "yyyy-MM-dd HH:mm:ss"))
+    if fmt in ("csv", "txt"):
+        for name, dtype in df.dtypes:
+            if dtype == "timestamp":
+                out = out.withColumn(
+                    name, F.date_format(name, "yyyy-MM-dd HH:mm:ss")
+                )
     writer = out.coalesce(1).write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", True).csv(tmp)
     elif fmt == "txt":
         writer.option("header", False).option("sep", "\t").csv(tmp)
+    elif fmt == "parquet":
+        writer.parquet(tmp)
     else:
         raise ValueError(f"unsupported landing format: {fmt}")
     part = next(p for p in os.listdir(tmp) if p.startswith("part-"))

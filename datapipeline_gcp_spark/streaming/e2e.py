@@ -42,9 +42,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datapipeline_gcp_spark import sinks
+from datapipeline_gcp_spark.functions import clusters, dedup
+from datapipeline_gcp_spark.functions.multimodal import (
+    PHASH_HASHED_CTES,
+    ahash_stage,
+    phash_stream_assets,
+)
 from datapipeline_gcp_spark.schemas import load_testdata, pin_utc
 from datapipeline_gcp_spark.sources.generators import write_landing_file
-from datapipeline_gcp_spark.streaming.dedup import streaming_ingest_dedup
+from datapipeline_gcp_spark.streaming.dedup import (
+    DEDUP_WATERMARK,
+    streaming_ingest_dedup,
+)
 from datapipeline_gcp_spark.streaming.harness import GATE_SHUFFLE_PARTITIONS
 from datapipeline_gcp_spark.streaming.ingest import drain, stream_landing_table
 
@@ -52,6 +62,9 @@ N_PARTS = 3
 REDELIVERED_PARTS = (0, 1)  # these parts arrive twice
 GATE_TABLE = "gate_e2e_raw_events"
 CROSSRUN_TABLE = "gate_crossrun_raw_events"
+ASSET_GATE_TABLE = "gate_multimodal_raw_assets"
+INCR_INDEX_TABLE = "gate_incr_lsh_index"
+INCR_COMP_TABLE = "gate_incr_components"
 
 _CSV_SCHEMA = T.StructType(
     [
@@ -221,11 +234,349 @@ _E2E_ORACLE = """
 SELECT event_id, user_id, event_type FROM events
 """
 
+
+# ---------------------------------------------------------------------------
+# Multimodal ingest gate: binary-payload landing shards → streaming
+# phash dedup → append + archival (VERDICT r5 #6b / r6 #2)
+# ---------------------------------------------------------------------------
+
+_ASSET_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def multimodal_phash_transform(stream: DataFrame) -> DataFrame:
+    """The streaming phash-dedup transform: Arrow-batched aHash over the
+    binary payload (``ahash_stage`` — THE payload boundary: downstream
+    of it only 8-byte hashes plus the passthrough scalars exist, so the
+    dedup state store and every shuffle move hashes, never image bytes)
+    then watermark-bounded exactly-once dedup keyed on the hash. The
+    event-time watermark is re-declared on the stage's OUTPUT ``ts`` —
+    mapInPandas emits fresh attributes, so a tag set upstream would not
+    survive the crossing. ``_src`` rides through for the ingest
+    machinery's row-derived archival fallback."""
+    hashed = ahash_stage(stream, passthrough=("ts", "_src"))
+    out = hashed.withWatermark("ts", DEDUP_WATERMARK).dropDuplicatesWithinWatermark(
+        ["ahash"]
+    )
+    # which physical row wins a hash group is arrival-dependent — emit
+    # the hash only (plus _src for archival), keeping the landed table
+    # deterministic
+    return out.select("ahash", "_src")
+
+
+def multimodal_stream_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-payload ingest modality composed end to end: asset
+    shards (parquet landing files with an opaque ``binary`` payload —
+    the reference's consumer routes ANY extension by filename,
+    ``/root/reference/messaging/consumer/main.py:39-74``) → streaming
+    file source → ``ahash_stage`` → watermark dedup on the perceptual
+    hash → raw-table append → crash-safe archival.
+
+    Redelivery: two of the three shards arrive twice under new object
+    names (the events-gate storm, now with multi-MB payloads) and the
+    planted +3M duplicate assets collide in aHash — both collapse in
+    the same dedup state. Oracle: batch phash-distinct over the same
+    population (the shared ``PHASH_HASHED_CTES`` byte math) — a leaked
+    redelivery or an uncollapsed duplicate writes a repeated hash and
+    doubles rows; a lost shard loses hashes.
+
+    Scale: the payload bytes exist only between the parquet scan and
+    the mapInPandas boundary — the dedup state store holds 8-byte keys
+    bounded by the watermark horizon, and the append sink writes one
+    long column (`tests/test_plan_shapes.py` pins payload-below-the-
+    stateful-op in the analyzed plan)."""
+    pin_utc(spark)
+    assets = phash_stream_assets(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(dir=base, prefix="gate_mm_")
+    landing = f"{root}/landing"
+    archive = f"{root}/archive"
+    ckpt = f"{root}/ckpt"
+    _drop_gate_table(spark, ASSET_GATE_TABLE)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        parts = {
+            i: assets.filter(F.pmod(F.col("asset_id"), N_PARTS) == i)
+            for i in range(N_PARTS)
+        }
+        for i in range(N_PARTS):
+            write_landing_file(parts[i], landing, "assets", "parquet", "20240101")
+        for i in REDELIVERED_PARTS:  # same shards, new object names
+            write_landing_file(parts[i], landing, "assets", "parquet", "20240101")
+
+        spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
+        stream = stream_landing_table(
+            spark,
+            landing,
+            "assets",
+            "parquet",
+            _ASSET_LANDING_SCHEMA,
+            ASSET_GATE_TABLE,
+            archive,
+            ckpt,
+            transform=multimodal_phash_transform,
+        )
+        drain(stream)
+        n_landing = len(os.listdir(f"{landing}/parquet"))
+        n_archived = len(
+            [f for f in os.listdir(archive) if f.endswith(".parquet")]
+        )
+        if n_landing or n_archived != N_PARTS + len(REDELIVERED_PARTS):
+            raise AssertionError(
+                f"archival incomplete: {n_landing} still landing, "
+                f"{n_archived} archived"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(ASSET_GATE_TABLE).select("ahash")
+
+
+_MM_GATE_ORACLE = f"""
+WITH {PHASH_HASHED_CTES}
+SELECT DISTINCT ahash FROM hashed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup: per-micro-batch LSH-index probe +
+# component-map merge across two checkpointed runs (VERDICT r6 #6)
+# ---------------------------------------------------------------------------
+
+_DOCS_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _pairs_within(banded: DataFrame) -> DataFrame:
+    """Candidate pairs inside one banded-signature relation — the
+    ``lsh_candidate_pairs`` tail applied to an ALREADY-banded frame (the
+    gate bands each micro-batch exactly once and feeds the same frame to
+    the probe, the self-pair, and the index append)."""
+    pairs = dedup.within_block_pairs(
+        banded, ["band_idx", "band_key"], ["doc_id", "minhash"]
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dedup._sig_match_frac("a.minhash", "b.minhash").alias("sig_match_frac"),
+        )
+        .distinct()
+    )
+
+
+def _pairs_probe(index: DataFrame, banded: DataFrame) -> DataFrame:
+    """Banded batch vs the persisted LSH index — ``probe_lsh_index``
+    semantics without re-computing the batch's signatures (the caller
+    already banded them once)."""
+    e = index.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("minhash").alias("sig_e"),
+        "band_idx",
+        "band_key",
+    )
+    n = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("minhash").alias("sig_n"),
+        "band_idx",
+        "band_key",
+    )
+    return (
+        n.join(e, ["band_idx", "band_key"])
+        .select(
+            "doc_a",
+            "doc_b",
+            dedup._sig_match_frac("sig_n", "sig_e").alias("sig_match_frac"),
+        )
+        .distinct()
+    )
+
+
+INCR_INDEX_BASE = "gate_incr_lsh_index_base"
+INCR_COMP_BASE = "gate_incr_components_base"
+#: gate-scale bucket count, matched to GATE_SHUFFLE_PARTITIONS (a real
+#: deployment sizes buckets to corpus volume — sinks.write_bucketed)
+INCR_N_BUCKETS = 8
+#: (applicationId, sf_dir) whose day-0 base tables are already on disk
+_INCR_BASE_BUILT: dict[tuple[str, str], bool] = {}
+
+
+def _ensure_incr_base(spark: SparkSession, sf_dir: str) -> None:
+    """Build the day-0 state once per (session, sf): the corpus's
+    bucketed LSH index and its component map — signatures computed
+    exactly once (the map's edges come from self-pairing the INDEX)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if (
+        _INCR_BASE_BUILT.get(key)
+        and spark.catalog.tableExists(INCR_INDEX_BASE)
+        and spark.catalog.tableExists(INCR_COMP_BASE)
+    ):
+        return
+    _drop_gate_table(spark, INCR_INDEX_BASE)
+    _drop_gate_table(spark, INCR_COMP_BASE)
+    corpus = dedup.neardup_fixture(spark, sf_dir)
+    dedup.build_lsh_index(corpus, INCR_INDEX_BASE, n_buckets=INCR_N_BUCKETS)
+    corpus_pairs = _pairs_within(spark.table(INCR_INDEX_BASE))
+    comp0 = clusters.connected_components(
+        corpus_pairs.filter(
+            F.col("sig_match_frac") >= clusters.EDGE_THRESHOLD
+        ).select("doc_a", "doc_b")
+    )
+    comp0.write.mode("overwrite").saveAsTable(INCR_COMP_BASE)
+    _INCR_BASE_BUILT.clear()  # one base pair: another sf's marker is stale
+    _INCR_BASE_BUILT[key] = True
+
+
+def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three separately-proven incremental pieces — persisted
+    bucketed LSH index (``dedup.build_lsh_index``), index-probe
+    candidate generation (``dedup.probe_lsh_index`` semantics), and
+    star-contraction component merge
+    (``clusters.incremental_components``) — composed into the thing a
+    real crawl pipeline runs: a ``foreachBatch`` consumer that, per
+    micro-batch of arriving documents, (1) bands the batch's MinHash
+    signatures ONCE, (2) probes the index for batch↔corpus near-dup
+    edges, (3) self-pairs the batch for batch-internal edges, (4)
+    merges the edges into the persisted component map, and (5) appends
+    the batch's banded signatures to the index so LATER batches match
+    against it.
+
+    Two ``availableNow`` runs on one checkpoint: run 1 ingests the near
+    copies (+2M), run 2 the exact copies (+3M) and fresh docs (+4M) —
+    the +3M↔+2M near-pairs (every base ``%65 == 0``) exist ONLY via
+    run 2 probing the index rows run 1 appended, so a dropped append or
+    a re-processed batch breaks the oracle match or the gate's own
+    row-accounting asserts. Oracle: full-graph recursive-CTE CC over
+    corpus ∪ batch edges — the registered ``dedup_clusters_incremental``
+    oracle verbatim (this gate computes the same relation, incrementally
+    and across a restart).
+
+    Scale: per batch the work is O(batch signatures) + one equi-join
+    against the bucketed index + a component merge whose input is
+    O(clustered nodes + batch edges) — never corpus×corpus, never the
+    historical edge list. The index append is the same bucketed write a
+    1000-executor deployment would make; the component map is two long
+    columns. Day-0 state (the corpus's index + component map — the
+    amortized-in-production part this gate exists to AVOID re-paying
+    per batch) is built once per (session, sf) and copied into working
+    tables per invocation, so the gate's time measures the incremental
+    path (same policy as the DPP layer, ADVICE r6)."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    clusters.assert_below_id_floor(docs)
+    batch_all = clusters._incremental_batch(spark, sf_dir)
+    # run 1: near copies (+2M); run 2: exact (+3M) ∪ fresh (+4M)
+    batch1 = batch_all.filter(F.col("doc_id") < 3_000_000).select("doc_id", "text")
+    batch2 = batch_all.filter(F.col("doc_id") >= 3_000_000).select("doc_id", "text")
+    _drop_gate_table(spark, INCR_INDEX_TABLE)
+    _drop_gate_table(spark, INCR_COMP_TABLE)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(dir=base, prefix="gate_incrdedup_")
+    landing = f"{root}/landing"
+    ckpt = f"{root}/ckpt"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    seen_rows: list[int] = []
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if not batch.head(1):
+            return  # watermark/no-data batch: no state to advance here
+        banded = dedup.banded_signatures(
+            dedup.minhash_signatures(batch)
+        ).localCheckpoint()
+        cross = _pairs_probe(s.table(INCR_INDEX_TABLE), banded)
+        within = _pairs_within(banded)
+        edges = (
+            cross.filter(F.col("sig_match_frac") >= clusters.EDGE_THRESHOLD)
+            .unionAll(
+                within.filter(F.col("sig_match_frac") >= clusters.EDGE_THRESHOLD)
+            )
+            .select("doc_a", "doc_b")
+        )
+        # merge first (eager — the CC fixpoint materializes the edges,
+        # and its result is a localCheckpoint: safe to overwrite the
+        # table it was derived from), THEN extend the index so the next
+        # batch probes against this one
+        merged = clusters.incremental_components(s.table(INCR_COMP_TABLE), edges)
+        merged.write.mode("overwrite").saveAsTable(INCR_COMP_TABLE)
+        sinks.write_bucketed(
+            banded, INCR_INDEX_TABLE, ["band_key"], INCR_N_BUCKETS, mode="append"
+        )
+        seen_rows.append(batch.count())
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(_DOCS_LANDING_SCHEMA)
+            .option("maxFilesPerTrigger", 100)
+            .option("pathGlobFilter", "docs_*.parquet")
+            .parquet(f"{landing}/parquet")
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
+        # day 0 (once per session+sf): index the corpus, cluster it —
+        # then copy the pristine base into this invocation's working
+        # tables (the streaming runs mutate those; the base stays clean)
+        _ensure_incr_base(spark, sf_dir)
+        sinks.write_bucketed(
+            spark.table(INCR_INDEX_BASE),
+            INCR_INDEX_TABLE,
+            ["band_key"],
+            INCR_N_BUCKETS,
+        )
+        spark.table(INCR_COMP_BASE).write.mode("overwrite").saveAsTable(
+            INCR_COMP_TABLE
+        )
+        idx0 = spark.table(INCR_INDEX_TABLE).count()
+
+        write_landing_file(batch1, landing, "docs", "parquet", "20240101")
+        run_once()
+        write_landing_file(batch2, landing, "docs", "parquet", "20240102")
+        run_once()  # same checkpoint: must see ONLY the new file
+
+        n1, n2 = batch1.count(), batch2.count()
+        if seen_rows != [n1, n2]:
+            raise AssertionError(
+                f"checkpointed runs reprocessed data: saw row counts "
+                f"{seen_rows}, want [{n1}, {n2}]"
+            )
+        spark.catalog.refreshTable(INCR_INDEX_TABLE)
+        idx_n = spark.table(INCR_INDEX_TABLE).count()
+        expect = idx0 + (n1 + n2) * dedup.BANDS
+        if idx_n != expect:
+            raise AssertionError(
+                f"index drifted: {idx_n} banded rows, want {expect} "
+                "(double-append or dropped append)"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    spark.catalog.refreshTable(INCR_COMP_TABLE)
+    return clusters.cluster_summary(spark.table(INCR_COMP_TABLE))
+
+
 QUERIES = {
     "events_stream_e2e_ingest_gate": events_stream_e2e_ingest_gate,
     "events_stream_crossrun_redelivery_gate": events_stream_crossrun_redelivery_gate,
+    "multimodal_stream_ingest_gate": multimodal_stream_ingest_gate,
+    "dedup_stream_incremental_gate": dedup_stream_incremental_gate,
 }
 ORACLES = {
     "events_stream_e2e_ingest_gate": _E2E_ORACLE,
     "events_stream_crossrun_redelivery_gate": _E2E_ORACLE,
+    "multimodal_stream_ingest_gate": _MM_GATE_ORACLE,
+    "dedup_stream_incremental_gate": clusters._CLUSTERS_INCR_ORACLE,
 }

@@ -321,6 +321,12 @@ def stream_landing_table(
     )
     if fmt == "txt":
         stream = reader.option("sep", "\t").option("header", False).csv(path)
+    elif fmt == "parquet":
+        # typed/binary landing shards (multimodal assets): the payload
+        # column cannot ride a text format, and parquet keeps it
+        # column-chunked so a transform that never touches it skips the
+        # bytes at scan time
+        stream = reader.parquet(path)
     else:
         stream = reader.option("header", True).csv(path)
     stream = stream.select("*", F.col("_metadata.file_path").alias("_src"))

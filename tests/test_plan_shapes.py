@@ -296,3 +296,31 @@ def test_no_registered_query_plans_a_scale_antipattern(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_multimodal_stream_payload_stays_below_the_hash_boundary(spark, tmp_path):
+    """The streaming phash-dedup transform (``multimodal_stream_ingest_
+    gate``): payload bytes must exist ONLY between the file scan and the
+    ``ahash_stage`` mapInPandas boundary — the stateful dedup operator,
+    its state store, and the landed table see 8-byte hashes plus scalar
+    passthroughs. A payload column above the Python stage would put
+    image bytes into shuffle and checkpoint state at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.streaming.e2e import (
+        _ASSET_LANDING_SCHEMA,
+        multimodal_phash_transform,
+    )
+
+    stream = (
+        spark.readStream.schema(_ASSET_LANDING_SCHEMA)
+        .parquet(str(tmp_path))
+        .select("*", F.col("_metadata.file_path").alias("_src"))
+    )
+    out = multimodal_phash_transform(stream)
+    assert not any(f.dataType.typeName() == "binary" for f in out.schema.fields)
+    lines = out._jdf.queryExecution().analyzed().toString().splitlines()
+    boundary = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    above = "\n".join(lines[:boundary])
+    assert "DeduplicateWithinWatermark" in above  # stateful op above the boundary
+    assert "payload" not in above  # bytes never cross it

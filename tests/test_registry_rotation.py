@@ -167,6 +167,16 @@ def test_recheck_entries_enter_current_window():
             assert order.index(name) < 50, f"{name} outside the check window"
 
 
+def test_pins_name_registered_queries():
+    """Every ``_RECHECK``/``_DEFER`` key must be a registered query name
+    (VERDICT r6 "What's wrong" #2: a _DEFER pin naming a nonexistent
+    query silently ranked nothing for a whole round — the promised gate
+    looked queued while it was simply unbuilt)."""
+    names = set(registry.all_queries())
+    dangling = (set(registry._RECHECK) | set(registry._DEFER)) - names
+    assert not dangling, f"pins naming unregistered queries: {sorted(dangling)}"
+
+
 def test_history_parses_committed_artifacts():
     last_green, ever_failed, latest = registry.correctness_history(_REPO_ROOT)
     # round-1 and round-2 artifacts are committed; history must see them
