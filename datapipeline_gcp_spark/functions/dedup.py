@@ -1265,9 +1265,182 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Containment (asymmetric-Jaccard) dedup: excerpt/quote/concatenation
+# detection
+# ---------------------------------------------------------------------------
+
+#: shingle blocks larger than this are dropped from CANDIDATE generation
+#: (hot boilerplate phrases — the within_block_pairs hot-block guard);
+#: containment SCORING still counts every shared shingle of a candidate
+CONTAIN_BLOCK_CAP = 8
+CONTAIN_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap: int = CONTAIN_BLOCK_CAP,
+    threshold: float = CONTAIN_THRESHOLD,
+) -> DataFrame:
+    """Directional containment — ``|sh(A) ∩ sh(B)| / |sh(A)|`` over
+    DISCRIMINATIVE shingles (those occurring in ≤ ``cap`` documents).
+    Symmetric Jaccard misses the excerpt case entirely (a half-length
+    excerpt of a long document has J ≈ 0.5 but containment 1.0), yet
+    excerpts/quotes/concatenations are exactly what leaks eval text
+    into training corpora; this is the containment-search companion to
+    the MinHash family.
+
+    Blocking is the SHARED-SHINGLE relation itself rather than MinHash
+    bands: banded MinHash is tuned for symmetric Jaccard and misses
+    low-J containment pairs with high probability, while an excerpt
+    shares *every* one of its shingles with its source. Restricting
+    both the numerator AND the denominator to discriminative shingles
+    does two jobs at once: boilerplate phrases (shared by > ``cap``
+    docs) cannot inflate containment, and pair expansion stays
+    block-local with ≤ cap·(cap−1)/2 id-only rows per block — the
+    ``within_block_pairs`` hot-block discipline, here load-bearing for
+    the semantics, not just the cost. A planted excerpt still scores
+    exactly 1.0: a shingle hot enough to be excluded is excluded from
+    both sides of its ratio.
+
+    ONE corpus-token-scale shuffle (group occurrences by shingle),
+    checkpointed because two consumers read it: per-doc discriminative
+    counts, and the pair expansion whose groupBy-count IS the exact
+    intersection size (one row per shared discriminative shingle — no
+    re-join recount). Shingles ride as ``base_hash`` longs (in-array
+    distinct before the explode — no extra shuffle), so the block
+    shuffle moves 8 bytes per occurrence instead of the phrase text;
+    a mod-P hash collision merges two shingles IDENTICALLY in both
+    engines (the oracle hashes the same way), so determinism is
+    unaffected. Containments are single integer divisions:
+    engine-exact. Returns (doc_a, doc_b, n_common, n_a, n_b, cont_a,
+    cont_b) for pairs where either direction clears ``threshold``."""
+    occ = with_shingles(docs, text_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(F.col("sh"), base_hash))
+        ).alias("s"),
+    )
+    grouped = (
+        occ.groupBy("s")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
+        .withColumn("m", F.size("members"))
+        .filter(F.col("m") <= cap)
+        .localCheckpoint()
+    )
+    counts = (
+        grouped.select(F.explode("members").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # two-step explode pair expansion (the within_block_pairs shape —
+    # both steps are built-in generators, whole-stage codegen); members
+    # are sorted, so doc_a < doc_b by construction
+    first = grouped.filter(F.col("m") >= 2).select(
+        F.posexplode("members").alias("i", "doc_a"), "members"
+    )
+    pair_rows = first.select(
+        "doc_a",
+        F.explode(
+            F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+        ).alias("doc_b"),
+    )
+    common = pair_rows.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_common")
+    )
+    cont_a = F.col("n_common").cast("double") / F.col("n_a")
+    cont_b = F.col("n_common").cast("double") / F.col("n_b")
+    return (
+        common.join(
+            counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment over documents ∪ planted excerpts: every ``%9 == 1``
+    document contributes a half-length prefix excerpt at +1,000,000
+    whose shingles are a strict subset of its source's (containment
+    1.0 in the excerpt→source direction) — the planted ground truth the
+    threshold must recover; naturally-overlapping documents may also
+    clear it, identically in both engines."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.withColumn("_toks", F.split(normalized(F.col("text")), " "))
+    k = F.greatest(
+        F.floor(F.size("_toks") / F.lit(2)).cast("int"), F.lit(1)
+    )
+    excerpts = toks.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(F.col("_toks"), 1, k), " ").alias("text"),
+    )
+    fixture = docs.select("doc_id", "text").unionAll(excerpts)
+    par = spark.sparkContext.defaultParallelism
+    return containment_pairs(fixture.repartition(par, "doc_id"))
+
+
+_CONTAIN_ORACLE = f"""
+WITH fixture AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(t[1:GREATEST(CAST(len(t) // 2 AS INT), 1)], ' ')
+  FROM (SELECT doc_id, string_split({_D_NORM}, ' ') AS t
+        FROM documents WHERE doc_id % 9 = 1)
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform({_D_SHINGLES},
+                s -> {_D_BH.format(s='s')}))) AS s
+  FROM fixture
+),
+blockn AS (
+  SELECT s, COUNT(*) AS m FROM occ GROUP BY s
+),
+disc AS (
+  SELECT o.doc_id, o.s FROM occ o JOIN blockn USING (s)
+  WHERE m <= {CONTAIN_BLOCK_CAP}
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM disc GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM disc a JOIN disc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       CAST(c.n_common AS DOUBLE) / ca.n_sh AS cont_a,
+       CAST(c.n_common AS DOUBLE) / cb.n_sh AS cont_b
+FROM common c
+JOIN counts ca ON ca.doc_id = c.doc_a
+JOIN counts cb ON cb.doc_id = c.doc_b
+WHERE GREATEST(CAST(c.n_common AS DOUBLE) / ca.n_sh,
+               CAST(c.n_common AS DOUBLE) / cb.n_sh) >= {CONTAIN_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_passages": dedup_passages,
     "dedup_exact": dedup_exact,
+    "dedup_containment": dedup_containment,
     "dedup_impact_report": dedup_impact_report,
     "dedup_minhash_calibration": dedup_minhash_calibration,
     "dedup_crosslingual_leakage": dedup_crosslingual_leakage,
@@ -1291,4 +1464,5 @@ ORACLES = {
     "dedup_verified": _VERIFIED_ORACLE,
     "dedup_incremental": _INCREMENTAL_ORACLE,
     "dedup_substring": _SUBSTR_ORACLE,
+    "dedup_containment": _CONTAIN_ORACLE,
 }

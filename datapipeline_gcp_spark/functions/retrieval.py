@@ -197,10 +197,133 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (embedding-cosine) tiers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+#: fuse over the first 5 query docs — the intersection of the BM25 tier's
+#: query set (doc_id < 5) and the ANN tier's (vec_id < 10)
+RRF_N_QUERIES = N_QUERIES
+
+
+def rrf_fuse(
+    lex: DataFrame, dense: DataFrame, k0: int = RRF_K, k: int = TOP_K
+) -> DataFrame:
+    """Reciprocal-rank fusion: ``score(d) = Σ_lists 1/(k0 + rank_list(d))``
+    over the lexical and dense top-k lists; documents missing from a
+    list contribute nothing for it. Returns (query_id, rank, doc_id,
+    rrf, lex_rank, den_rank) — the per-list ranks kept for attribution.
+
+    Rank fusion is the production RAG/hybrid-search combiner precisely
+    because it needs no score calibration across tiers — only ranks —
+    and here that also makes it trivially deterministic: ranks are
+    integers, each reciprocal is one correctly-rounded IEEE division,
+    and the fused score is ONE addition of two such terms in fixed
+    (lexical + dense) order — bit-identical in any engine.
+
+    Scale: both inputs are top-k lists (query-cardinality × k rows —
+    metadata scale even at 100 TB corpus, since the expensive work
+    happened inside the inverted-index probe and the ANN index); the
+    FULL OUTER fusion join and the per-query ranking window run on that
+    tiny relation."""
+    lex_r = lex.select(
+        "query_id",
+        F.col("doc_id").alias("id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    den_r = dense.select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.col("rank").alias("den_rank"),
+    )
+    fused = lex_r.join(den_r, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        "id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k0) + F.col("den_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+        "lex_rank",
+        "den_rank",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("id").alias("doc_id"),
+            "rrf",
+            "lex_rank",
+            "den_rank",
+        )
+    )
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval: BM25 over ``documents`` fused
+    with brute-force cosine over ``embeddings`` (the two tiers the repo
+    already gates separately — ``retrieval_bm25_topk`` and
+    ``ann_bruteforce_topk``) via reciprocal-rank fusion on the shared
+    id space."""
+    from datapipeline_gcp_spark.functions import similarity
+
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    lex = bm25_topk(docs, n_queries=RRF_N_QUERIES)
+    vecs = similarity._prep(spark, sf_dir, with_bucket=False)
+    dense = similarity._topk(
+        similarity._scored_pairs(
+            vecs.filter(F.col("vec_id") < RRF_N_QUERIES), vecs
+        )
+    )
+    return rrf_fuse(lex, dense)
+
+
+def _rrf_oracle() -> str:
+    from datapipeline_gcp_spark.functions import similarity
+
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id AS id, rank AS lex_rank FROM ({_BM25_ORACLE})
+),
+den AS (
+  SELECT query_id, vec_id AS id, rank AS den_rank
+  FROM ({similarity._BRUTE_ORACLE})
+  WHERE query_id < {RRF_N_QUERIES}
+),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.id, d.id) AS id,
+         COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + d.den_rank), 0.0) AS rrf,
+         l.lex_rank,
+         d.den_rank
+  FROM lex l FULL OUTER JOIN den d ON l.query_id = d.query_id AND l.id = d.id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, id) AS BIGINT) AS rank
+  FROM fused
+)
+SELECT query_id, rank, id AS doc_id, rrf, lex_rank, den_rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "retrieval_bm25_topk": retrieval_bm25_topk,
+    "retrieval_rrf_hybrid": retrieval_rrf_hybrid,
 }
 
 ORACLES = {
     "retrieval_bm25_topk": _BM25_ORACLE,
+    "retrieval_rrf_hybrid": _rrf_oracle(),
 }

@@ -116,6 +116,8 @@ _DEFER: dict[str, int] = {
     # leaving ~21 for the oldest r4 tier.
     "multimodal_stream_ingest_gate": 0,  # r6 verdict #2 (r5 #6b)
     "dedup_stream_incremental_gate": 1,  # r6 verdict #6
+    "retrieval_rrf_hybrid": 2,  # hybrid lexical+dense rank fusion
+    "dedup_containment": 3,  # asymmetric-Jaccard excerpt detection
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
