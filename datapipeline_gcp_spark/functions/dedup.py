@@ -56,11 +56,23 @@ def normalized(text: Column) -> Column:
 
 def grams_of(tokens: Column, n: int = 3) -> Column:
     """Positional (non-distinct) word n-grams from a materialized token
-    array — the multiset :func:`shingles_of` deduplicates."""
+    array — the multiset :func:`shingles_of` deduplicates.
+
+    Documents shorter than ``n`` tokens yield ONE shorter gram:
+    ``try_element_at`` (not ``element_at``) for the tail positions,
+    because under ANSI mode (Spark 4 default — and the external
+    driver's vanilla session) a plain out-of-bounds ``element_at``
+    THROWS instead of returning the NULL that ``concat_ws`` skips.
+    The shipped testdata has no sub-``n``-token documents, so every
+    sweep passed while real short documents would have killed the job
+    — caught by the hypothesis property test
+    (``tests/test_properties.py::test_containment_matches_python_reference``
+    shrinking to single-token docs)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+            " ",
+            *[F.try_element_at(tokens, (i + j).cast("int")) for j in range(n)],
         ),
     )
 

@@ -96,6 +96,21 @@ _RECHECK: dict[str, int] = {
     "dedup_clusters_incremental": 7,
     # r7 makes the DPP layer write once per (session, sf) (ADVICE r6)
     "orders_partition_pruned_join": 7,
+    # r7 rewrote ``grams_of`` (element_at → try_element_at: a plain OOB
+    # element_at THROWS under ANSI — Spark 4 default and the driver's
+    # vanilla session — so sub-n-token documents crashed every shingle
+    # consumer; caught by the containment property test shrinking to
+    # single-token docs). Output is identical on gate data, but every
+    # shingle-consuming green outside the r7 window must re-prove on
+    # the shipped code; the in-window consumers (dedup_minhash_lsh,
+    # text_repetition, contamination_eval_vs_train, the new gates)
+    # re-prove without pins.
+    "dedup_verified": 7,
+    "dedup_incremental": 7,
+    "dedup_minhash_calibration": 7,
+    "dedup_clusters": 7,
+    "dedup_ngram_jaccard": 7,
+    "dedup_substring": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

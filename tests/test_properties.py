@@ -121,3 +121,98 @@ def test_qround_is_engine_identical_on_adversarial_doubles(spark):
     for (s6, s9), (d6, d9), v in zip(got_s, got_d, vals):
         assert s6 == d6, (v, s6, d6)
         assert s9 == d9, (v, s9, d9)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+                 min_size=1, max_size=12),
+        min_size=3, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_containment_matches_python_reference(spark, docs):
+    """dedup_containment's distributed plan vs a direct set-arithmetic
+    reference: discriminative shingles (block ≤ cap), per-doc counts,
+    per-pair intersections, and both containment ratios must agree
+    exactly (single integer divisions on both sides)."""
+    import hashlib
+
+    from datapipeline_gcp_spark.functions.dedup import containment_pairs
+
+    cap, thr = 3, 0.5
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r) for r in containment_pairs(df, cap=cap, threshold=thr).collect()
+    )
+
+    def sh(text: str) -> set[int]:
+        toks = " ".join(text.split()).lower().split(" ")
+        grams = (
+            [" ".join(toks)]
+            if len(toks) < 3
+            else [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        )
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 1_000_000_007
+            for g in grams
+        }
+
+    shs = {i: sh(t) for i, t in texts}
+    from collections import Counter
+
+    occ = Counter(h for s in shs.values() for h in s)
+    disc = {h for h, c in occ.items() if c <= cap}
+    n = {i: len(s & disc) for i, s in shs.items()}
+    want = []
+    for a in shs:
+        for b in shs:
+            if a >= b:
+                continue
+            common = len(shs[a] & shs[b] & disc)
+            if not common:
+                continue
+            ca, cb = common / n[a], common / n[b]
+            if max(ca, cb) >= thr:
+                want.append((a, b, common, n[a], n[b], ca, cb))
+    assert got == sorted(want)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_rrf_fuse_matches_python_reference(spark, seed):
+    """rrf_fuse vs direct reciprocal-rank arithmetic: fused scores are
+    one fixed-order IEEE addition of two reciprocals, so Python floats
+    must match the engine bit-for-bit, and the per-query ordering
+    (score desc, id) must agree."""
+    import random
+
+    from datapipeline_gcp_spark.functions.retrieval import rrf_fuse
+
+    rnd = random.Random(seed)
+    ids = list(range(100, 140))
+    lex_rows, den_rows = [], []
+    for q in (0, 1):
+        for r, d in enumerate(rnd.sample(ids, 8), start=1):
+            lex_rows.append((q, d, r))
+        for r, d in enumerate(rnd.sample(ids, 8), start=1):
+            den_rows.append((q, d, r))
+    lex = spark.createDataFrame(
+        lex_rows, "query_id bigint, doc_id bigint, rank bigint"
+    )
+    den = spark.createDataFrame(
+        den_rows, "query_id bigint, vec_id bigint, rank bigint"
+    )
+    got = rrf_fuse(lex, den, k0=60, k=5).toPandas()
+    for q in (0, 1):
+        lexr = {d: r for (qq, d, r) in lex_rows if qq == q}
+        denr = {d: r for (qq, d, r) in den_rows if qq == q}
+        scores = {
+            d: (1.0 / (60 + lexr[d]) if d in lexr else 0.0)
+            + (1.0 / (60 + denr[d]) if d in denr else 0.0)
+            for d in set(lexr) | set(denr)
+        }
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        sub = got[got.query_id == q].sort_values("rank")
+        assert list(sub.doc_id) == [d for d, _ in want]
+        assert list(sub.rrf) == [s for _, s in want]
