@@ -216,3 +216,117 @@ def test_rrf_fuse_matches_python_reference(spark, seed):
         sub = got[got.query_id == q].sort_values("rank")
         assert list(sub.doc_id) == [d for d, _ in want]
         assert list(sub.rrf) == [s for _, s in want]
+
+
+def _py_norm_tokens(text: str) -> list[str]:
+    return " ".join(text.split()).lower().split(" ")
+
+
+def _py_grams(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _py_base_hash(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1_000_000_007
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij kl".split()),
+                 min_size=1, max_size=20),
+        min_size=2, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_substring_scores_match_python_reference(spark, docs):
+    """substring_dup_scores vs direct window-hash arithmetic — includes
+    documents shorter than the window (the one-shorter-window rule the
+    ANSI element_at bug broke for every shingle op)."""
+    from datapipeline_gcp_spark.functions.dedup import (
+        SUBSTR_WINDOW,
+        substring_dup_scores,
+    )
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in substring_dup_scores(df).collect()
+    }
+    from collections import Counter
+
+    wh = {
+        i: [_py_base_hash(g) for g in _py_grams(_py_norm_tokens(t), SUBSTR_WINDOW)]
+        for i, t in texts
+    }
+    nd = Counter(h for i, hs in wh.items() for h in set(hs))
+    want = {}
+    for i, hs in wh.items():
+        n_dup = sum(1 for h in hs if nd[h] >= 2)
+        want[i] = (len(hs), n_dup, n_dup / len(hs))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("red blue green gold onyx jade".split()),
+                 min_size=1, max_size=10),
+        min_size=3, max_size=7),
+)
+@settings(**_SETTINGS)
+def test_bm25_matches_python_reference(spark, docs):
+    """bm25_topk vs direct Okapi arithmetic on hypothesis corpora —
+    covers repeated terms, single-token docs, and full-df terms. Ranks
+    must agree exactly; scores to 1e-9 (libm vs JVM ln may differ by an
+    ulp before the 6-dp rounding)."""
+    from datapipeline_gcp_spark.functions.retrieval import B, K1, bm25_topk
+
+    import math
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    n_q = 2
+    got = [
+        (r["query_id"], r["rank"], r["doc_id"], r["n_terms"])
+        for r in bm25_topk(df, n_queries=n_q, k=5).collect()
+    ]
+    got_scores = {
+        (r["query_id"], r["doc_id"]): r["bm25"]
+        for r in bm25_topk(df, n_queries=n_q, k=5).collect()
+    }
+    toks = {i: _py_norm_tokens(t) for i, t in texts}
+    from collections import Counter
+
+    tf = {i: Counter(ts) for i, ts in toks.items()}
+    df_ = Counter(t for i in tf for t in tf[i])
+    n_docs = float(len(toks))
+    avgdl = sum(len(ts) for ts in toks.values()) / len(toks)
+    want = []
+    want_scores = {}
+    for q in range(n_q):
+        scored = []
+        for d in toks:
+            if d == q:
+                continue
+            s, n_terms = 0.0, 0
+            for term in tf[q]:
+                if term not in tf[d]:
+                    continue
+                n_terms += 1
+                idf = math.log(1.0 + (n_docs - df_[term] + 0.5) / (df_[term] + 0.5))
+                tfd = float(tf[d][term])
+                dl_norm = K1 * (1.0 - B + B * len(toks[d]) / avgdl)
+                per = idf * tfd * (K1 + 1.0) / (tfd + dl_norm)
+                s += math.floor(per * 1e6 + 0.5) / 1e6
+            if n_terms:
+                scored.append((round(s, 6), d, n_terms))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, d, n_terms) in enumerate(scored[:5], start=1):
+            want.append((q, rank, d, n_terms))
+            want_scores[(q, d)] = s
+    assert sorted(got) == sorted(want)
+    for k, v in want_scores.items():
+        assert abs(got_scores[k] - v) < 1e-9
