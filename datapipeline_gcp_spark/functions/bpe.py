@@ -67,8 +67,13 @@ def _word_symbols(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns the merge table
-    (round, a, b, merged, pair_freq) — n_merges rows."""
+    """Learn up to ``n_merges`` BPE merges; returns the merge table
+    (round, a, b, merged, pair_freq) — ``n_merges`` rows, or fewer if
+    the corpus runs out of adjacent pairs first (every word contracted
+    to a single symbol, or an empty corpus): real tokenizer trainers
+    stop at exhaustion, and the pre-fix ``collect()[0]`` raised a bare
+    IndexError there instead — found by the empty-input robustness
+    probe (tests/test_properties.py)."""
     spark = docs.sparkSession
     words = _word_symbols(docs).localCheckpoint()
     merges: list[tuple] = []
@@ -85,13 +90,16 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
                 )
             ).alias("p"),
         )
-        best = (
+        top = (
             pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("pf"))
             .orderBy(F.desc("pf"), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:  # pair space exhausted — stop early, keep merges
+            break
+        best = top[0]
         merges.append((r, best.a, best.b, best.a + best.b, int(best.pf)))
         s = F.col("s")
         pat = F.lit(f" {best.a} {best.b} ")

@@ -111,6 +111,9 @@ _RECHECK: dict[str, int] = {
     "dedup_clusters": 7,
     "dedup_ngram_jaccard": 7,
     "dedup_substring": 7,
+    # r7: bpe_train stops early at pair exhaustion instead of raising
+    # a bare IndexError (empty-input robustness probe)
+    "bpe_train_merges": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

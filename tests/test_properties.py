@@ -330,3 +330,27 @@ def test_bm25_matches_python_reference(spark, docs):
     assert sorted(got) == sorted(want)
     for k, v in want_scores.items():
         assert abs(got_scores[k] - v) < 1e-9
+
+
+def test_empty_and_exhausted_inputs_do_not_crash(spark):
+    """Real pipelines hit empty days/partitions constantly; every core
+    operator must return an empty (or truncated) result, not raise.
+    bpe_train additionally stops early when the pair space is exhausted
+    (one two-char word supports exactly one merge)."""
+    from datapipeline_gcp_spark.functions import clusters, dedup, retrieval
+    from datapipeline_gcp_spark.functions.bpe import bpe_train
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    empty_edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert dedup.exact_dedup_groups(empty_docs).count() == 0
+    assert dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(empty_docs)
+    ).count() == 0
+    assert dedup.substring_dup_scores(empty_docs).count() == 0
+    assert dedup.containment_pairs(empty_docs).count() == 0
+    assert clusters.connected_components(empty_edges).count() == 0
+    assert retrieval.bm25_topk(empty_docs).count() == 0
+    assert bpe_train(empty_docs, n_merges=3).count() == 0
+    tiny = spark.createDataFrame([(0, "ab")], "doc_id bigint, text string")
+    merges = bpe_train(tiny, n_merges=5).collect()
+    assert [(m.a, m.b) for m in merges] == [("a", "b")]  # stops after 1
