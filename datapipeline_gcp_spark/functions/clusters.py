@@ -437,6 +437,10 @@ def pagerank(
         ).localCheckpoint()
     if n_nodes is None:
         n_nodes = nodes.count()
+    if not n_nodes:
+        # empty graph: no nodes, no rank — not a ZeroDivisionError
+        # (empty-input robustness probe, tests/test_properties.py)
+        return nodes.withColumn("rank", F.lit(0.0))
     # Structural dangling check: one metadata-scale probe before the
     # loop, not per round. head(1) short-circuits after the first hit;
     # the checkpoint (per-round reuse) is only paid when danglers exist.

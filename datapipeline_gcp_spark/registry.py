@@ -114,6 +114,9 @@ _RECHECK: dict[str, int] = {
     # r7: bpe_train stops early at pair exhaustion instead of raising
     # a bare IndexError (empty-input robustness probe)
     "bpe_train_merges": 7,
+    # r7: pagerank returns an empty rank frame on an empty graph
+    # instead of ZeroDivisionError (same probe)
+    "graph_pagerank": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -354,3 +354,15 @@ def test_empty_and_exhausted_inputs_do_not_crash(spark):
     tiny = spark.createDataFrame([(0, "ab")], "doc_id bigint, text string")
     merges = bpe_train(tiny, n_merges=5).collect()
     assert [(m.a, m.b) for m in merges] == [("a", "b")]  # stops after 1
+
+
+def test_pagerank_degenerate_graphs(spark):
+    """Empty graph → empty rank frame (not ZeroDivisionError); a single
+    self-loop node holds all the mass."""
+    from datapipeline_gcp_spark.functions.clusters import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    single = spark.createDataFrame([("a", "a")], "src string, dst string")
+    rows = pagerank(single).collect()
+    assert len(rows) == 1 and abs(rows[0]["rank"] - 1.0) < 1e-9
