@@ -141,6 +141,8 @@ def extract_features(assets: DataFrame) -> DataFrame:
             for asset_id, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
+                if payload is None:  # absent/corrupt object: skip, don't die
+                    continue
                 buf = _np.frombuffer(bytes(payload), dtype=_np.uint8)
                 hist = _np.histogram(buf, bins=8, range=(0, 256))[0]
                 total = max(int(buf.size), 1)
@@ -290,6 +292,8 @@ def sample_frames(assets: DataFrame, kind: str = "video") -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 b = bytes(payload)
                 n = min(len(b) // FRAME_W, MAX_FRAMES)
                 for k in range(n):
@@ -387,6 +391,8 @@ def resize_assets(assets: DataFrame, kind: str = "image") -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 b = bytes(payload)
                 n = len(b)
                 if n < RESIZE_TARGET:
@@ -484,7 +490,10 @@ def ahash_stage(df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
         for pdf in batches:
             rows = []
             for idx in range(len(pdf)):
-                b = bytes(pdf["payload"].iloc[idx])
+                raw = pdf["payload"].iloc[idx]
+                if raw is None:
+                    continue
+                b = bytes(raw)
                 n = len(b)
                 if n < target:
                     continue

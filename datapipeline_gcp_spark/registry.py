@@ -117,6 +117,12 @@ _RECHECK: dict[str, int] = {
     # r7: pagerank returns an empty rank frame on an empty graph
     # instead of ZeroDivisionError (same probe)
     "graph_pagerank": 7,
+    # r7: multimodal workers skip NULL payloads (bytes(None) killed the
+    # Arrow worker; an absent/corrupt object must not fail the job)
+    "multimodal_feature_extract": 7,
+    "multimodal_frame_sample": 7,
+    "multimodal_resize": 7,
+    "multimodal_phash_dedup": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -366,3 +366,32 @@ def test_pagerank_degenerate_graphs(spark):
     single = spark.createDataFrame([("a", "a")], "src string, dst string")
     rows = pagerank(single).collect()
     assert len(rows) == 1 and abs(rows[0]["rank"] - 1.0) < 1e-9
+
+
+def test_multimodal_workers_skip_null_payloads(spark):
+    """An absent/corrupt object (NULL payload) must be skipped by every
+    Arrow worker, not kill the task with bytes(None)."""
+    from pyspark.sql import types as T
+
+    from datapipeline_gcp_spark.functions import multimodal as mm
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    assets = spark.createDataFrame(
+        [
+            (0, "image", None),
+            (1, "image", b"0123456789abcdefXYZ"),
+            (2, "video", None),
+            (3, "video", b"A" * 80),
+        ],
+        schema,
+    )
+    assert mm.extract_features(assets).count() == 2
+    assert mm.ahash_stage(assets.select("asset_id", "payload")).count() == 2
+    assert mm.sample_frames(assets, kind="video").count() == 2  # 80 // 32
+    assert mm.resize_assets(assets, kind="image").count() == 1
