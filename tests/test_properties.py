@@ -395,3 +395,68 @@ def test_multimodal_workers_skip_null_payloads(spark):
     assert mm.ahash_stage(assets.select("asset_id", "payload")).count() == 2
     assert mm.sample_frames(assets, kind="video").count() == 2  # 80 // 32
     assert mm.resize_assets(assets, kind="image").count() == 1
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("one two three four five six".split()),
+                 min_size=1, max_size=15),
+        min_size=2, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_minhash_signatures_match_python_reference(spark, docs):
+    """The core dedup primitive vs direct arithmetic:
+    h_i(s) = ((2i+1)·bh(s) + 7919·i + 1) mod P minimized over distinct
+    shingles — every downstream MinHash/LSH/clusters result depends on
+    these exact longs, including the one-shorter-shingle rule for
+    sub-3-token docs."""
+    from datapipeline_gcp_spark.functions.dedup import (
+        NUM_HASHES,
+        P,
+        minhash_signatures,
+    )
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r["doc_id"]: list(r["minhash"]) for r in minhash_signatures(df).collect()}
+    want = {}
+    for i, t in texts:
+        hs = {_py_base_hash(g) for g in _py_grams(_py_norm_tokens(t), 3)}
+        want[i] = [
+            min(((2 * j + 1) * h + 7919 * j + 1) % P for h in hs)
+            for j in range(NUM_HASHES)
+        ]
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("north south east west up down".split()),
+                 min_size=1, max_size=15),
+        min_size=2, max_size=5),
+)
+@settings(**_SETTINGS)
+def test_simhash_signatures_match_python_reference(spark, docs):
+    """SimHash's SWAR-packed sign-of-sums vs direct per-bit counting:
+    the 15-lane packing must extract the exact per-bit token counts."""
+    import hashlib
+
+    from datapipeline_gcp_spark.functions.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    want = {}
+    for i, t in texts:
+        toks = list(dict.fromkeys(_py_norm_tokens(t)))  # ordered distinct
+        hs = [int(hashlib.md5(x.encode()).hexdigest()[:15], 16) for x in toks]
+        sig = 0
+        for j in range(SIMHASH_BITS):
+            cnt = sum((h >> j) & 1 for h in hs)
+            if 2 * cnt > len(hs):
+                sig |= 1 << j
+        want[i] = sig
+    assert got == want
