@@ -460,3 +460,58 @@ def test_simhash_signatures_match_python_reference(spark, docs):
                 sig |= 1 << j
         want[i] = sig
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-2.0, 2.0, allow_nan=False, width=32),
+                 min_size=2, max_size=6),
+        min_size=1, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_quantize_int8_matches_python_reference(spark, vecs):
+    """Symmetric int8 quantization vs direct IEEE arithmetic — scale,
+    quantized values, and reconstruction RMSE must agree bit-for-bit
+    (float32→double is exact; fold order is array order; rounding is
+    floor(v+0.5) on both sides). Includes all-zero vectors."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from datapipeline_gcp_spark.functions.similarity import quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(len(vecs), [0.0, 0.0])]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["vec_id"]: (r["scale"], r["q_csv"], r["recon_rmse"])
+        for r in quantize_int8(df).collect()
+    }
+
+    def q9(v):
+        return math.floor(v * 1e9 + 0.5) / 1e9
+
+    want = {}
+    for i, v in rows:
+        vd = [float(np.float32(x)) for x in v]
+        amax = max(abs(x) for x in vd)
+        scale = amax / 127.0
+        if amax == 0.0:
+            q = [0] * len(vd)
+        else:
+            q = [math.floor(x * 127.0 / amax + 0.5) for x in vd]
+        acc = 0.0
+        for x, qq in zip(vd, q):
+            acc = acc + (x - qq * scale) ** 2
+        want[i] = (
+            q9(scale),
+            ",".join(str(int(x)) for x in q),
+            q9(math.sqrt(acc / len(vd))),
+        )
+    assert got == want
