@@ -515,3 +515,73 @@ def test_quantize_int8_matches_python_reference(spark, vecs):
             q9(math.sqrt(acc / len(vd))),
         )
     assert got == want
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTP", "HtTpS", "ftp"]),
+            st.sampled_from(["", "www."]),
+            st.sampled_from(["Ex.com", "a.b.org", "site.net"]),
+            st.sampled_from(["", ":443", ":80", ":8080"]),
+            st.sampled_from(["", "/", "/p", "/p/q", "/p//", "/p/q///"]),
+            st.lists(
+                st.sampled_from(
+                    ["a=1", "b=2", "utm_src=x", "ref=abc", "z=9", ""]
+                ),
+                max_size=4,
+            ),
+            st.sampled_from(["", "#frag", "#a#b"]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_canonicalize_url_matches_python_reference(spark, parts):
+    """canonicalize_url (java.util.regex inside codegen) vs a Python
+    ``re`` replica of the same spec — guards regex-engine and
+    array-sort/filter semantics across every rule combination
+    (scheme fold, www/port strip, trailing slashes, tracking params,
+    param sort, fragment, junk without a scheme)."""
+    import re
+
+    from datapipeline_gcp_spark.functions.urls import canonicalize_url
+
+    urls = [
+        f"{s}://{w}{h}{port}{path}"
+        + ("?" + "&".join(q) if q else "")
+        + frag
+        for (s, w, h, port, path, q, frag) in parts
+    ] + ["no-scheme/just/path?a=1", ""]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i bigint, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+
+    def py_canon(url: str) -> str:
+        u = re.sub(r"#.*", "", url)
+        m = re.search(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+        scheme = m.group(1).lower() if m else ""
+        if scheme == "http":
+            scheme = "https"
+        m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", u)
+        host = m.group(1).lower() if m else ""
+        host = re.sub(r"^www\.", "", host)
+        host = re.sub(r":(443|80)$", "", host)
+        m = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", u)
+        path = re.sub(r"/+$", "", m.group(1)) if m else ""
+        m = re.search(r"\?([^#]*)", u)
+        q = m.group(1) if m else ""
+        params = sorted(
+            x
+            for x in q.split("&")
+            if x and not x.startswith("utm_") and not x.startswith("ref=")
+        )
+        query = "&".join(params)
+        return f"{scheme}://{host}{path}" + (f"?{query}" if query else "")
+
+    want = {i: py_canon(u) for i, u in enumerate(urls)}
+    assert got == want
