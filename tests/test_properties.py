@@ -585,3 +585,47 @@ def test_canonicalize_url_matches_python_reference(spark, parts):
 
     want = {i: py_canon(u) for i, u in enumerate(urls)}
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 20_000),     # seconds offset
+        ),
+        min_size=1, max_size=30, unique=True),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_reference(spark, events):
+    """Gaps-and-islands sessionization vs a direct Python scan — ties
+    on ts break by event_id (the window's total order), a gap of
+    EXACTLY the threshold continues the session (strict >), and
+    session_idx is the running start count per user."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.analytics import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    gap_min = 30
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(df, gap_minutes=gap_min).collect()
+    }
+    want = {}
+    by_user: dict[int, list] = {}
+    for i, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        idx, prev = 0, None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap_min * 60:
+                idx += 1
+            want[i] = idx
+            prev = ts
+    assert got == want
