@@ -629,3 +629,34 @@ def test_sessionize_matches_python_reference(spark, events):
             want[i] = idx
             prev = ts
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("tok0 tok1 tok2 tok3".split()),
+                 min_size=1, max_size=40),
+        min_size=1, max_size=4),
+    size=st.integers(2, 10),
+    stride=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_chunking_matches_python_reference(spark, docs, size, stride):
+    """Sliding-window chunking vs a direct Python slicer over varied
+    (size, stride) — full coverage, short final chunks, stride > size
+    gaps... the offset math most likely to be off by one."""
+    from datapipeline_gcp_spark.functions.corpus import chunk_documents
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    )
+    want = []
+    for i, t in texts:
+        toks = _py_norm_tokens(t)
+        n = len(toks)
+        for ci in range((n - 1) // stride + 1):
+            seg = toks[ci * stride : ci * stride + size]
+            want.append((i, ci, " ".join(seg), min(size, n - ci * stride)))
+    assert got == sorted(want)
