@@ -660,3 +660,48 @@ def test_chunking_matches_python_reference(spark, docs, size, stride):
             seg = toks[ci * stride : ci * stride + size]
             want.append((i, ci, " ".join(seg), min(size, n - ci * stride)))
     assert got == sorted(want)
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 50)),
+                   min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 50)),
+                    min_size=0, max_size=15),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_reference(spark, lefts, rights, direction):
+    """asof_join (union + marker-ordered window sweep) vs a direct
+    Python scan: backward takes the LATEST right with r.ts <= l.ts,
+    forward the EARLIEST with r.ts >= l.ts, per key, exact-ts rights
+    visible, NULLs when none qualifies. Duplicate right timestamps per
+    key are excluded (which of two equal-ts rights wins is
+    tie-unspecified in any ASOF engine)."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(minutes=s)  # noqa: E731
+    rights = list({(k, s): None for k, s in rights})  # dedup (key, ts)
+    ldf = spark.createDataFrame(
+        [(i, k, t(s)) for i, (k, s) in enumerate(lefts)],
+        "lid bigint, k bigint, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(1000 + j, k, t(s)) for j, (k, s) in enumerate(rights)],
+        "rid bigint, k bigint, ts timestamp",
+    ) if rights else spark.createDataFrame([], "rid bigint, k bigint, ts timestamp")
+    out = asof_join(ldf, rdf, "ts", ["k"], ["rid"], direction=direction)
+    got = {r["lid"]: r["rid_right"] for r in out.collect()}
+    want = {}
+    for i, (k, s) in enumerate(lefts):
+        if direction == "backward":
+            cands = [(ss, 1000 + j) for j, (kk, ss) in enumerate(rights)
+                     if kk == k and ss <= s]
+            want[i] = max(cands)[1] if cands else None
+        else:
+            cands = [(ss, 1000 + j) for j, (kk, ss) in enumerate(rights)
+                     if kk == k and ss >= s]
+            want[i] = min(cands)[1] if cands else None
+    assert got == want
