@@ -705,3 +705,54 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, direction):
                      if kk == k and ss >= s]
             want[i] = min(cands)[1] if cands else None
     assert got == want
+
+
+@given(
+    old_edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        max_size=12),
+    new_edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        max_size=8),
+)
+@settings(**_SETTINGS)
+def test_incremental_components_equal_full_recompute(spark, old_edges, new_edges):
+    """The star-contraction invariant incremental CC rests on:
+    CC(old-map-as-stars ∪ batch edges) == CC(old ∪ batch edges) — over
+    arbitrary random graphs (bridges that merge old components, chains,
+    isolated batch components), not just the planted fixture. Also
+    cross-checks connected_components itself against a Python
+    union-find."""
+    from datapipeline_gcp_spark.functions.clusters import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(a, b) for a, b in old_edges if a != b]
+    new_edges = [(a, b) for a, b in new_edges if a != b]
+    if not old_edges or not new_edges:
+        return
+    old_df = spark.createDataFrame(old_edges, "doc_a bigint, doc_b bigint")
+    new_df = spark.createDataFrame(new_edges, "doc_a bigint, doc_b bigint")
+    comp_old = connected_components(old_df)
+    merged = {
+        (r["node"], r["component"])
+        for r in incremental_components(comp_old, new_df).collect()
+    }
+
+    # Python union-find ground truth over the FULL edge set
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in old_edges + new_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert merged == want
