@@ -756,3 +756,34 @@ def test_incremental_components_equal_full_recompute(spark, old_edges, new_edges
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert merged == want
+
+
+@given(
+    chunks=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(1, 30)),
+        min_size=1, max_size=25, unique_by=lambda c: (c[0], c[1])),
+    budget=st.integers(8, 64),
+    shards=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_pack_chunks_matches_python_reference(spark, chunks, budget, shards):
+    """Shard-local sequence packing vs a Python scan: md5 shard
+    assignment, (doc_id, chunk_idx)-ordered exclusive running offsets,
+    and floor-division bin ids must agree exactly."""
+    from datapipeline_gcp_spark.functions.corpus import pack_chunks
+
+    df = spark.createDataFrame(
+        chunks, "doc_id bigint, chunk_idx bigint, chunk_tokens bigint"
+    )
+    got = sorted(tuple(r) for r in pack_chunks(df, budget=budget, shards=shards).collect())
+    want = []
+    by_shard: dict[int, list] = {}
+    for d, ci, tok in chunks:
+        by_shard.setdefault(_py_base_hash(str(d)) % shards, []).append((d, ci, tok))
+    for s, items in by_shard.items():
+        items.sort()
+        off = 0
+        for d, ci, tok in items:
+            want.append((s, d, ci, tok, off, off // budget))
+            off += tok
+    assert got == sorted(want)
