@@ -787,3 +787,46 @@ def test_pack_chunks_matches_python_reference(spark, chunks, budget, shards):
             want.append((s, d, ci, tok, off, off // budget))
             off += tok
     assert got == sorted(want)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.sampled_from(["view", "click", "purchase", "other"]),
+            st.integers(0, 40),
+        ),
+        min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_funnel_matches_python_reference(spark, events):
+    """Strict ordered funnel vs a Python first-touch scan: stage i+1
+    requires an event STRICTLY after the stage-i time (a click before
+    the first view must not qualify); n1 = 0 → NaN rates excluded by
+    construction (conv_rate only read when n1 > 0)."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.analytics import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, et, base + dt.timedelta(minutes=m)) for u, et, m in events
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+    stages = ("view", "click", "purchase")
+    got = {r["stage_idx"]: r["n_users"] for r in funnel(df, stages).collect()}
+    users = {u for u, _, _ in events}
+    counts = [0, 0, 0]
+    for u in users:
+        evs = sorted((ts, et) for (uu, et, ts) in rows if uu == u)
+        t = None
+        for i, stage in enumerate(stages):
+            cand = [
+                ts for ts, et in evs
+                if et == stage and (t is None if i == 0 else ts > t)
+            ]
+            if not cand:
+                break
+            t = min(cand)
+            counts[i] += 1
+    assert [got[1], got[2], got[3]] == counts
