@@ -830,3 +830,44 @@ def test_funnel_matches_python_reference(spark, events):
             t = min(cand)
             counts[i] += 1
     assert [got[1], got[2], got[3]] == counts
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(
+                "the la der le of de und et xyz q1 --- 42".split()
+            ),
+            min_size=0, max_size=12),
+        min_size=1, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_language_id_matches_python_reference(spark, texts):
+    """Marker-hit language ID vs a Python re scan: per-language counts,
+    argmax with first-wins tie-break in LANG_MARKERS key order, and
+    'und' on zero hits — over texts that mix markers from several
+    languages (shared words like 'la'/'de' hit multiple patterns)."""
+    import re
+
+    from datapipeline_gcp_spark.functions.text import (
+        LANG_MARKERS,
+        with_language_id,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i bigint, text string")
+    cols = [f"score_{lang}" for lang in LANG_MARKERS] + ["lang_pred"]
+    got = {r["i"]: tuple(r[c] for c in cols) for r in with_language_id(df).collect()}
+    want = {}
+    for i, t in rows:
+        low = t.lower()
+        scores = {
+            lang: len(re.findall(r"\b(" + "|".join(m) + r")\b", low))
+            for lang, m in LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        pred = "und"
+        if best > 0:
+            pred = next(l for l in LANG_MARKERS if scores[l] == best)
+        want[i] = tuple(scores[lang] for lang in LANG_MARKERS) + (pred,)
+    assert got == want
