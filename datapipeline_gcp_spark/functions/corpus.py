@@ -310,7 +310,14 @@ def stratified_sample(
             "doc_id",
             F.col(strata_col).alias("stratum"),
             F.col("bucket").cast("long").alias("bucket"),
-            (F.lit(1000.0) / F.col("rate")).alias("sample_weight"),
+            # nullif: a rate of 0 ("drop this stratum") keeps no rows,
+            # but under ANSI the bare division crashes at PLAN time —
+            # constant folding evaluates 1000.0/0 when the rate chain
+            # folds to a literal (hypothesis property test)
+            (
+                F.lit(1000.0)
+                / F.nullif(F.col("rate").cast("double"), F.lit(0.0))
+            ).alias("sample_weight"),
         )
     )
 

@@ -123,6 +123,9 @@ _RECHECK: dict[str, int] = {
     "multimodal_frame_sample": 7,
     "multimodal_resize": 7,
     "multimodal_phash_dedup": 7,
+    # r7: sample_weight guarded with nullif — a zero per-mille stratum
+    # rate crashed at PLAN time under ANSI constant folding
+    "corpus_stratified_sample": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

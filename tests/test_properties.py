@@ -871,3 +871,31 @@ def test_language_id_matches_python_reference(spark, texts):
             pred = next(l for l in LANG_MARKERS if scores[l] == best)
         want[i] = tuple(scores[lang] for lang in LANG_MARKERS) + (pred,)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 5000), st.sampled_from(["en", "es", "xx"])),
+        min_size=1, max_size=30, unique_by=lambda d: d[0]),
+    rates=st.fixed_dictionaries(
+        {"en": st.integers(0, 1000), "es": st.integers(0, 1000)}),
+    default_rate=st.integers(0, 1000),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_matches_python_reference(spark, docs, rates, default_rate):
+    """Hash-threshold Bernoulli sampling vs direct md5 arithmetic:
+    membership, bucket, and Horvitz-Thompson weight must be exactly
+    reproducible for arbitrary per-stratum per-mille rates (including
+    0 and 1000)."""
+    from datapipeline_gcp_spark.functions.corpus import stratified_sample
+
+    df = spark.createDataFrame(docs, "doc_id bigint, lang string")
+    got = sorted(tuple(r) for r in stratified_sample(
+        df, rates=rates, default_rate=default_rate).collect())
+    want = []
+    for d, lang in docs:
+        rate = rates.get(lang, default_rate)
+        b = _py_base_hash(str(d)) % 1000
+        if b < rate:
+            want.append((d, lang, b, 1000.0 / rate))
+    assert got == sorted(want)
