@@ -892,7 +892,13 @@ def weighted_sample(
     u = (base_hash(F.col("doc_id").cast("string")) + 1).cast(
         "double"
     ) / F.lit(float(P))
-    key = qround(F.log(u) / F.col(weight_col).cast("double"), 9)
+    # try_divide: weight 0 (an empty document) means "never sample" —
+    # a NULL key sorts last under DESC, exactly that semantic, and
+    # matches DuckDB's division-by-zero NULL; a bare division THROWS
+    # under ANSI
+    key = qround(
+        F.try_divide(F.log(u), F.col(weight_col).cast("double")), 9
+    )
     return (
         docs.select(
             "doc_id",

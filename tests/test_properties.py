@@ -899,3 +899,46 @@ def test_stratified_sample_matches_python_reference(spark, docs, rates, default_
         if b < rate:
             want.append((d, lang, b, 1000.0 / rate))
     assert got == sorted(want)
+
+
+def test_zero_divisor_guards(spark):
+    """ANSI divide-by-zero guards: a zero-magnitude embedding yields a
+    NULL cosine (DuckDB's semantics) instead of throwing, and a
+    zero-weight document is never sampled (NULL A-ES key sorts last)."""
+    from pyspark.sql import types as T
+
+    from datapipeline_gcp_spark.functions.corpus import weighted_sample
+    from datapipeline_gcp_spark.functions.similarity import (
+        _scored_pairs,
+        _with_stats,
+        as_double,
+    )
+
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0], 1), (1, [1.0, 0.0], 1), (2, [0.0, 1.0], 1)],
+        emb_schema,
+    )
+    vecs = _with_stats(
+        emb.select("vec_id", "label", as_double(F.col("embedding")).alias("vd")),
+        with_bucket=False,
+    )
+    scored = _scored_pairs(vecs.filter(F.col("vec_id") < 3), vecs).collect()
+    zero_rows = [r for r in scored if 0 in (r["query_id"], r["vec_id"])]
+    assert zero_rows and all(r["score"] is None for r in zero_rows)
+    real = [r for r in scored if r["query_id"] == 1 and r["vec_id"] == 2]
+    assert real[0]["score"] == 0.0  # orthogonal unit vectors
+
+    docs = spark.createDataFrame(
+        [(0, "s", 0), (1, "s", 10), (2, "s", 20)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    picked = weighted_sample(docs, k=2).collect()
+    assert [r["doc_id"] for r in picked if r["weight"] == 0] == []
+    assert len(picked) == 2
