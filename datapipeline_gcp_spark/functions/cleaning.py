@@ -181,9 +181,12 @@ def line_filter(
         doc_id_col,
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"),
-        (F.size(kept).cast("double") / F.size(lines).cast("double")).alias(
-            "kept_frac"
-        ),
+        # try_divide: a zero-line document has no defined kept fraction —
+        # NULL, matching DuckDB's division-by-zero; a bare division
+        # THROWS under ANSI (Spark 4 default)
+        F.try_divide(
+            F.size(kept).cast("double"), F.size(lines).cast("double")
+        ).alias("kept_frac"),
         F.array_join(kept, " ").alias("clean_text"),
     )
 

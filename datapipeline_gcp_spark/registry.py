@@ -155,6 +155,10 @@ _RECHECK: dict[str, int] = {
     # (its r4-tier rank happened to sit at slot 49, but policy rank is
     # 0.5, not luck)
     "corpus_weighted_sample": 7,
+    # line_filter kept_frac try_divide-guarded (zero-line document) —
+    # window-neutral pin: text_line_filter already sat in the r7
+    # window as r3-stale
+    "text_line_filter": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

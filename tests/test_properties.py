@@ -355,6 +355,20 @@ def test_empty_and_exhausted_inputs_do_not_crash(spark):
     merges = bpe_train(tiny, n_merges=5).collect()
     assert [(m.a, m.b) for m in merges] == [("a", "b")]  # stops after 1
 
+    # a zero-line document: kept_frac is NULL (ANSI-safe), counts are 0
+    from datapipeline_gcp_spark.functions.cleaning import line_filter
+
+    no_lines = spark.createDataFrame(
+        [(0, [])], "doc_id bigint, lines array<string>"
+    )
+    row = line_filter(no_lines).collect()[0]
+    assert (row.n_lines, row.n_kept, row.kept_frac, row.clean_text) == (
+        0,
+        0,
+        None,
+        "",
+    )
+
 
 def test_pagerank_degenerate_graphs(spark):
     """Empty graph → empty rank frame (not ZeroDivisionError); a single
