@@ -956,3 +956,272 @@ def test_zero_divisor_guards(spark):
     picked = weighted_sample(docs, k=2).collect()
     assert [r["doc_id"] for r in picked if r["weight"] == 0] == []
     assert len(picked) == 2
+
+
+@given(
+    ids=st.lists(
+        st.integers(-(10**9), 10**9), min_size=1, max_size=40, unique=True
+    ),
+)
+@settings(**_SETTINGS)
+def test_split_assign_matches_python_reference(spark, ids):
+    """Deterministic hash split vs direct md5 arithmetic — and the
+    stability property the docstring sells: a document's split depends
+    only on its own id, never on the rest of the corpus."""
+    from datapipeline_gcp_spark.functions.indexing import (
+        SPLIT_BUCKETS,
+        TRAIN_UPTO,
+        VALID_UPTO,
+        split_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r["doc_id"]: r["split"] for r in split_assign(df).collect()
+    }
+
+    def py_split(i: int) -> str:
+        b = _py_base_hash(str(i)) % SPLIT_BUCKETS
+        return "train" if b < TRAIN_UPTO else "valid" if b < VALID_UPTO else "test"
+
+    assert got == {i: py_split(i) for i in ids}
+
+
+_LINE_WORDS = "alpha beta gamma slow delta x".split()
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.tuples(
+                st.lists(st.sampled_from(_LINE_WORDS), min_size=0, max_size=7),
+                st.sampled_from([".", "!", "?", "", ","]),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_line_filter_matches_python_reference(spark, docs):
+    """C4 line rules vs a direct Python re scan — covers empty lines,
+    empty documents (NULL kept_frac), the badword rule, and lines with
+    exactly min_words words."""
+    import re
+
+    from datapipeline_gcp_spark.functions.cleaning import (
+        BLOCKED_WORD,
+        MIN_LINE_WORDS,
+        line_filter,
+    )
+
+    rows = [
+        (i, [" ".join(ws) + p for ws, p in lines]) for i, lines in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_frac"], r["clean_text"])
+        for r in line_filter(df).collect()
+    }
+
+    def py_keep(ln: str) -> bool:
+        # F.split(ln, " ") semantics: "" -> [""], no whitespace merging
+        return (
+            len(ln.split(" ")) >= MIN_LINE_WORDS
+            and re.search(r"[.!?]$", ln) is not None
+            and re.search(rf"\b{BLOCKED_WORD}\b", ln) is None
+        )
+
+    want = {}
+    for i, lines in rows:
+        kept = [ln for ln in lines if py_keep(ln)]
+        frac = len(kept) / len(lines) if lines else None
+        want[i] = (len(lines), len(kept), frac, " ".join(kept))
+    assert got == want
+
+
+_COLLOC_WORDS = "aa bb cc dd".split()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_COLLOC_WORDS), min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_collocations_match_python_reference(spark, docs):
+    """PMI collocations vs direct counter arithmetic (min_count=1,
+    topk covering every bigram so the comparison is cut-free). Counts
+    exact; PMI to 1e-9 (libm vs JVM ln ulp, same policy as BM25)."""
+    import math
+    from collections import Counter
+
+    from datapipeline_gcp_spark.functions.corpus import collocations
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        (r["x"], r["y"]): (r["c_xy"], r["pmi"])
+        for r in collocations(df, min_count=1, topk=10_000).collect()
+    }
+
+    toks = [_py_norm_tokens(t) for _, t in texts]
+    uni = Counter(tok for ts in toks for tok in ts)
+    bi = Counter(
+        (ts[i], ts[i + 1]) for ts in toks if len(ts) >= 2 for i in range(len(ts) - 1)
+    )
+    n_uni = float(sum(uni.values()))
+    n_bi = float(sum(bi.values()))
+    want = {}
+    for (x, y), c_xy in bi.items():
+        pmi = math.log(
+            (c_xy / n_bi) / ((uni[x] / n_uni) * (uni[y] / n_uni))
+        )
+        want[(x, y)] = (c_xy, math.floor(pmi * 1e6 + 0.5) / 1e6)
+    assert set(got) == set(want)
+    for k, (c, pmi) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - pmi) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_COLLOC_WORDS), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_tfidf_matches_python_reference(spark, docs):
+    """tf-idf top-k per document vs direct counter arithmetic — ranks
+    and counts exact (the qround'd score is the ranking key, token
+    tie-break), scores to 1e-9."""
+    import math
+    from collections import Counter
+
+    from datapipeline_gcp_spark.functions.corpus import tfidf_topk
+
+    texts = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    k = 3
+    got = [
+        (r["doc_id"], r["rank"], r["token"], r["tf"], r["df"])
+        for r in tfidf_topk(df, topk=k).collect()
+    ]
+    got_scores = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in tfidf_topk(df, topk=k).collect()
+    }
+
+    tf = {i: Counter(_py_norm_tokens(t)) for i, t in texts}
+    df_ = Counter(tok for i in tf for tok in tf[i])
+    n_docs = float(len(texts))
+    want, want_scores = [], {}
+    for i in tf:
+        scored = [
+            (
+                math.floor(c * math.log(n_docs / df_[tok]) * 1e6 + 0.5) / 1e6,
+                tok,
+                c,
+            )
+            for tok, c in tf[i].items()
+        ]
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (s, tok, c) in enumerate(scored[:k], start=1):
+            want.append((i, rank, tok, c, df_[tok]))
+            want_scores[(i, tok)] = s
+    assert sorted(got) == sorted(want)
+    for key, s in want_scores.items():
+        assert abs(got_scores[key] - s) < 1e-9
+
+
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(1, 6),  # o_custkey
+            st.integers(0, 400),  # days after 2024-01-01
+            st.integers(0, 10_000_00),  # totalprice in cents
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_rfm_segments_match_python_reference(spark, orders):
+    """customers_rfm_segments vs a full Python mirror (decimal rollup,
+    ntile(5) with explicit ceil-bucket sizes, segment rules) on a
+    synthetic orders table — covers tie-heavy quintiles, single-
+    customer corpora, and same-day repeat orders."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from datapipeline_gcp_spark.operators.analytics import customers_rfm_segments
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (ck, d0 + dt.timedelta(days=off), cents / 100.0)
+        for ck, off, cents in orders
+    ]
+    tmp = tempfile.mkdtemp(prefix="rfm_prop_")
+    try:
+        spark.createDataFrame(
+            rows, "o_custkey bigint, o_orderdate date, o_totalprice double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        got = {
+            r["o_custkey"]: (
+                r["r_days"],
+                r["n_orders"],
+                r["monetary"],
+                r["r_q"],
+                r["f_q"],
+                r["m_q"],
+                r["segment"],
+            )
+            for r in customers_rfm_segments(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    per = {}
+    for ck, off, cents in orders:
+        last, n, m = per.get(ck, (-1, 0, Decimal(0)))
+        per[ck] = (max(last, off), n + 1, m + Decimal(cents) / 100)
+    ref = max(off for _, off, _ in orders)
+    base = {
+        ck: (ref - last, n, float(m)) for ck, (last, n, m) in per.items()
+    }
+
+    def ntile5(keyed):  # [(sort_key, ck)] -> {ck: quintile}
+        keyed.sort()
+        n = len(keyed)
+        q, r = divmod(n, 5)
+        out, pos = {}, 0
+        for b in range(5):
+            for _ in range(q + (1 if b < r else 0)):
+                out[keyed[pos][1]] = b + 1
+                pos += 1
+        return out
+
+    r_q = ntile5([((-rd, ck), ck) for ck, (rd, _, _) in base.items()])
+    f_q = ntile5([((n, ck), ck) for ck, (_, n, _) in base.items()])
+    m_q = ntile5([((m, ck), ck) for ck, (_, _, m) in base.items()])
+    want = {}
+    for ck, (rd, n, m) in base.items():
+        rq, fq, mq = r_q[ck], f_q[ck], m_q[ck]
+        seg = (
+            "champion"
+            if rq >= 4 and fq >= 4 and mq >= 4
+            else "at_risk_loyal"
+            if rq <= 2 and fq >= 4
+            else "new"
+            if rq >= 4 and fq <= 2
+            else "regular"
+        )
+        want[ck] = (rd, n, m, rq, fq, mq, seg)
+    assert got == want
