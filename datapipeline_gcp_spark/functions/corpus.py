@@ -1732,6 +1732,178 @@ FROM u
 )
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+#: hashed-ngram feature space size — the model table is exactly this
+#: many rows, so it broadcasts at ANY corpus scale (DSIR's point: the
+#: per-example cost is a bag-of-hashed-ngrams dot product, never an LM)
+DSIR_BUCKETS = 1024
+DSIR_TOPK = 100
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+    topk: int = DSIR_TOPK,
+) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023, public paper):
+    score every candidate document by how target-like its hashed-ngram
+    profile is, then keep the top-k.
+
+    Here the ``lang = target_lang`` split is the target distribution
+    and every other document is the raw pool. Features are hashed
+    unigrams+bigrams (the paper's choice) bucketed by the engine-shared
+    md5 hash into ``buckets`` cells; both bag-of-ngrams models get
+    add-1 smoothing, and a document's log importance weight is
+    Σ count(b)·(ln p_target(b) − ln q_raw(b)). The paper resamples
+    with Gumbel noise; this deterministic variant takes the top-k by
+    weight (doc_id tie-break) so two engines agree bit-for-bit.
+
+    Scale shape: the corpus is scanned twice (once to fit BOTH bucket
+    models in a single conditional-count aggregate over ``buckets``
+    rows, once to score candidates); the model side of the scoring
+    join is ``buckets`` rows and explicitly broadcast, so candidate
+    features never shuffle for it — the only corpus-sized exchanges
+    are the two hash aggregations. The final cut is
+    ``TakeOrderedAndProject`` (distributed partial top-k), never a
+    global sort; the rank window runs on the ≤ ``topk`` surviving
+    rows. Per-bucket log-ratios are qround'd at 9 dp so both engines
+    sum an identical addend multiset; the per-doc sum is qround'd at
+    6 dp (repo-standard float discipline, see
+    :func:`~datapipeline_gcp_spark.determinism.qround`).
+
+    Returns ``(rank, doc_id, n_grams, log_weight)`` for the selected
+    top-k candidates.
+    """
+    is_target = F.col("lang").eqNullSafe(F.lit(target_lang))
+    # materialize the token split in its own projection (CollapseProject
+    # keeps it: the alias is referenced n times by the gram lambdas —
+    # see shingles_of's docstring for the measured inline blow-up)
+    toks = docs.select(
+        "doc_id", "lang", F.split(normalized(F.col("text")), " ").alias("t")
+    )
+    # explode_outer, not explode: the gram array is provably non-empty,
+    # and plain explode's implicit size>0 filter re-evaluates the whole
+    # gram expression below the exchange (see minhash_signatures)
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode_outer(
+            F.concat(grams_of(F.col("t"), 1), grams_of(F.col("t"), 2))
+        ).alias("gram"),
+    ).select(
+        "doc_id", "lang", (base_hash(F.col("gram")) % buckets).alias("b")
+    )
+
+    # both models in ONE corpus aggregate; totals ride on the
+    # buckets-sized result as an unbounded window sum (single-partition
+    # by construction, but over ≤`buckets` rows — bounded at any scale;
+    # a separate .agg() frame would re-run the corpus scan)
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    model = (
+        feats.groupBy("b")
+        .agg(
+            F.count(F.when(is_target, 1)).alias("tcnt"),
+            F.count(F.when(~is_target, 1)).alias("qcnt"),
+        )
+        .withColumn("ttot", F.sum("tcnt").over(w_all))
+        .withColumn("qtot", F.sum("qcnt").over(w_all))
+        .select(
+            "b",
+            qround(
+                F.log(
+                    (F.col("tcnt") + 1).cast("double")
+                    / (F.col("ttot") + buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("qcnt") + 1).cast("double")
+                    / (F.col("qtot") + buckets).cast("double")
+                ),
+                9,
+            ).alias("lr"),
+        )
+    )
+    cand = (
+        feats.filter(~is_target)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        cand.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            qround(
+                F.sum(F.col("c").cast("double") * F.col("lr")), 6
+            ).alias("log_weight"),
+        )
+    )
+    sel = scored.orderBy(F.desc("log_weight"), "doc_id").limit(topk)
+    # rank window is global-order but runs AFTER the top-k cut, on
+    # ≤topk rows — not a corpus-sized single-partition window
+    w_rank = Window.orderBy(F.desc("log_weight"), "doc_id")
+    return sel.withColumn("rank", F.row_number().over(w_rank)).select(
+        "rank", "doc_id", "n_grams", "log_weight"
+    )
+
+
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_select(_docs(spark, sf_dir))
+
+
+_DSIR_LR = sql_qround(
+    f"ln(CAST(tcnt + 1 AS DOUBLE) / CAST(ttot + {DSIR_BUCKETS} AS DOUBLE))"
+    f" - ln(CAST(qcnt + 1 AS DOUBLE) / CAST(qtot + {DSIR_BUCKETS} AS DOUBLE))",
+    9,
+)
+
+_DSIR_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         ({_D_BH.format(s="u.g")} % {DSIR_BUCKETS}) AS b
+  FROM documents,
+       unnest(list_concat({d_shingles_sql(1, distinct=False)},
+                          {d_shingles_sql(2, distinct=False)})) AS u(g)
+),
+counts AS (
+  SELECT b,
+         COUNT(*) FILTER (WHERE lang IS NOT DISTINCT FROM '{DSIR_TARGET_LANG}') AS tcnt,
+         COUNT(*) FILTER (WHERE lang IS DISTINCT FROM '{DSIR_TARGET_LANG}') AS qcnt
+  FROM f GROUP BY b
+),
+model AS (
+  SELECT b, {_DSIR_LR} AS lr
+  FROM (SELECT b, tcnt, qcnt,
+               SUM(tcnt) OVER () AS ttot,
+               SUM(qcnt) OVER () AS qtot
+        FROM counts)
+),
+cand AS (
+  SELECT doc_id, b, COUNT(*) AS c
+  FROM f WHERE lang IS DISTINCT FROM '{DSIR_TARGET_LANG}'
+  GROUP BY doc_id, b
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         {sql_qround("SUM(CAST(c AS DOUBLE) * lr)", 6)} AS log_weight
+  FROM cand JOIN model USING (b)
+  GROUP BY doc_id
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, n_grams, log_weight
+FROM (SELECT *, row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {DSIR_TOPK}
+"""
+
+
 QUERIES = {
     "corpus_fim_split": corpus_fim_split,
     "corpus_padding_waste": corpus_padding_waste,
@@ -1754,6 +1926,7 @@ QUERIES = {
     "corpus_source_budget": corpus_source_budget,
     "corpus_shard_shuffle": corpus_shard_shuffle,
     "corpus_ppl_buckets": corpus_ppl_buckets,
+    "corpus_dsir_select": corpus_dsir_select,
 }
 
 ORACLES = {
@@ -1778,4 +1951,5 @@ ORACLES = {
     "corpus_source_budget": _BUDGET_ORACLE,
     "corpus_shard_shuffle": _SHARD_ORACLE,
     "corpus_ppl_buckets": _PPL_ORACLE,
+    "corpus_dsir_select": _DSIR_ORACLE,
 }

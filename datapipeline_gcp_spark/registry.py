@@ -181,6 +181,7 @@ _DEFER: dict[str, int] = {
     "dedup_stream_incremental_gate": 1,  # r6 verdict #6
     "retrieval_rrf_hybrid": 2,  # hybrid lexical+dense rank fusion
     "dedup_containment": 3,  # asymmetric-Jaccard excerpt detection
+    "corpus_dsir_select": 4,  # DSIR importance weighting (Xie 2023)
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

@@ -1225,3 +1225,80 @@ def test_rfm_segments_match_python_reference(spark, orders):
         )
         want[ck] = (rd, n, m, rq, fq, mq, seg)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "xx"]),
+            st.lists(
+                st.sampled_from("ab cd ef gh ij kl".split()),
+                min_size=1,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_dsir_matches_python_reference(spark, docs):
+    """DSIR importance weighting vs a direct Counter/​math.log replica:
+    hashed unigram+bigram bucket counts, add-1-smoothed target/raw
+    models, per-doc Σc·logratio, top-k by (weight DESC, doc_id). Small
+    bucket count forces hash collisions; corpora with no target docs
+    and no candidate docs are both legal inputs. Ranks/counts exact,
+    weights to 1e-9."""
+    import math
+    from collections import Counter
+
+    from datapipeline_gcp_spark.functions.corpus import dsir_select
+
+    B, K = 16, 3
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = [
+        (r["rank"], r["doc_id"], r["n_grams"], r["log_weight"])
+        for r in dsir_select(df, buckets=B, topk=K).collect()
+    ]
+
+    def q(x, d):
+        return math.floor(x * 10**d + 0.5) / 10**d
+
+    feats = {}
+    for i, lang, t in rows:
+        toks = _py_norm_tokens(t)
+        feats[i] = [
+            _py_base_hash(g) % B
+            for g in _py_grams(toks, 1) + _py_grams(toks, 2)
+        ]
+    tcnt, qcnt = Counter(), Counter()
+    for i, lang, _ in rows:
+        (tcnt if lang == "en" else qcnt).update(feats[i])
+    ttot, qtot = sum(tcnt.values()), sum(qcnt.values())
+    lr = {
+        b: q(
+            math.log((tcnt[b] + 1) / (ttot + B))
+            - math.log((qcnt[b] + 1) / (qtot + B)),
+            9,
+        )
+        for b in range(B)
+    }
+    scored = []
+    for i, lang, _ in rows:
+        if lang == "en":
+            continue
+        c = Counter(feats[i])
+        scored.append(
+            (q(sum(n * lr[b] for b, n in c.items()), 6), i, len(feats[i]))
+        )
+    scored.sort(key=lambda s: (-s[0], s[1]))
+    want = [
+        (rank, i, n, w)
+        for rank, (w, i, n) in enumerate(scored[:K], start=1)
+    ]
+    assert [(r, i, n) for r, i, n, _ in sorted(got)] == [
+        (r, i, n) for r, i, n, _ in want
+    ]
+    for (_, _, _, gw), (_, _, _, ww) in zip(sorted(got), want):
+        assert abs(gw - ww) < 1e-9
