@@ -262,7 +262,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cents.select("cent_id", "cnorm")), "cent_id")
     )
     w = Window.partitionBy("vec_id").orderBy(
-        (F.col("qdot").cast("double") / F.col("cnorm")).desc(), F.col("cent_id")
+        # nullif: a zero (padding) vector among the centroid seeds has
+        # cnorm = 0 and the ranking division THROWS under ANSI; NULL
+        # (DuckDB's double/0, ordered last by DESC in both engines) is
+        # the oracle's semantics
+        (
+            F.col("qdot").cast("double")
+            / F.nullif(F.col("cnorm"), F.lit(0.0))
+        ).desc(),
+        F.col("cent_id")
     )
     ranked = qdots.withColumn("crank", F.row_number().over(w))
     assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
@@ -676,7 +684,15 @@ def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cents.select("cent_id", "cnorm")), "cent_id")
     )
     w = Window.partitionBy("vec_id").orderBy(
-        (F.col("qdot").cast("double") / F.col("cnorm")).desc(), F.col("cent_id")
+        # nullif: a zero (padding) vector among the centroid seeds has
+        # cnorm = 0 and the ranking division THROWS under ANSI; NULL
+        # (DuckDB's double/0, ordered last by DESC in both engines) is
+        # the oracle's semantics
+        (
+            F.col("qdot").cast("double")
+            / F.nullif(F.col("cnorm"), F.lit(0.0))
+        ).desc(),
+        F.col("cent_id")
     )
     members = (
         qdots.withColumn("crank", F.row_number().over(w))
@@ -684,9 +700,14 @@ def ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vecs.select("vec_id", "vnorm"), "vec_id")
     )
     quant2 = float(QUANT) ** 2
+    # nullif: the zero padding vector is a corpus MEMBER too (vnorm = 0)
+    # and its own cosine division would throw under ANSI; NULL matches
+    # DuckDB's double/0, and SUM skips NULLs identically in both engines
     cos = qround(
         F.col("qdot").cast("double")
-        / (F.col("vnorm") * F.col("cnorm") * F.lit(quant2)),
+        / F.nullif(
+            F.col("vnorm") * F.col("cnorm") * F.lit(quant2), F.lit(0.0)
+        ),
         9,
     )
     per_cell = members.groupBy("cent_id").agg(
@@ -790,7 +811,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cents.select("cent_id", "cnorm")), "cent_id")
     )
     w = Window.partitionBy("vec_id").orderBy(
-        (F.col("qdot").cast("double") / F.col("cnorm")).desc(), F.col("cent_id")
+        # nullif: a zero (padding) vector among the centroid seeds has
+        # cnorm = 0 and the ranking division THROWS under ANSI; NULL
+        # (DuckDB's double/0, ordered last by DESC in both engines) is
+        # the oracle's semantics
+        (
+            F.col("qdot").cast("double")
+            / F.nullif(F.col("cnorm"), F.lit(0.0))
+        ).desc(),
+        F.col("cent_id")
     )
     assign = (
         qdots.withColumn("crank", F.row_number().over(w))

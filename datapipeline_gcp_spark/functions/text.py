@@ -295,17 +295,20 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.regexp_count(lower, F.lit(r"[a-z]+")).cast("bigint")
     n_syll = F.regexp_count(lower, F.lit(r"[aeiouy]+")).cast("bigint")
     n_long = F.regexp_count(lower, F.lit(r"\b[a-z]{7,}\b")).cast("bigint")
+    # nullif: a document with NO [a-z] runs (digits-only, punctuation,
+    # non-Latin scripts) has n_words = 0, and a plain double division
+    # THROWS under ANSI (Spark 4 default and the driver's vanilla
+    # session) — DuckDB's double/0 is NULL, so the guard IS the
+    # oracle's semantics (same class as the cosine/weighted-sample
+    # guards; the fixtures never reach it, degenerate-input test does)
+    nw = F.nullif(n_words, F.lit(0)).cast("double")
     return docs.select(
         "doc_id",
         "lang",
         n_words.alias("n_words"),
         n_syll.alias("n_syllables"),
-        (n_syll.cast("double") / n_words.cast("double")).alias(
-            "syllables_per_word"
-        ),
-        (n_long.cast("double") / n_words.cast("double")).alias(
-            "long_word_frac"
-        ),
+        (n_syll.cast("double") / nw).alias("syllables_per_word"),
+        (n_long.cast("double") / nw).alias("long_word_frac"),
     )
 
 

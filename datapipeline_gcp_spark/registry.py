@@ -159,6 +159,19 @@ _RECHECK: dict[str, int] = {
     # window-neutral pin: text_line_filter already sat in the r7
     # window as r3-stale
     "text_line_filter": 7,
+    # readability ratios nullif-guarded (a zero-[a-z]-word document —
+    # digits-only or non-Latin — crashed both divisions under ANSI;
+    # DuckDB double/0 is NULL so the oracle string is unchanged).
+    # Window-neutral: text_readability already sat in the r7 window
+    # as r3-stale
+    "text_readability": 7,
+    # centroid-ranking division nullif-guarded in ann_ivf_topk /
+    # ann_ivf_cell_stats / dedup_semantic (a zero padding vector among
+    # the centroid seeds has cnorm = 0 → ANSI throw; DuckDB yields
+    # NULL, ordered last by DESC in both engines). cell_stats and
+    # semantic were already pinned above; ann_ivf_topk sat in the r7
+    # window as r3-stale — window-neutral
+    "ann_ivf_topk": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

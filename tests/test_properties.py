@@ -1302,3 +1302,113 @@ def test_dsir_matches_python_reference(spark, docs):
     ]
     for (_, _, _, gw), (_, _, _, ww) in zip(sorted(got), want):
         assert abs(gw - ww) < 1e-9
+
+
+def test_readability_zero_word_documents_are_null_not_crash(spark):
+    """A document with no [a-z] runs (digits-only, punctuation, or a
+    non-Latin script) has n_words = 0: the ratio divisions must yield
+    NULL (DuckDB's double/0) rather than throwing under ANSI — checked
+    against the registered DuckDB oracle on the same degenerate table."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from datapipeline_gcp_spark.functions.text import (
+        _READABILITY_ORACLE,
+        text_readability,
+    )
+
+    rows = [
+        (0, "1234 5678 !!", "xx", "src0", 12),
+        (1, "", "xx", "src0", 0),
+        (2, "plain words here", "en", "src0", 16),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    tmp = tempfile.mkdtemp(prefix="readability_prop_")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_words"],
+                r["n_syllables"],
+                r["syllables_per_word"],
+                r["long_word_frac"],
+            )
+            for r in text_readability(spark, tmp).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet/*.parquet'"
+        )
+        want = {
+            r[0]: tuple(r[2:])  # skip lang — got tuples start at n_words
+            for r in con.execute(_READABILITY_ORACLE).fetchall()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got[0] == (0, 0, None, None)
+    assert got[1] == (0, 0, None, None)
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k][:2] == want[k][:2]
+        for g, w in zip(got[k][2:], want[k][2:]):
+            assert (g is None) == (w is None)
+            if g is not None:
+                assert abs(g - w) < 1e-12
+
+
+def test_ivf_zero_centroid_is_null_ranked_not_crash(spark):
+    """A zero (padding) vector among the centroid seeds gives cnorm = 0:
+    the assignment-ranking division must yield NULL (ordered last, as
+    DuckDB orders its natural double/0 NULL under DESC) instead of
+    throwing under ANSI. Full oracle parity on the degenerate corpus
+    for all three centroid-ranking consumers."""
+    import math
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from datapipeline_gcp_spark.functions import similarity as sim
+
+    dim = 4
+    rows = []
+    for i in range(40):
+        if i == 3:  # inside the first N_CENTROIDS → a zero centroid
+            vec = [0.0] * dim
+        else:
+            vec = [
+                round(math.sin(i * dim + d) * 0.5 + 0.5, 3) for d in range(dim)
+            ]
+        rows.append((i, vec, i % 3))
+    tmp = tempfile.mkdtemp(prefix="ivf_zero_prop_")
+    try:
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/embeddings.parquet"
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp}/embeddings.parquet/*.parquet'"
+        )
+        for fn, oracle in [
+            (sim.ann_ivf_topk, sim._IVF_ORACLE),
+            (sim.ann_ivf_cell_stats, sim._IVF_STATS_ORACLE),
+            (sim.dedup_semantic, sim._SEMDEDUP_ORACLE),
+        ]:
+            got = sorted(tuple(r) for r in fn(spark, tmp).collect())
+            want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+            assert len(got) == len(want), fn.__name__
+            for g, w in zip(got, want):
+                assert len(g) == len(w), fn.__name__
+                for a, b in zip(g, w):
+                    if isinstance(a, float) and b is not None:
+                        assert abs(a - b) < 1e-9, (fn.__name__, g, w)
+                    else:
+                        assert a == b, (fn.__name__, g, w)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
