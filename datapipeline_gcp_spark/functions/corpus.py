@@ -615,6 +615,30 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_gcp_spark.functions.text import with_text_metrics
 
     docs = with_text_metrics(_docs(spark, sf_dir))
+    # ANSI patch-up for Spark's grouping-sets-on-empty deviation (see
+    # operators/analytics._grand_total_if_empty): the standard and
+    # DuckDB emit the () grand-total row even over zero input rows;
+    # Spark's Expand produces nothing. Gated on COUNT(*) = 0 — zero
+    # rows on any non-empty corpus, so the hot path is untouched.
+    grand_if_empty = (
+        docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_calc").alias("total_chars"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .filter(F.col("n_docs") == 0)
+        .select(
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "max_tokens",
+            F.lit(1).cast("bigint").alias("g_lang"),
+            F.lit(1).cast("bigint").alias("g_source"),
+        )
+    )
     return (
         docs.rollup("lang", "source")
         .agg(
@@ -625,10 +649,17 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("lang").cast("bigint").alias("g_lang"),
             F.grouping("source").cast("bigint").alias("g_source"),
         )
+        .unionByName(grand_if_empty)
         .withColumn(
             "avg_tokens",
+            # nullif: the empty-corpus grand-total row has n_docs = 0
+            # and the division THROWS under ANSI; NULL is DuckDB's
+            # NULL/0 on the same row (rollup rows always have n_docs
+            # >= 1, so this changes nothing on non-empty input)
             qround(
-                F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+                F.col("total_tokens").cast("double")
+                / F.nullif(F.col("n_docs"), F.lit(0)),
+                6,
             ),
         )
     )

@@ -24,6 +24,33 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_testdata(spark, sf_dir, ("orders",))["orders"]
 
 
+def _grand_total_if_empty(o: DataFrame) -> DataFrame:
+    """ANSI patch-up for Spark's grouping-sets-on-empty deviation: the
+    standard (and DuckDB) emit the ``()`` grouping-set row even over
+    zero input rows, but Spark's Expand-based ROLLUP/CUBE produces
+    nothing from nothing. This branch is a global aggregate gated on
+    ``COUNT(*) = 0`` — exactly the missing grand-total row on empty
+    input, zero rows otherwise, so the hot path (one Expand + one hash
+    aggregate) is untouched and the extra cost is a 1-row map-side
+    partial aggregate."""
+    return (
+        o.agg(
+            F.count("*").alias("_n"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .filter(F.col("_n") == 0)
+        .select(
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+            F.lit(1).cast("bigint").alias("g_status"),
+            F.lit(1).cast("bigint").alias("g_priority"),
+        )
+    )
+
+
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (status, priority): subtotals per status and a grand
     total; grouping flags exported explicitly (engine-portable, unlike
@@ -37,6 +64,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
             F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
         )
+        .unionByName(_grand_total_if_empty(o))
     )
 
 
@@ -54,11 +82,15 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _orders(spark, sf_dir)
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("o_orderkey").alias("n_orders"),
-        dsum("o_totalprice").alias("total_price"),
-        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
-        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+        .unionByName(_grand_total_if_empty(o))
     )
 
 
@@ -80,11 +112,27 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
 """
 
 
+# Spark-only patch-up for the () grouping set on EMPTY input (see
+# _grand_total_if_empty): the oracle string above stays pure ANSI —
+# DuckDB already emits the grand-total row, so appending this branch to
+# the shared string would double it there.
+_GS_EMPTY_PATCH = f"""
+UNION ALL
+SELECT CAST(NULL AS STRING) AS o_orderstatus,
+       CAST(NULL AS STRING) AS o_orderpriority,
+       COUNT(o_orderkey) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price,
+       CAST(1 AS BIGINT) AS g_status,
+       CAST(1 AS BIGINT) AS g_priority
+FROM orders HAVING COUNT(*) = 0
+"""
+
+
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond rollup/cube (DataFrame API has no grouping-
     sets builder — SQL is the idiomatic Spark spelling)."""
     _orders(spark, sf_dir)
-    return spark.sql(_GROUPING_SETS_SQL)
+    return spark.sql(_GROUPING_SETS_SQL + _GS_EMPTY_PATCH)
 
 
 def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,9 +673,12 @@ def funnel(events: DataFrame, stages=FUNNEL_STAGES) -> DataFrame:
             F.lit(i).alias("stage_idx"),
             F.lit(stage).alias("stage"),
             F.col(f"n{i}").alias("n_users"),
+            # nullif: an empty (or entry-stage-free) event log has
+            # n1 = 0 and the rate division THROWS under ANSI; NULL is
+            # exactly DuckDB's double/0, so the oracle is unchanged
             (
                 F.col(f"n{i}").cast("double")
-                / F.col("n1").cast("double")
+                / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
             ).alias("conv_rate"),
         )
         for i, stage in enumerate(stages, start=1)

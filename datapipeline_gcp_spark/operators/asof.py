@@ -118,7 +118,12 @@ def asof_join(
 def _events_split(spark: SparkSession, sf_dir: str):
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
-    left_t, right_t = types[0], types[-1]
+    # empty events: the oracle's min/max(event_type) are NULL and its
+    # `event_type = NULL` predicates keep no rows — mirror that instead
+    # of crashing on types[0] (NULL-literal equality filters to empty
+    # with the schema intact)
+    left_t = types[0] if types else None
+    right_t = types[-1] if types else None
     left = ev.filter(F.col("event_type") == left_t).select(
         "user_id", "ts", F.col("event_id").alias("left_event_id"),
         F.col("value").alias("left_value"),

@@ -216,7 +216,12 @@ def _fmt(col, kind):
     from datapipeline_gcp_spark.determinism import qround
 
     if kind == "double":
-        return F.format_string("%.4f", qround(col, 4))
+        # Java's Formatter renders a NULL argument as the literal string
+        # "null" (empty-table min/max); DuckDB's printf yields NULL —
+        # gate on the input so both engines agree
+        return F.when(
+            col.isNotNull(), F.format_string("%.4f", qround(col, 4))
+        )
     if kind == "ts":
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     return col.cast("string")
@@ -255,7 +260,11 @@ def table_profile(df: DataFrame, cols=_PROFILE_COLS) -> DataFrame:
         branches.append(
             grouped.agg(
                 F.lit(c).alias("column_name"),
-                F.sum("cnt").alias("n_rows"),
+                # coalesce: SUM over an empty table is NULL; the
+                # oracle's COUNT(*) is 0
+                F.coalesce(F.sum("cnt"), F.lit(0).cast("bigint")).alias(
+                    "n_rows"
+                ),
                 F.coalesce(
                     F.sum(F.when(col.isNull(), F.col("cnt"))), F.lit(0)
                 ).alias("n_nulls"),

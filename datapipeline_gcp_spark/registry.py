@@ -172,6 +172,34 @@ _RECHECK: dict[str, int] = {
     # semantic were already pinned above; ann_ivf_topk sat in the r7
     # window as r3-stale — window-neutral
     "ann_ivf_topk": 7,
+    # r7 empty-corpus sweep (tools/make_degenerate_fixtures.py +
+    # driver_sim at SIM_SF=empty): every registered query run against
+    # ZERO-row tables with the DuckDB oracle as arbiter found five fix
+    # classes; each touched green below re-proves per policy. Eight of
+    # nine are out-of-window pins — they displace the window tail's
+    # r3-stale refreshes into r8 (accepted: an unpinned rewrite is the
+    # worse violation, VERDICT r6 #2).
+    # (a) driver-side types[0] crash on empty events (shared split
+    #     helper — NULL-literal filter mirrors the oracle's min/max)
+    "asof_join_events": 7,
+    "asof_join_forward_events": 7,
+    # (b) ANSI grand-total patch-up: Spark's Expand-based grouping sets
+    #     emit nothing from nothing; ANSI and DuckDB emit the () row —
+    #     unioned a COUNT(*)=0-gated global aggregate (hot path
+    #     untouched)
+    "rollup_agg": 7,
+    "cube_agg": 7,
+    "grouping_sets_agg": 7,
+    "corpus_datacard": 7,
+    # (c) funnel conv_rate n1=0 nullif guard (the r7-deferred sibling,
+    #     now sweep-proven)
+    "events_funnel": 7,
+    # (d) profile: format_string renders NULL as the literal 'null'
+    #     (DuckDB printf yields NULL) + SUM-over-empty vs COUNT(*)=0
+    "lineitem_profile": 7,
+    # (e) gate row-count expectation now skips no-data batches, exactly
+    #     as process() does (in-window already — neutral)
+    "dedup_stream_incremental_gate": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -1412,3 +1412,65 @@ def test_ivf_zero_centroid_is_null_ranked_not_crash(spark):
                         assert a == b, (fn.__name__, g, w)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_empty_corpus_oracle_parity_for_r7_fix_classes(spark):
+    """Pin the empty-corpus fix classes (VERIFY_DEGENERATE.md) into the
+    suite: 0-row tables, full oracle parity for the queries the r7
+    sweep found broken — driver-side types[0] crash (as-of split),
+    grouping-sets-on-empty grand-total row, funnel n1=0 rate,
+    format_string NULL rendering + SUM-over-empty in the profile.
+    (The streaming gate's batch-accounting fix is covered by the sweep
+    itself — too heavy for the suite.)"""
+    import importlib.util
+    import os
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from datapipeline_gcp_spark import registry
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "make_degenerate_fixtures.py",
+    )
+    spec = importlib.util.spec_from_file_location("make_degenerate_fixtures", tool)
+    mk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mk)
+
+    names = [
+        "asof_join_events",
+        "asof_join_forward_events",
+        "rollup_agg",
+        "cube_agg",
+        "grouping_sets_agg",
+        "corpus_datacard",
+        "events_funnel",
+        "lineitem_profile",
+    ]
+    qs, oracles = registry.all_queries(), registry.all_oracles()
+    tmp = tempfile.mkdtemp(prefix="empty_corpus_prop_")
+    try:
+        mk.main(tmp)
+        sf = f"{tmp}/empty"
+        con = duckdb.connect()
+        for t in mk.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        for name in names:
+            got = sorted(tuple(r) for r in qs[name](spark, sf).collect())
+            want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
+            assert len(got) == len(want), (name, got, want)
+            for g, w in zip(got, want):
+                for a, b in zip(g, w):
+                    if isinstance(a, float) and b is not None:
+                        assert abs(a - b) < 1e-9, (name, g, w)
+                    else:
+                        assert (a is None) == (b is None), (name, g, w)
+                        if a is not None:
+                            assert str(a) == str(b), (name, g, w)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,69 @@
+"""Generate degenerate testdata variants for robustness sweeps.
+
+The property-test program (Spark op vs pure-Python reference over
+hypothesis corpora) catches per-op edge cases; this tool attacks the
+complementary whole-registry class: run EVERY registered query against
+a corpus the fixtures never produce, with the DuckDB oracle as the
+semantics arbiter, by generating variant table sets that
+``tools/driver_sim.py`` can consume via ``SIM_SF=<dir>``.
+
+Variants:
+  empty  — every table schema-identical to sf0.001 but ZERO rows.
+           Exercises empty-aggregate semantics (SUM over nothing,
+           row_number over empty windows, seeding logic that does
+           .first()/.head() and assumes a row exists).
+  nulltext — sf0.001 rows, but documents.text/lang and part.p_name
+           are NULL on every 3rd row (deterministic by position).
+           Exercises NULL propagation through regexp/split/shingle
+           pipelines under ANSI where the fixtures are all non-NULL.
+
+Usage:  python tools/make_degenerate_fixtures.py /tmp/degenerate
+        SIM_SF=/tmp/degenerate/empty python tools/driver_sim.py
+"""
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: (table, column) pairs blanked in the nulltext variant. Text-bearing
+#: columns only — join/grouping keys stay intact so the sweep probes
+#: NULL *propagation*, not NULL-key semantics (engine NULL-ordering in
+#: windows is a separate, deliberate non-goal here).
+NULL_COLS = {
+    ("documents", "text"),
+    ("documents", "lang"),
+    ("part", "p_name"),
+}
+
+
+def _null_every_third(tbl: pa.Table, col: str) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    mask = pa.array([r % 3 == 0 for r in range(tbl.num_rows)])
+    blanked = pc.if_else(mask, pa.nulls(tbl.num_rows, tbl.column(i).type), tbl.column(i))
+    return tbl.set_column(i, tbl.schema.field(i), blanked)
+
+
+def main(out_root: str) -> None:
+    for variant in ("empty", "nulltext"):
+        d = os.path.join(out_root, variant)
+        os.makedirs(d, exist_ok=True)
+        for t in TABLES:
+            tbl = pq.read_table(f"{SRC}/{t}.parquet")
+            if variant == "empty":
+                tbl = tbl.slice(0, 0)
+            else:
+                for tt, col in NULL_COLS:
+                    if tt == t:
+                        tbl = _null_every_third(tbl, col)
+            pq.write_table(tbl, f"{d}/{t}.parquet")
+        print(f"{variant}: {d} ({len(TABLES)} tables)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/degenerate")
