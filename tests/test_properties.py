@@ -1474,3 +1474,248 @@ def test_empty_corpus_oracle_parity_for_r7_fix_classes(spark):
                             assert str(a) == str(b), (name, g, w)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user
+            st.integers(0, 50),           # ts offset (minutes)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_last_touch_attribution_matches_python_scan(spark, log):
+    """last_touch_attribution vs a per-user ordered scan carrying the
+    most recent click: every purchase credits the latest click at or
+    before it under the (ts, event_id) total order. Duplicate
+    timestamps are common in the generated log — exactly the tie the
+    event_id tie-break must settle identically."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), t, float(i))
+        for i, (u, m, t) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string, value double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in last_touch_attribution(df)
+        .select(
+            "purchase_event_id", "user_id", "touch_event_id", "touch_ts"
+        )
+        .collect()
+    )
+
+    want = []
+    by_user: dict[int, list] = {}
+    for eid, u, ts, t, _v in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    for u, evs in by_user.items():
+        last_click = (None, None)
+        for ts, eid, t in sorted(evs):
+            if t == "click":
+                last_click = (eid, ts)
+            if t == "purchase":
+                want.append((eid, u, last_click[0], last_click[1]))
+    assert got == sorted(want)
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 30),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_markov_transitions_match_python_counter(spark, log):
+    """events_markov_transitions vs Counter arithmetic over per-user
+    (ts, event_id)-ordered bigram chains, including the qround'd row
+    normalization."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        events_markov_transitions,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, m, t) in enumerate(log)
+    ]
+    tmp = tempfile.mkdtemp(prefix="markov_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = sorted(
+            tuple(r) for r in events_markov_transitions(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    by_user: dict[int, list] = {}
+    for eid, ts, u, t, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    pairs = Counter()
+    for evs in by_user.values():
+        s = [t for _, _, t in sorted(evs)]
+        for a, b in zip(s, s[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _b), n in pairs.items():
+        totals[a] += n
+    want = sorted(
+        (a, b, n, math.floor(n / totals[a] * 1e9 + 0.5) / 1e9)
+        for (a, b), n in pairs.items()
+    )
+    assert got == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Degree-ordered triangle counting vs brute-force enumeration over
+    adjacency sets — the orientation must change the enumeration
+    schedule, never the triangle set."""
+    from itertools import combinations
+
+    from datapipeline_gcp_spark.functions.clusters import triangle_counts
+
+    und = sorted({(min(u, v), max(u, v)) for u, v in edges})
+    df = spark.createDataFrame(und, "u bigint, v bigint")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    adj: dict[int, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@given(
+    cur_keys=st.sets(st.integers(0, 20), min_size=1, max_size=12),
+    upd_keys=st.sets(st.integers(0, 30), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_scd2_history_invariants_and_reference(spark, cur_keys, upd_keys):
+    """scd2_history vs direct set arithmetic plus the SCD2 invariants:
+    exactly one is_current=1 row per surviving key, closed versions only
+    for updated pre-existing keys, and version counts = 2 for updated
+    existing keys / 1 otherwise."""
+    from datapipeline_gcp_spark.operators.maintenance import scd2_history
+
+    cur = spark.createDataFrame(
+        [(k, f"name{k}") for k in sorted(cur_keys)], "k bigint, payload string"
+    )
+    upd = spark.createDataFrame(
+        [(k, f"upd{k}") for k in sorted(upd_keys)], "k bigint, payload string"
+    ) if upd_keys else spark.createDataFrame([], "k bigint, payload string")
+    out = scd2_history(cur, upd, keys=["k"]).collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert set(by_key) == cur_keys | upd_keys
+    for k, versions in by_key.items():
+        n_current = sum(1 for r in versions if r["is_current"] == 1)
+        assert n_current == 1, (k, versions)
+        open_row = next(r for r in versions if r["is_current"] == 1)
+        assert open_row["valid_to"] is None
+        if k in upd_keys:
+            assert open_row["payload"] == f"upd{k}"
+        else:
+            assert open_row["payload"] == f"name{k}"
+        if k in cur_keys and k in upd_keys:
+            assert len(versions) == 2
+            closed = next(r for r in versions if r["is_current"] == 0)
+            assert closed["payload"] == f"name{k}"
+            assert closed["valid_to"] is not None
+        else:
+            assert len(versions) == 1
+
+
+@given(
+    hours=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 24)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_gap_detection_matches_python_range(spark, hours):
+    """events_gap_detection vs a Python set difference of each type's
+    full hourly range against its active hours."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        events_gap_detection,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=h, minutes=i % 60), i % 5, t, 0.5, "{}")
+        for i, (t, h) in enumerate(hours)
+    ]
+    tmp = tempfile.mkdtemp(prefix="gap_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = sorted(
+            (r["event_type"], r["missing_hour"])
+            for r in events_gap_detection(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    active: dict[str, set] = {}
+    for _i, ts, _u, t, _v, _p in rows:
+        active.setdefault(t, set()).add(ts.replace(minute=0, second=0))
+    want = []
+    for t, hs in active.items():
+        lo, hi = min(hs), max(hs)
+        cur = lo
+        while cur <= hi:
+            if cur not in hs:
+                want.append((t, cur))
+            cur += dt.timedelta(hours=1)
+    assert got == sorted(want)
