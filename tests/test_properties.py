@@ -1719,3 +1719,187 @@ def test_gap_detection_matches_python_range(spark, hours):
                 want.append((t, cur))
             cur += dt.timedelta(hours=1)
     assert got == sorted(want)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)),
+        min_size=1,
+        max_size=25,
+    ),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 280), st.integers(1, 90)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_nested_loop(spark, pts, ivs):
+    """Bucketed range_join vs the naive nested loop: same (key,
+    start <= ts < end) match set regardless of how intervals straddle
+    bucket boundaries (minute-scale offsets against 1-hour buckets)."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.rangejoin import range_join
+
+    base = dt.datetime(2024, 5, 1)
+    points = [
+        (i, k, base + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(pts)
+    ]
+    intervals = [
+        (
+            100 + j,
+            k,
+            base + dt.timedelta(minutes=s),
+            base + dt.timedelta(minutes=s + d),
+        )
+        for j, (k, s, d) in enumerate(ivs)
+    ]
+    pdf = spark.createDataFrame(
+        points, "pid bigint, k bigint, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        intervals, "iid bigint, k bigint, t0 timestamp, t1 timestamp"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pdf, idf, ts_col="ts", start_col="t0", end_col="t1", by_cols=["k"]
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pk, ts in points
+        for iid, ik, t0, t1 in intervals
+        if pk == ik and t0 <= ts < t1
+    )
+    assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9), st.integers(0, 100)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_resample_ffill_matches_python_loop(spark, obs):
+    """resample_ffill vs a Python daily grid with last-observation-
+    carried-forward: per (key, day) the lexicographically-last (ts,
+    event_id) observation wins, gaps inherit the previous day's value,
+    has_obs marks real observations."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.analytics import resample_ffill
+
+    base = dt.datetime(2024, 2, 1)
+    rows = [
+        (i, k, base + dt.timedelta(days=d, minutes=i % 7), float(v))
+        for i, (k, d, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    got = sorted(
+        (r["user_id"], r["day"], r["value"], r["has_obs"])
+        for r in resample_ffill(df).collect()
+    )
+
+    daily: dict[tuple, tuple] = {}
+    for eid, k, ts, v in rows:
+        d = ts.date()
+        cur = daily.get((k, d))
+        if cur is None or (ts, eid) > cur[:2]:
+            daily[(k, d)] = (ts, eid, v)
+    want = []
+    keys = {k for k, _ in daily}
+    for k in keys:
+        days = [d for kk, d in daily if kk == k]
+        lo, hi = min(days), max(days)
+        carried = None
+        d = lo
+        while d <= hi:
+            if (k, d) in daily:
+                carried = daily[(k, d)][2]
+                want.append((k, d, carried, 1))
+            else:
+                want.append((k, d, carried, 0))
+            d += dt.timedelta(days=1)
+    assert got == sorted(want)
+
+
+@given(
+    scores=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantile_norm_matches_python_percent_rank(spark, scores):
+    """quantile_normalized_scores vs direct percent_rank arithmetic
+    ((rank-1)/(n-1) under the (score, doc_id) total order, 0.0 for a
+    1-row source) including the floor/least decile bucketing. Duplicate
+    scores within a source are the interesting case."""
+    import math
+
+    from datapipeline_gcp_spark.functions.quality import (
+        quantile_normalized_scores,
+    )
+
+    rows = [
+        (i, f"src{s}", float(v) / 20.0) for i, (s, v) in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, score double")
+    got = sorted(
+        (r["doc_id"], r["pct"], r["decile"])
+        for r in quantile_normalized_scores(df).collect()
+    )
+
+    want = []
+    for src in {r[1] for r in rows}:
+        grp = sorted((score, did) for did, s, score in rows if s == src)
+        n = len(grp)
+        for idx, (score, did) in enumerate(grp):
+            # percent_rank: (rank - 1) / (n - 1); rank counts PEERS by
+            # the ORDER BY key — the (score, doc_id) order has no ties,
+            # so rank == idx + 1
+            pct = 0.0 if n == 1 else idx / (n - 1)
+            want.append((did, pct, min(math.floor(pct * 10), 9)))
+    assert got == sorted(want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("red blue green gold gray".split()),
+                 min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_inverted_index_matches_python_dict(spark, docs):
+    """inverted_index vs a Python postings dict: document frequency over
+    distinct in-doc tokens, postings = the first `cap` doc ids ascending
+    (cap=3 exercised), min_df filter applied after."""
+    from datapipeline_gcp_spark.functions.indexing import inverted_index
+
+    cap, min_df = 3, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r) for r in inverted_index(df, cap=cap, min_df=min_df).collect()
+    )
+
+    postings: dict[str, list] = {}
+    for did, text in rows:
+        norm = " ".join(text.split()).lower()
+        for tok in dict.fromkeys(norm.split(" ")):
+            postings.setdefault(tok, []).append(did)
+    want = sorted(
+        (tok, len(dids), ",".join(str(d) for d in sorted(dids)[:cap]))
+        for tok, dids in postings.items()
+        if len(dids) >= min_df
+    )
+    assert got == want
