@@ -1903,3 +1903,105 @@ def test_inverted_index_matches_python_dict(spark, docs):
         if len(dids) >= min_df
     )
     assert got == want
+
+
+@given(
+    toks=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.integers(0, 40),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_kmv_sketch_matches_python_reference(spark, toks):
+    """distinct_kmv vs direct k-minimum-values arithmetic over the md5
+    hash replica: h_k is the k-th smallest distinct hash, the estimate
+    is (k-1)*P/h_k, and groups under k values fall back to the exact
+    count (both branches exercised by the small k)."""
+    import hashlib
+
+    from datapipeline_gcp_spark.functions.dedup import P
+    from datapipeline_gcp_spark.functions.indexing import distinct_kmv
+
+    k = 5
+    rows = [(g, f"tok{v}") for g, v in toks]
+    df = spark.createDataFrame(rows, "lang string, token string")
+    got = sorted(tuple(r) for r in distinct_kmv(df, k=k).collect())
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+    want = []
+    for g in {g for g, _ in rows}:
+        hs = sorted({h(t) for gg, t in rows if gg == g})
+        if len(hs) >= k:
+            hk = hs[k - 1]
+            want.append((g, len(hs), hk, float((k - 1) * P) / float(hk)))
+        else:
+            want.append((g, len(hs), None, float(len(hs))))
+    assert got == sorted(want)
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(12, 40))
+@settings(**_SETTINGS)
+def test_kmeans_lloyd_matches_python_reference(spark, seed, n):
+    """kmeans_clusters vs a pure-Python Lloyd replica on the same
+    integer-quantized arithmetic: identical assignments (exact integer
+    squared-L2, centroid-id tie-break), identical floored centroid
+    updates, identical decimal-summed inertia — bit-for-bit, any seed."""
+    import math
+    import random
+    from decimal import Decimal
+
+    from datapipeline_gcp_spark.functions.kmeans import kmeans_clusters
+    from datapipeline_gcp_spark.functions.similarity import QUANT
+
+    k, n_iter, dim = 3, 2, 4
+    rnd = random.Random(seed)
+    # multiples of 1/64: exactly representable in float32, so the
+    # array<float> storage round-trip is lossless and qx is exact
+    vecs = [
+        [rnd.randrange(0, 65) / 64.0 for _ in range(dim)] for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = sorted(tuple(r) for r in kmeans_clusters(df, k=k, n_iter=n_iter).collect())
+
+    q = [[math.floor(x * QUANT) for x in v] for v in vecs]
+    cents = {c: list(q[c]) for c in range(k)}
+    assign = {}
+    for _ in range(n_iter):
+        assign = {}
+        for i, qv in enumerate(q):
+            best = min(
+                (sum((qv[d] - qc[d]) ** 2 for d in range(dim)), c)
+                for c, qc in cents.items()
+            )
+            assign[i] = best  # (dist, cluster)
+        cents = {}
+        members: dict[int, list] = {}
+        for i, (_dist, c) in assign.items():
+            members.setdefault(c, []).append(i)
+        for c, ids in members.items():
+            cents[c] = [
+                math.floor(
+                    float(sum(q[i][d] for i in ids)) / float(len(ids))
+                )
+                for d in range(dim)
+            ]
+    want = []
+    for c, ids in members.items():
+        inertia = sum(
+            Decimal(
+                math.floor((assign[i][0] / float(QUANT) ** 2) * 1e9 + 0.5)
+            )
+            / Decimal(10**9)
+            for i in ids
+        )
+        want.append((c, len(ids), float(inertia), sum(cents[c])))
+    assert got == sorted(want)
