@@ -62,17 +62,15 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     punct = F.regexp_count(t, F.lit(_PUNCT)).cast("bigint")
     digits = F.regexp_count(t, F.lit(_DIGIT)).cast("bigint")
     stop = F.regexp_count(F.lower(t), F.lit(_marker_pattern("en"))).cast("bigint")
-    # KNOWN r8 ITEM: an empty document (n_chars = 0) makes these
-    # divisions THROW under ANSI (Spark 4 default) — the fix is
-    # F.try_divide (NULL, matching DuckDB's division-by-zero), but it
-    # rewrites implementing code of three greens outside the r7 check
-    # window (text_metrics, corpus_mixture_weights,
-    # corpus_source_budget), whose _RECHECK pins would push r3-stale
-    # entries out of the 50-slot window. Deferred with the funnel
-    # n1=0 guard; see registry._RECHECK r7 comment.
-    punct_ratio = punct / n_chars
-    digit_ratio = digits / n_chars
-    stop_ratio = stop / n_tokens
+    # nullif: an empty document (n_chars = 0) made these divisions
+    # THROW under ANSI (Spark 4 default and the driver's vanilla
+    # session); NULL is exactly DuckDB's division-by-zero result, so
+    # the oracle strings are unchanged. n_tokens cannot be 0 (split of
+    # the empty string is ['']) but is guarded for symmetry — a future
+    # tokenizer swap must not resurrect the crash.
+    punct_ratio = punct / F.nullif(n_chars, F.lit(0))
+    digit_ratio = digits / F.nullif(n_chars, F.lit(0))
+    stop_ratio = stop / F.nullif(n_tokens, F.lit(0))
     quality = (
         F.lit(0.4) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
         + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))

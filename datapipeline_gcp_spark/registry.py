@@ -200,6 +200,16 @@ _RECHECK: dict[str, int] = {
     # (e) gate row-count expectation now skips no-data batches, exactly
     #     as process() does (in-window already — neutral)
     "dedup_stream_incremental_gate": 7,
+    # r7 (late): the previously-DEFERRED with_text_metrics ratio guards
+    # — an empty document (n_chars = 0) threw under ANSI; nullif = the
+    # oracle's BIGINT/0 NULL (probed directly: DuckDB 3/0 IS NULL).
+    # 38 pins + 5 defers left 7 window slots, so these four fit without
+    # pushing any pinned recheck out (they displace 4 more r3/r4-stale
+    # tail entries into r8). All four consumers of the shared helper:
+    "text_metrics": 7,
+    "corpus_mixture_weights": 7,
+    "corpus_source_budget": 7,
+    "corpus_curation": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

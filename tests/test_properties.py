@@ -2005,3 +2005,63 @@ def test_kmeans_lloyd_matches_python_reference(spark, seed, n):
         )
         want.append((c, len(ids), float(inertia), sum(cents[c])))
     assert got == sorted(want)
+
+
+def test_text_metrics_empty_document_is_null_not_crash(spark):
+    """An empty document (n_chars = 0) must yield NULL ratios (DuckDB's
+    division-by-zero) instead of throwing under ANSI — full oracle
+    parity on the degenerate table for the registered text_metrics
+    query (the corpus_mixture_weights / corpus_source_budget consumers
+    share with_text_metrics)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from datapipeline_gcp_spark.functions.text import (
+        _METRICS_ORACLE,
+        text_metrics,
+    )
+
+    rows = [
+        (0, "", "xx", "src0", 0),
+        (1, "plain words here and the of", "en", "src0", 27),
+        (2, "12 34!", "xx", "src1", 6),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    tmp = tempfile.mkdtemp(prefix="metrics_prop_")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        out = text_metrics(spark, tmp)
+        cols = out.columns
+        got = {r["doc_id"]: r.asDict() for r in out.collect()}
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet/*.parquet'"
+        )
+        opdf = con.execute(_METRICS_ORACLE).df()
+        assert sorted(cols) == sorted(opdf.columns)
+        want = {int(r["doc_id"]): r for _, r in opdf.iterrows()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    import math
+
+    assert got[0]["punct_ratio"] is None
+    assert got[0]["digit_ratio"] is None
+    # quality_score is NOT NULL for the empty doc: least() skips NULL
+    # arguments in BOTH engines, so the punct term collapses to 0 and
+    # the n_tokens=1 term survives — parity below is the arbiter
+    assert got.keys() == want.keys()
+    for k in got:
+        for c in cols:
+            g, w = got[k][c], want[k][c]
+            if isinstance(w, float) and math.isnan(w):
+                w = None
+            if isinstance(g, float):
+                assert w is not None and abs(g - w) < 1e-12, (k, c, g, w)
+            else:
+                assert (g is None) == (w is None), (k, c, g, w)
+                if g is not None:
+                    assert str(g) == str(w), (k, c, g, w)
