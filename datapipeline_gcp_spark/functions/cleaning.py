@@ -391,9 +391,14 @@ def boilerplate_line_scores(
         F.coalesce(F.col("n_boiler_lines"), F.lit(0).cast("long")).alias(
             "n_boiler_lines"
         ),
+        # nullif: a zero-line document (empty lines array) made the
+        # fraction THROW under ANSI — same class as line_filter's
+        # kept_frac guard; NULL is DuckDB's division-by-zero. The
+        # registered fixture always plants >= 1 line, so this is a
+        # latent generic-helper crash, not an oracle change.
         (
             F.coalesce(F.col("n_boiler_lines"), F.lit(0)).cast("double")
-            / F.col("n_lines").cast("double")
+            / F.nullif(F.col("n_lines").cast("double"), F.lit(0.0))
         ).alias("boiler_frac"),
     )
 

@@ -210,6 +210,10 @@ _RECHECK: dict[str, int] = {
     "corpus_mixture_weights": 7,
     "corpus_source_budget": 7,
     "corpus_curation": 7,
+    # boiler_frac nullif-guarded (zero-line document — the latent
+    # sibling of line_filter's kept_frac crash; fixture never reaches
+    # it, property test does)
+    "text_boilerplate_lines": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -2065,3 +2065,148 @@ def test_text_metrics_empty_document_is_null_not_crash(spark):
                 assert (g is None) == (w is None), (k, c, g, w)
                 if g is not None:
                     assert str(g) == str(w), (k, c, g, w)
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            [
+                "plain words",
+                "a.b@mail.example.com",
+                "call 555-1234 now",
+                "at 192.168.0.1 gateway",
+                "u1@x.io and u2@y.co",
+                "v 10.0.300.5",
+                "555-12345",
+            ]
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redaction_matches_python_re(spark, parts):
+    """with_pii_redaction vs Python re on the shared patterns: counts
+    and the 3-pass tagged replacement (email first, then IP, then
+    phone) must agree — including the boundary cases the corpus
+    snippets plant (over-long octets, 5-digit phone tails)."""
+    import re
+
+    from datapipeline_gcp_spark.functions.cleaning import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        with_pii_redaction,
+    )
+
+    text = " ".join(parts)
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    row = with_pii_redaction(df).collect()[0]
+
+    assert row["n_emails"] == len(re.findall(EMAIL_RE, text))
+    assert row["n_phones"] == len(re.findall(PHONE_RE, text))
+    assert row["n_ips"] == len(re.findall(IPV4_RE, text))
+    clean = re.sub(EMAIL_RE, "<EMAIL>", text)
+    clean = re.sub(IPV4_RE, "<IP>", clean)
+    clean = re.sub(PHONE_RE, "<PHONE>", clean)
+    assert row["clean_text"] == clean
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["shared header", "cookie banner", "body a",
+                             "body b", "body c"]),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_boilerplate_lines_match_python_dict(spark, docs):
+    """boilerplate_line_scores vs direct distinct-document counting —
+    a line is boilerplate when >= min_docs DISTINCT docs contain it
+    (in-doc repeats count once for flagging but each occurrence counts
+    in n_boiler_lines). Zero-line documents must yield a NULL fraction,
+    not an ANSI crash."""
+    from datapipeline_gcp_spark.functions.cleaning import (
+        boilerplate_line_scores,
+    )
+
+    min_docs = 2
+    rows = [(i, lines) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lines array<string>")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler_lines"], r["boiler_frac"])
+        for r in boilerplate_line_scores(df, min_docs=min_docs).collect()
+    }
+
+    from collections import Counter
+
+    nd = Counter()
+    for _i, lines in rows:
+        for line in set(lines):
+            nd[line] += 1
+    boiler = {line for line, c in nd.items() if c >= min_docs}
+    for i, lines in rows:
+        hits = sum(1 for line in lines if line in boiler)
+        frac = hits / len(lines) if lines else None
+        g = got[i]
+        assert g[0] == len(lines) and g[1] == hits, (i, g)
+        if frac is None:
+            assert g[2] is None, (i, g)
+        else:
+            assert abs(g[2] - frac) < 1e-12, (i, g)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abc \t\n\x01\x07\x0b\x7f") + ["�", "é", "日"]
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_encoding_anomalies_match_python_re(spark, texts):
+    """text_encoding_anomalies vs Python re over adversarial strings
+    mixing C0/C1 controls (tab/newline excluded), U+FFFD, and
+    non-ASCII — counts and the keep flag must agree."""
+    import re
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.functions.cleaning import (
+        text_encoding_anomalies,
+    )
+
+    rows = [(i, t, "xx", "src0", len(t)) for i, t in enumerate(texts)]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    tmp = tempfile.mkdtemp(prefix="enc_prop_")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_control"], r["n_replacement"], r["n_nonascii"], r["keep"]
+            )
+            for r in text_encoding_anomalies(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    ctrl_re = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    nonascii_re = re.compile(r"[^\x00-\x7f]")
+    for i, t in enumerate(texts):
+        nc = len(ctrl_re.findall(t))
+        nr = t.count("�")
+        na = len(nonascii_re.findall(t))
+        assert got[i] == (nc, nr, na, nc == 0 and nr == 0), (i, t, got[i])
