@@ -2210,3 +2210,75 @@ def test_encoding_anomalies_match_python_re(spark, texts):
         nr = t.count("�")
         na = len(nonascii_re.findall(t))
         assert got[i] == (nc, nr, na, nc == 0 and nr == 0), (i, t, got[i])
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["Alpha", "beta", "GAMMA", "delta"]),
+                 min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_fingerprints_match_python_md5(spark, docs):
+    """with_fingerprints vs hashlib: fp_exact hashes the normalized
+    text; fp_bag must be invariant to word order and repetition
+    (identical for any permutation-with-repeats of the same token set)."""
+    import hashlib
+
+    from datapipeline_gcp_spark.functions.text import with_fingerprints
+
+    rows = [(i, "  ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["fp_exact"], r["fp_bag"])
+        for r in with_fingerprints(df).collect()
+    }
+    for i, text in rows:
+        norm = " ".join(text.split()).lower()
+        bag = " ".join(sorted(set(norm.split(" "))))
+        assert got[i] == (
+            hashlib.md5(norm.encode()).hexdigest(),
+            hashlib.md5(bag.encode()).hexdigest(),
+        ), (i, text)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["fn", "x", "return", "y", "if"]),
+                 min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_fim_split_matches_python_slices(spark, docs):
+    """fim_transform vs Python slicing on the md5-derived cut points:
+    prefix/suffix/middle partition the token list exactly and the PSM
+    re-ordering concatenates them with the shared sentinels."""
+    import hashlib
+
+    from datapipeline_gcp_spark.functions.corpus import fim_transform
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in fim_transform(df).collect()}
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000000007
+
+    for i, text in rows:
+        t = text.split(" ")
+        n = len(t)
+        c1, c2 = h(f"fim1_{i}") % (n + 1), h(f"fim2_{i}") % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        pre, mid, suf = t[:lo], t[lo:hi], t[hi:]
+        want = (
+            "<fim_prefix>" + " ".join(pre)
+            + "<fim_suffix>" + " ".join(suf)
+            + "<fim_middle>" + " ".join(mid)
+        )
+        g = got[i]
+        assert (g["n_tokens"], g["cut_lo"], g["cut_hi"]) == (n, lo, hi), (i, text)
+        assert g["fim_text"] == want, (i, text)
