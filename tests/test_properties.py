@@ -2282,3 +2282,118 @@ def test_fim_split_matches_python_slices(spark, docs):
         g = got[i]
         assert (g["n_tokens"], g["cut_lo"], g["cut_hi"]) == (n, lo, hi), (i, text)
         assert g["fim_text"] == want, (i, text)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_key_matches_python_interleave(spark, pairs):
+    """Morton interleave vs Python bit arithmetic, plus the locality
+    invariant that makes Z-ordering work: the key restricted to one
+    dimension (other fixed to 0) is monotone in that dimension."""
+    from datapipeline_gcp_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pairs, "b1 long, b2 long")
+    got = [
+        r[0]
+        for r in df.select(zorder_key(F.col("b1"), F.col("b2"))).collect()
+    ]
+
+    def morton(b1: int, b2: int) -> int:
+        out = 0
+        for i in range(8):
+            out |= ((b1 >> i) & 1) << (2 * i + 1)
+            out |= ((b2 >> i) & 1) << (2 * i)
+        return out
+
+    assert got == [morton(b1, b2) for b1, b2 in pairs]
+    ax = sorted(morton(b, 0) for b in range(256))
+    assert ax == [morton(b, 0) for b in range(256)]  # monotone in b1
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(0, 1000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_percentiles_match_python_interpolation(spark, vals):
+    """Spark's exact percentile vs the (n-1)*p linear interpolation
+    computed directly — the contract both engines share."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.operators.analytics import events_percentiles
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, t, v / 10.0, "{}")
+        for i, (t, v) in enumerate(vals)
+    ]
+    tmp = tempfile.mkdtemp(prefix="pct_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {
+            r["event_type"]: (r["p50"], r["p95"], r["p99"], r["n_events"])
+            for r in events_percentiles(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def interp(xs, p):
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        lo, hi = int(k), min(int(k) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (k - lo)
+
+    for t in {t for t, _ in vals}:
+        xs = [v / 10.0 for tt, v in vals if tt == t]
+        g = got[t]
+        assert g[3] == len(xs)
+        for gi, p in zip(g[:3], (0.5, 0.95, 0.99)):
+            assert abs(gi - interp(xs, p)) < 1e-9, (t, p, gi)
+
+
+@given(ids=st.sets(st.integers(0, 500), min_size=1, max_size=40),
+       epoch=st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_shard_shuffle_matches_python_permutation(spark, ids, epoch):
+    """shard_shuffle vs the md5 permutation computed directly: shard
+    assignment, within-shard position (hash order, doc_id tie-break),
+    and the epoch-keyed reproducibility contract."""
+    import hashlib
+
+    from datapipeline_gcp_spark.functions.corpus import shard_shuffle
+
+    n_shards = 8
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id bigint")
+    got = sorted(
+        tuple(r)
+        for r in shard_shuffle(df, n_shards=n_shards, epoch=epoch).collect()
+    )
+
+    def h(i: int) -> int:
+        s = f"e{epoch}_{i}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1000000007
+
+    by_shard: dict[int, list] = {}
+    for i in ids:
+        by_shard.setdefault(h(i) % n_shards, []).append((h(i), i))
+    want = []
+    for shard, members in by_shard.items():
+        for pos, (_hh, i) in enumerate(sorted(members), start=1):
+            want.append((i, shard, pos))
+    assert got == sorted(want)
