@@ -2397,3 +2397,100 @@ def test_shard_shuffle_matches_python_permutation(spark, ids, epoch):
         for pos, (_hh, i) in enumerate(sorted(members), start=1):
             want.append((i, shard, pos))
     assert got == sorted(want)
+
+
+@given(
+    names=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # block
+            st.text(alphabet="abc", min_size=1, max_size=6),
+        ),
+        min_size=2,
+        max_size=15,
+    )
+)
+@settings(**_SETTINGS)
+def test_fuzzy_match_pairs_matches_python_levenshtein(spark, names):
+    """FastSS deletion-neighborhood blocking vs brute-force Levenshtein
+    over every same-block pair: the blocking must lose NO pair within
+    max_distance=1 (its correctness guarantee) and verification must
+    reject everything beyond it."""
+    from datapipeline_gcp_spark.operators.relational import fuzzy_match_pairs
+
+    rows = [(i, b, t) for i, (b, t) in enumerate(names)]
+    df = spark.createDataFrame(rows, "id bigint, block int, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_match_pairs(
+            df, block_cols=["block"], id_col="id", text_col="name"
+        ).collect()
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (ia, ib, lev(ta, tb))
+        for ia, ba, ta in rows
+        for ib, bb, tb in rows
+        if ia < ib and ba == bb and lev(ta, tb) <= 1
+    )
+    assert got == want
+
+
+@given(
+    keys=st.sets(st.integers(1, 60), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_snapshot_reconcile_status_partition(spark, keys):
+    """snapshot_reconcile-style FULL OUTER diff vs direct set logic —
+    exercised through the same %7/%5/%3 derivation on a synthetic
+    orders table so added/removed/changed/unchanged all appear."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.operators.relational import snapshot_reconcile
+
+    rows = [
+        (k, k % 4, "O", 100.0 + k, dt.datetime(1995, 1, 1 + k % 28),
+         "P", k % 3, f"c{k}")
+        for k in sorted(keys)
+    ]
+    tmp = tempfile.mkdtemp(prefix="recon_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string, o_shippriority bigint, o_clerk string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        got = {
+            r["o_orderkey"]: r["status"]
+            for r in snapshot_reconcile(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    want = {}
+    for k in keys:
+        in_old, in_new = k % 7 != 0, k % 5 != 0
+        if not in_old and not in_new:
+            continue
+        if not in_old:
+            want[k] = "added"
+        elif not in_new:
+            want[k] = "removed"
+        elif k % 3 == 0:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
