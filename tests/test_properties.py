@@ -2494,3 +2494,95 @@ def test_snapshot_reconcile_status_partition(spark, keys):
         else:
             want[k] = "unchanged"
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_robust_zscore_matches_python_median_mad(spark, vals):
+    """robust_zscore_per_group (grouped-map pandas) vs direct
+    median/MAD arithmetic, including the zero-MAD fallback to 0.0 (any
+    group where >= half the values tie — common in the generated
+    data)."""
+    import statistics
+
+    from datapipeline_gcp_spark.functions.udfs import robust_zscore_per_group
+
+    rows = [(i, g, float(v)) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "row_id bigint, grp int, value double")
+    got = {
+        r["row_id"]: r["robust_z"]
+        for r in robust_zscore_per_group(df, ["grp"], "value").collect()
+    }
+    for g in {g for _, g, _ in rows}:
+        xs = [v for _, gg, v in rows if gg == g]
+        med = statistics.median(xs)
+        mad = statistics.median(sorted(abs(x - med) for x in xs))
+        scale = 1.4826 * mad
+        for i, gg, v in rows:
+            if gg != g:
+                continue
+            want = 0.0 if scale == 0 else (v - med) / scale
+            assert abs(got[i] - want) < 1e-12, (i, g, got[i], want)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 200)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_histogram_bins_match_python(spark, vals):
+    """events_histogram vs direct bin arithmetic — equal-width bins over
+    the per-group [min, max], top edge folded into the last bin, and
+    the degenerate single-value group pinned to bin 0."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        N_BINS,
+        events_histogram,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i % 3, t, v / 7.0, "{}")
+        for i, (t, v) in enumerate(vals)
+    ]
+    tmp = tempfile.mkdtemp(prefix="hist_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = sorted(
+            (r["event_type"], r["bin"], r["n_events"])
+            for r in events_histogram(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    cnt = Counter()
+    for t in {t for t, _ in vals}:
+        xs = [v / 7.0 for tt, v in vals if tt == t]
+        vmin, vmax = min(xs), max(xs)
+        for x in xs:
+            if vmax == vmin:
+                b = 0
+            else:
+                b = min(math.floor((x - vmin) / (vmax - vmin) * N_BINS),
+                        N_BINS - 1)
+            cnt[(t, b)] += 1
+    want = sorted((t, b, n) for (t, b), n in cnt.items())
+    assert got == want
