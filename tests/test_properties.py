@@ -2586,3 +2586,49 @@ def test_histogram_bins_match_python(spark, vals):
             cnt[(t, b)] += 1
     want = sorted((t, b, n) for (t, b), n in cnt.items())
     assert got == want
+
+
+@given(
+    log=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 14)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_cohort_retention_matches_python_dicts(spark, log):
+    """cohort_retention vs direct dict arithmetic: first-day cohort
+    assignment, distinct active days, per-(cohort, offset) distinct
+    user counts over cohort size."""
+    import datetime as dt
+
+    from datapipeline_gcp_spark.operators.analytics import cohort_retention
+
+    base = dt.datetime(2024, 1, 1, 9, 30)
+    rows = [
+        (u, base + dt.timedelta(days=d, minutes=u)) for u, d in log
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = sorted(
+        tuple(r) for r in cohort_retention(df).collect()
+    )
+
+    first: dict[int, object] = {}
+    active: set = set()
+    for u, ts in rows:
+        d = ts.date()
+        active.add((u, d))
+        if u not in first or d < first[u]:
+            first[u] = d
+    sizes: dict = {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    cells: dict = {}
+    for u, d in active:
+        key = (first[u], (d - first[u]).days)
+        cells.setdefault(key, set()).add(u)
+    want = sorted(
+        (c, off, len(us), sizes[c], len(us) / sizes[c])
+        for (c, off), us in cells.items()
+    )
+    assert got == want
