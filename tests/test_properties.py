@@ -2632,3 +2632,151 @@ def test_cohort_retention_matches_python_dicts(spark, log):
         for (c, off), us in cells.items()
     )
     assert got == want
+
+
+@given(
+    cur_keys=st.sets(st.integers(0, 20), min_size=1, max_size=12),
+    upd_keys=st.sets(st.integers(0, 30), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_scd1_upsert_matches_python_merge(spark, cur_keys, upd_keys):
+    """scd1_upsert vs direct dict merge: update-wins payloads and the
+    insert/update/keep op classification."""
+    from datapipeline_gcp_spark.operators.maintenance import scd1_upsert
+
+    cur = spark.createDataFrame(
+        [(k, f"name{k}") for k in sorted(cur_keys)], "k bigint, payload string"
+    )
+    upd = spark.createDataFrame(
+        [(k, f"upd{k}") for k in sorted(upd_keys)], "k bigint, payload string"
+    ) if upd_keys else spark.createDataFrame([], "k bigint, payload string")
+    got = {
+        r["k"]: (r["payload"], r["op"])
+        for r in scd1_upsert(cur, upd, keys=["k"]).collect()
+    }
+    want = {}
+    for k in cur_keys | upd_keys:
+        if k in upd_keys:
+            want[k] = (f"upd{k}", "update" if k in cur_keys else "insert")
+        else:
+            want[k] = (f"name{k}", "keep")
+    assert got == want
+
+
+@given(
+    log=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 6)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_audience_overlap_matches_python_sets(spark, log):
+    """events_audience_overlap vs direct set Jaccard over per-type
+    distinct user sets — the distributed count-based intersection must
+    equal the materialized-set arithmetic it deliberately avoids."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        events_audience_overlap,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), u, t, 1.0, "{}")
+        for i, (t, u) in enumerate(log)
+    ]
+    tmp = tempfile.mkdtemp(prefix="overlap_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = sorted(
+            tuple(r) for r in events_audience_overlap(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sets: dict[str, set] = {}
+    for _i, _ts, u, t, _v, _p in rows:
+        sets.setdefault(t, set()).add(u)
+    want = []
+    types = sorted(sets)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            both = len(sets[ta] & sets[tb])
+            if not both:
+                continue
+            na, nb = len(sets[ta]), len(sets[tb])
+            jac = math.floor(both / (na + nb - both) * 1e9 + 0.5) / 1e9
+            want.append((ta, tb, na, nb, both, jac))
+    assert got == sorted(want)
+
+
+@given(
+    counts=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 9)),
+                    min_size=1, max_size=30, unique_by=lambda x: x[0])
+)
+@settings(**_SETTINGS)
+def test_anomaly_hours_match_python_window(spark, counts):
+    """events_anomaly_hours vs a direct trailing-24-ACTIVE-hour window
+    over integer counts: exact Σcnt/Σcnt² stats, the min-points gate,
+    the flat-baseline NULL, and the |z|>3 flag."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        ANOM_LOOKBACK,
+        ANOM_MIN_POINTS,
+        ANOM_Z,
+        events_anomaly_hours,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, c in counts:
+        for j in range(c):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=j), j % 3,
+                 "a", 1.0, "{}")
+            )
+            eid += 1
+    tmp = tempfile.mkdtemp(prefix="anom_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {
+            r["hour"]: (r["cnt"], r["baseline_mean"], r["z"], r["is_anomaly"])
+            for r in events_anomaly_hours(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    hours = sorted(dict(counts))
+    cnt = dict(counts)
+    want = {}
+    for h in hours:
+        basewin = [cnt[g] for g in hours if h - ANOM_LOOKBACK <= g <= h - 1]
+        if len(basewin) < ANOM_MIN_POINTS:
+            continue
+        n = float(len(basewin))
+        mean = sum(basewin) / n
+        var = sum(c * c for c in basewin) / n - mean * mean
+        z = q6((cnt[h] - mean) / math.sqrt(var)) if var > 0 else None
+        flag = abs(z) > ANOM_Z if var > 0 else False
+        want[base + dt.timedelta(hours=h)] = (cnt[h], q6(mean), z, flag)
+    assert got == want
