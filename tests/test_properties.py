@@ -2780,3 +2780,72 @@ def test_anomaly_hours_match_python_window(spark, counts):
         flag = abs(z) > ANOM_Z if var > 0 else False
         want[base + dt.timedelta(hours=h)] = (cnt[h], q6(mean), z, flag)
     assert got == want
+
+
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 60), st.sampled_from(["HI", "LO"])),
+        min_size=1,
+        max_size=30,
+    ),
+    dim=st.sets(st.integers(0, 80), min_size=0, max_size=15),
+)
+@settings(**_SETTINGS)
+def test_bloom_semijoin_matches_python_bitmap(spark, fact, dim):
+    """bloom_semijoin_report vs a Python replica of the exact bitmap:
+    identical pass verdicts bit-for-bit (the bloom is deterministic,
+    not probabilistic, once the hash is fixed), exact-membership
+    counts, false-positive accounting, and the no-false-negative
+    invariant."""
+    import hashlib
+    import math
+
+    from datapipeline_gcp_spark.functions.dedup import P
+    from datapipeline_gcp_spark.operators.relational import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_semijoin_report,
+    )
+
+    orders = spark.createDataFrame(
+        [(i, k, p) for i, (k, p) in enumerate(fact)],
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string",
+    )
+    keys = (
+        spark.createDataFrame([(k,) for k in sorted(dim)], "c_custkey bigint")
+        if dim
+        else spark.createDataFrame([], "c_custkey bigint")
+    )
+    got = sorted(
+        tuple(r) for r in bloom_semijoin_report(orders, keys).collect()
+    )
+
+    def h(i: int, key: int) -> int:
+        s = f"bloom{i}_{key}"
+        return (
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+        ) % BLOOM_BITS
+
+    bits = {h(i, k) for k in dim for i in range(BLOOM_K)}
+
+    def bloom_pass(k: int) -> bool:
+        return all(h(i, k) in bits for i in range(BLOOM_K))
+
+    agg: dict[str, list] = {}
+    for _i, (k, p) in enumerate(fact):
+        agg.setdefault(p, []).append(k)
+    want = []
+    for p, ks in agg.items():
+        n = len(ks)
+        n_exact = sum(1 for k in ks if k in dim)
+        n_pass = sum(1 for k in ks if bloom_pass(k))
+        n_fp = sum(1 for k in ks if bloom_pass(k) and k not in dim)
+        fp_rate = (
+            math.floor(n_fp / (n - n_exact) * 1e9 + 0.5) / 1e9
+            if n > n_exact
+            else None
+        )
+        # no false negatives: every member must pass
+        assert all(bloom_pass(k) for k in ks if k in dim)
+        want.append((p, n, n_exact, n_pass, n_fp, fp_rate))
+    assert got == sorted(want)
