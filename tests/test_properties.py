@@ -2849,3 +2849,140 @@ def test_bloom_semijoin_matches_python_bitmap(spark, fact, dim):
         assert all(bloom_pass(k) for k in ks if k in dim)
         want.append((p, n, n_exact, n_pass, n_fp, fp_rate))
     assert got == sorted(want)
+
+
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["1-URGENT", "2-HIGH"]),
+                  st.integers(0, 11)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_priority_drift_matches_python_shares(spark, orders):
+    """orders_priority_drift vs direct share arithmetic: per-month and
+    baseline shares from exact counts, qround'd log-ratio."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        orders_priority_drift,
+    )
+
+    rows = [
+        (i, i % 4, "O", 100.0 + i, dt.datetime(1995, 1 + m, 5),
+         p, 0, f"c{i}")
+        for i, (_k, p, m) in enumerate(orders)
+    ]
+    tmp = tempfile.mkdtemp(prefix="drift_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string, o_shippriority bigint, o_clerk string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        got = sorted(
+            (r["month"], r["o_orderpriority"], r["n"], r["share"],
+             r["baseline"], r["log_drift"])
+            for r in orders_priority_drift(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def q(x, d):
+        return math.floor(x * 10**d + 0.5) / 10**d
+
+    cells = Counter()
+    for _i, (_k, p, m) in enumerate(orders):
+        cells[(dt.datetime(1995, 1 + m, 1), p)] += 1
+    month_tot = Counter()
+    prio_tot = Counter()
+    grand = 0
+    for (mo, p), n in cells.items():
+        month_tot[mo] += n
+        prio_tot[p] += n
+        grand += n
+    want = sorted(
+        (
+            mo, p, n,
+            q(n / month_tot[mo], 9),
+            q(prio_tot[p] / grand, 9),
+            q(math.log((n / month_tot[mo]) / (prio_tot[p] / grand)), 6),
+        )
+        for (mo, p), n in cells.items()
+    )
+    assert got == want
+
+
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 7)),
+        min_size=2,
+        max_size=35,
+    )
+)
+@settings(**_SETTINGS)
+def test_basket_affinity_matches_python_counter(spark, items):
+    """parts_basket_affinity vs direct basket arithmetic: order-local
+    distinct pairs, the support floor, exact lift, and the
+    (lift desc, pair) top-k ordering."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+    from itertools import combinations
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        BASKET_MIN_COUNT,
+        BASKET_TOP_K,
+        parts_basket_affinity,
+    )
+
+    rows = [
+        (o, i, 7000 + i % 3, p, i % 5 + 1, 1.0 + i, 10.0, 0.05, 0.01,
+         dt.datetime(1995, 3, 1), "N")
+        for i, (o, p) in enumerate(items)
+    ]
+    tmp = tempfile.mkdtemp(prefix="basket_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey bigint, l_linenumber bigint, l_suppkey bigint,"
+            " l_partkey bigint, l_quantity bigint, l_extendedprice double,"
+            " l_tax double, l_discount double, l_dummy double,"
+            " l_shipdate timestamp, l_returnflag string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+        got = [
+            (r["part_a"], r["part_b"], r["n_ab"], r["n_a"], r["n_b"], r["lift"])
+            for r in parts_basket_affinity(spark, tmp).collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    baskets: dict[int, set] = {}
+    for o, p in items:
+        baskets.setdefault(o, set()).add(p)
+    pair_n = Counter()
+    item_n = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item_n[p] += 1
+        for a, b in combinations(sorted(parts), 2):
+            pair_n[(a, b)] += 1
+    n_orders = len(baskets)
+    want = []
+    for (a, b), nab in pair_n.items():
+        if nab < BASKET_MIN_COUNT:
+            continue
+        lift = math.floor(
+            nab * n_orders / (item_n[a] * item_n[b]) * 1e9 + 0.5
+        ) / 1e9
+        want.append((a, b, nab, item_n[a], item_n[b], lift))
+    want.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == want[:BASKET_TOP_K]
