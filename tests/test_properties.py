@@ -2986,3 +2986,115 @@ def test_basket_affinity_matches_python_counter(spark, items):
         want.append((a, b, nab, item_n[a], item_n[b], lift))
     want.sort(key=lambda t: (-t[5], t[0], t[1]))
     assert got == want[:BASKET_TOP_K]
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.sampled_from(["view", "purchase", "click"]),
+            st.integers(0, 500),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_conversion_latency_matches_python(spark, users):
+    """events_conversion_latency vs direct first-view→first-purchase
+    arithmetic: negative gaps excluded, exact mean, (n-1)*p percentile
+    interpolation — including the all-negative / no-converter edge
+    where every output is NULL over a count of 0."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        events_conversion_latency,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u, t, 1.0, "{}")
+        for i, (u, t, m) in enumerate(users)
+    ]
+    tmp = tempfile.mkdtemp(prefix="convlat_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = events_conversion_latency(spark, tmp).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    first: dict[tuple, object] = {}
+    for u, t, m in users:
+        key = (u, t)
+        if key not in first or m < first[key]:
+            first[key] = m
+    lats = []
+    for u in {u for u, _t, _m in users}:
+        if (u, "view") in first and (u, "purchase") in first:
+            d_us = (first[(u, "purchase")] - first[(u, "view")]) * 60_000_000
+            if d_us >= 0:
+                lats.append(d_us)
+
+    if not lats:
+        assert got["n_converted"] == 0
+        assert got["mean_latency_us"] is None
+        assert got["p50_us"] is None
+        return
+
+    def interp(xs, p):
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        lo, hi = int(k), min(int(k) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (k - lo)
+
+    assert got["n_converted"] == len(lats)
+    assert abs(got["mean_latency_us"] - sum(lats) / len(lats)) < 1e-6
+    for col, p in (("p50_us", 0.5), ("p90_us", 0.9), ("p99_us", 0.99)):
+        assert abs(got[col] - interp(lats, p)) < 1e-6, (col, got[col])
+
+
+@given(ids=st.sets(st.integers(0, 400), min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_domain_caps_match_python_counter(spark, ids):
+    """web_domain_caps vs direct per-host arithmetic on the planted-URL
+    derivation: doc-id-ordered rank against the cap, kept counts, and
+    the max kept id per host."""
+    import shutil
+    import tempfile
+
+    from datapipeline_gcp_spark.functions.cleaning import (
+        DOMAIN_CAP,
+        web_domain_caps,
+    )
+
+    rows = [(i, f"text {i}", "en", "src0", 7) for i in sorted(ids)]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    tmp = tempfile.mkdtemp(prefix="domcap_prop_")
+    try:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/documents.parquet")
+        got = sorted(tuple(r) for r in web_domain_caps(spark, tmp).collect())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    hosts: dict[str, list] = {}
+    for i in sorted(ids):
+        dom = i % 3 if i % 4 == 0 else i % 50
+        hosts.setdefault(f"www.site{dom}.example", []).append(i)
+    want = sorted(
+        (
+            h,
+            len(ds),
+            min(len(ds), DOMAIN_CAP),
+            max(ds[:DOMAIN_CAP]),
+        )
+        for h, ds in hosts.items()
+    )
+    assert got == want
