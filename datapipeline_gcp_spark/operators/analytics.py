@@ -1508,8 +1508,18 @@ def orders_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("revenue"),
     )
     w = Window.orderBy("month")
-    mom = F.col("revenue") / F.lag("revenue", 1).over(w) - 1.0
-    yoy = F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0
+    # nullif: a zero-revenue month (all-zero prices — possible with
+    # free orders in production data, never in the fixture) made both
+    # change ratios THROW under ANSI; NULL is DuckDB's double/0, so
+    # the oracle is unchanged
+    mom = (
+        F.col("revenue") / F.nullif(F.lag("revenue", 1).over(w), F.lit(0.0))
+        - 1.0
+    )
+    yoy = (
+        F.col("revenue") / F.nullif(F.lag("revenue", 12).over(w), F.lit(0.0))
+        - 1.0
+    )
     return monthly.select(
         "month",
         "n_orders",

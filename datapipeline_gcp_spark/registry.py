@@ -214,6 +214,10 @@ _RECHECK: dict[str, int] = {
     # sibling of line_filter's kept_frac crash; fixture never reaches
     # it, property test does)
     "text_boilerplate_lines": 7,
+    # seasonality change ratios nullif-guarded (a zero-revenue month's
+    # successor divided by 0 under ANSI; DuckDB double/0 is NULL).
+    # 45 pins + 5 defers = the window is now exactly full.
+    "orders_monthly_seasonality": 7,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

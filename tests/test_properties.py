@@ -3098,3 +3098,90 @@ def test_domain_caps_match_python_counter(spark, ids):
         for h, ds in hosts.items()
     )
     assert got == want
+
+
+@given(
+    months=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 300)),
+        min_size=1, max_size=25, unique_by=lambda x: x[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_monthly_seasonality_matches_python_lags(spark, months):
+    """orders_monthly_seasonality vs direct lag arithmetic over the
+    month-ordered revenue series — including a zero-revenue month
+    (every (h % 7 == 0) month gets all-zero prices), which must yield a
+    NULL change ratio (DuckDB's double/0), not an ANSI crash, in the
+    FOLLOWING month. Checked against the registered oracle on the same
+    degenerate table so both engines are pinned."""
+    import datetime as dt
+    import math
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from datapipeline_gcp_spark.operators.analytics import (
+        _SEASONALITY_ORACLE,
+        orders_monthly_seasonality,
+    )
+
+    rows = []
+    i = 0
+    for m, v in months:
+        price = 0.0 if m % 7 == 0 else float(v) + 0.25
+        for j in range(2):
+            rows.append(
+                (i, i % 4, "O",
+                 price,
+                 dt.datetime(1995 + m // 12, m % 12 + 1, 3 + j),
+                 "1-URGENT", 0, f"c{i}")
+            )
+            i += 1
+    tmp = tempfile.mkdtemp(prefix="season_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string, o_shippriority bigint, o_clerk string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+        got = sorted(
+            tuple(r) for r in orders_monthly_seasonality(spark, tmp).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp}/orders.parquet/*.parquet'"
+        )
+        want_oracle = sorted(
+            tuple(r) for r in con.execute(_SEASONALITY_ORACLE).fetchall()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # leg 1: engine vs oracle on the degenerate table
+    assert len(got) == len(want_oracle)
+    for g, w in zip(got, want_oracle):
+        for a, b in zip(g, w):
+            if isinstance(a, float) and b is not None:
+                assert abs(a - b) < 1e-9, (g, w)
+            else:
+                assert (a is None) == (b is None), (g, w)
+
+    # leg 2: engine vs direct Python lag arithmetic
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    series = sorted(
+        (dt.datetime(1995 + m // 12, m % 12 + 1, 1),
+         2 * (0.0 if m % 7 == 0 else float(v) + 0.25))
+        for m, v in months
+    )
+    for idx, (g, (mo, rev)) in enumerate(zip(got, series)):
+        assert g[0] == mo and g[1] == 2
+        assert abs(g[2] - rev) < 1e-9
+        for col, k in ((3, 1), (4, 12)):
+            if idx - k < 0 or series[idx - k][1] == 0.0:
+                assert g[col] is None, (g, idx, k)
+            else:
+                assert abs(g[col] - q6(rev / series[idx - k][1] - 1.0)) < 1e-9
