@@ -183,6 +183,10 @@ def main() -> None:
             if all(samples.get(n) for n in headline_names)
             else None
         ),
+        # ADVICE r7: no in-repo tool compares the sums numerically (the
+        # freeze contract is applied by a human reading this file), but
+        # any future consumer must treat null as FAILED ROUND, not zero
+        "headline_sum_null_means": "a headline query lost every sample - failed round",
     }
     # carry forward the hand-recorded isolated re-timings (written by
     # tools/time_query.py audits) — the shared-JVM tail numbers written

@@ -218,7 +218,10 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_filter(_with_planted_lines(docs))
 
 
-_D_TOKS = "string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')"
+# NULL ≡ '' — twin of dedup._D_NORM's coalesce (r8 text boundary)
+_D_TOKS = (
+    "string_split(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')"
+)
 
 _LINE_ORACLE = f"""
 WITH toked AS (

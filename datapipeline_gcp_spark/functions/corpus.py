@@ -667,13 +667,14 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # n_tokens mirrors text.py's with_text_metrics: regex \s+ split on the
 # trimmed text (NOT a single-space split)
-_D_NTOK = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+# NULL ≡ '' (r8 text boundary; twin of with_text_metrics' coalesce)
+_D_NTOK = "CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS BIGINT)"
 
 _DATACARD_ORACLE = f"""
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM({_D_NTOK}) AS BIGINT) AS total_tokens,
-       CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT) AS total_chars,
        CAST(MAX({_D_NTOK}) AS BIGINT) AS max_tokens,
        CAST(CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END AS BIGINT)
          AS g_lang,
@@ -1434,7 +1435,10 @@ def fim_transform(
     retries, and partitionings — the property that makes epoch-stable
     training data. Pure column math: split, two hashes, three slices,
     one concat; no shuffle at all (embarrassingly parallel over docs)."""
-    t = F.split(F.col(text_col), " ")
+    # NULL ≡ '' at the text boundary (r8; VERIFY_DEGENERATE.md) —
+    # without it Spark's NULL-poisoning concat emits a NULL fim_text
+    # where DuckDB's NULL-skipping concat emits the bare markers.
+    t = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(t)
     did = F.col(id_col).cast("string")
     h1 = _md5int_col(F.concat(F.lit("fim1_"), did)) % (n + 1)
@@ -1464,7 +1468,8 @@ def corpus_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIM_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+         len(string_split(coalesce(text, ''), ' ')) AS n
   FROM documents
 ),
 cuts AS (

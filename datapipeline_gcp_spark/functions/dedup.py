@@ -51,7 +51,15 @@ SIMHASH_BITS = 60  # full md5-60 bits; 4 x 15-bit blocks
 
 
 def normalized(text: Column) -> Column:
-    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    """Whitespace-collapsed lower-cased text, with NULL ≡ the empty
+    document. The ``coalesce`` is the r8 NULL-text boundary fix
+    (VERIFY_DEGENERATE.md): without it ``split(normalized(NULL))`` is a
+    NULL *array*, ``explode_outer`` leaks a NULL token, and
+    ``element_at(map, NULL)`` throws under ANSI — while the DuckDB
+    oracles' ``unnest(NULL)`` yields nothing. Defining NULL ≡ '' at
+    this single boundary (and in :data:`_D_NORM`, the oracle-side twin)
+    makes both engines agree on every downstream token/shingle op."""
+    return F.lower(F.regexp_replace(F.trim(F.coalesce(text, F.lit(""))), r"\s+", " "))
 
 
 def grams_of(tokens: Column, n: int = 3) -> Column:
@@ -478,7 +486,7 @@ def neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .withColumn("doc_id", F.col("doc_id") + 1_000_000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _NEAR_SUFFIX)))
+        .withColumn("text", F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" " + _NEAR_SUFFIX)))
     )
     # Signature computation is expression-heavy per row; a small corpus
     # parquet arrives as ONE input split, which would serialize all that
@@ -505,7 +513,9 @@ FROM documents WHERE doc_id % 10 = 0
 # DuckDB oracles — the same algorithms in DuckDB's dialect
 # ---------------------------------------------------------------------------
 
-_D_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+# NULL ≡ '' — the oracle-side twin of ``normalized()``'s coalesce
+# (r8 NULL-text boundary; VERIFY_DEGENERATE.md)
+_D_NORM = "lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))"
 _D_BH = "(CAST(concat('0x', substr(md5({s}),1,15)) AS BIGINT) % 1000000007)"
 
 def d_shingles_sql(n: int, distinct: bool = True) -> str:
@@ -636,7 +646,11 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     AS jaccard
 FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  -- IS NOT DISTINCT FROM: the engine blocks via groupBy, where a NULL
+  -- lang is a block VALUE (all unknown-language docs block together);
+  -- a plain `=` join silently drops the NULL block (r8 nulltext sweep)
+  ON a.lang IS NOT DISTINCT FROM b.lang
+  AND a.source IS NOT DISTINCT FROM b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     >= 0.2
@@ -871,7 +885,7 @@ def incremental_fixture(
     near = (
         docs.filter(F.col("doc_id") % 5 == 0)
         .withColumn("doc_id", F.col("doc_id") + 2_000_000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" " + _NEAR_SUFFIX)))
+        .withColumn("text", F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" " + _NEAR_SUFFIX)))
     )
     exact = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
         "doc_id", F.col("doc_id") + 3_000_000
@@ -1175,7 +1189,9 @@ def passage_dedup(
     tie-break — deterministic under any partitioning), then one doc-keyed
     aggregate to reassemble. ``collect_list`` there is per-document
     bounded (a document's own passages), never corpus-scale."""
-    tokens = F.split(F.col(text_col), " ")
+    # NULL ≡ '' (r8 text boundary): a NULL document is one empty chunk
+    # in both engines, not zero rows here vs NULL-array explosion there
+    tokens = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_chunks = F.ceil(F.size(tokens) / F.lit(float(width))).cast("int")
     chunks = df.select(
         id_col,
@@ -1235,9 +1251,11 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(
             F.col("doc_id") % 4 == 0,
-            F.concat(F.lit(_PLANT_PASSAGE + " "), F.col("text")),
+            # coalesce: Spark's concat NULL-poisons where DuckDB's skips
+            # NULL args, so the planted prefix must land on '' not NULL
+            F.concat(F.lit(_PLANT_PASSAGE + " "), F.coalesce(F.col("text"), F.lit(""))),
         )
-        .otherwise(F.col("text"))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
         .alias("text"),
     )
     return passage_dedup(planted)
@@ -1247,7 +1265,8 @@ _PASSAGE_ORACLE = f"""
 WITH docs2 AS (
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0
-              THEN concat('{_PLANT_PASSAGE} ', text) ELSE text END AS text
+              THEN concat('{_PLANT_PASSAGE} ', coalesce(text, ''))
+              ELSE coalesce(text, '') END AS text
   FROM documents
 ),
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs2),

@@ -228,6 +228,10 @@ WITH raw AS (
          ['image','audio','video'][(doc_id % 3) + 1] AS kind,
          hex(encode(text)) AS h
   FROM documents
+  -- NULL payload = absent/corrupt object: the worker SKIPS the row
+  -- (r7 bytes(None) fix) rather than emitting NULL features — a
+  -- binary payload has no 'empty document' reading, unlike text
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT asset_id, kind,

@@ -56,7 +56,12 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``quality_score``: linear combination in [0,1]-ish used for
       corpus filtering; deterministic double arithmetic.
     """
-    t = F.col(text_col)
+    # NULL ≡ '' at the text boundary (r8; VERIFY_DEGENERATE.md): a NULL
+    # document metric-izes as the empty document (n_chars 0, n_tokens 1)
+    # instead of NULL-poisoning every downstream cumsum — the
+    # bucket-decomposed budget cumsum is NOT equivalent to the oracle's
+    # single window when NULL token counts can make a frame all-NULL.
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t).cast("bigint")
     n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
     punct = F.regexp_count(t, F.lit(_PUNCT)).cast("bigint")
@@ -80,7 +85,9 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
-        F.expr(f"(length({text_col}) + 3) div 4").cast("bigint").alias("est_bpe_tokens"),
+        F.expr(f"(length(coalesce({text_col}, '')) + 3) div 4")
+        .cast("bigint")
+        .alias("est_bpe_tokens"),
         punct.alias("punct_count"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
@@ -92,7 +99,11 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-hit language ID: per-language hit counts + argmax with a
     deterministic first-wins tie-break (the LANG_MARKERS key order)."""
-    lowered = F.lower(F.col(text_col))
+    # NULL ≡ '' (r8 text boundary): a NULL document scores 0 on every
+    # language and classifies 'und' in BOTH engines — without the
+    # coalesce the oracle's CASE falls through NULL comparisons to the
+    # ELSE branch and labels NULL text 'fr'.
+    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     scores = {
         lang: F.regexp_count(lowered, F.lit(_marker_pattern(lang))).cast("bigint")
         for lang in LANG_MARKERS
@@ -187,17 +198,18 @@ def _rc(expr: str, pattern: str) -> str:
 _METRICS_ORACLE = f"""
 WITH b AS (
   SELECT *,
-    CAST(strlen(text) AS BIGINT) AS n_chars_calc,
-    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-    CAST({_rc('text', _PUNCT)} AS BIGINT) AS punct_count,
-    CAST({_rc('text', _DIGIT)} AS BIGINT) AS digit_count,
-    CAST({_rc('lower(text)', _marker_pattern('en'))} AS BIGINT) AS stop_hits
+    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
+    CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+         AS BIGINT) AS n_tokens,
+    CAST({_rc("coalesce(text, '')", _PUNCT)} AS BIGINT) AS punct_count,
+    CAST({_rc("coalesce(text, '')", _DIGIT)} AS BIGINT) AS digit_count,
+    CAST({_rc("lower(coalesce(text, ''))", _marker_pattern('en'))} AS BIGINT) AS stop_hits
   FROM documents
 )
 SELECT
   doc_id, text, lang, source, n_chars,
   n_chars_calc, n_tokens,
-  CAST((strlen(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
+  CAST((strlen(coalesce(text, '')) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
   punct_count,
   punct_count / n_chars_calc AS punct_ratio,
   digit_count / n_chars_calc AS digit_ratio,
@@ -213,7 +225,8 @@ _LANGID_ORACLE = f"""
 WITH s AS (
   SELECT *,
     {", ".join(
-        f"CAST({_rc('lower(text)', _marker_pattern(lang))} AS BIGINT) AS score_{lang}"
+        "CAST(%s AS BIGINT) AS score_%s"
+        % (_rc("lower(coalesce(text, ''))", _marker_pattern(lang)), lang)
         for lang in LANG_MARKERS
     )}
   FROM documents

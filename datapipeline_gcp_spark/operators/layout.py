@@ -164,10 +164,16 @@ def orders_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir, ("orders", "lineitem"))
     # Write the partitioned layer once per (session, sf_dir) — ADVICE
     # r6: rewriting the shared catalog table on EVERY invocation put the
-    # full partitioned write inside the benched timing and would race
-    # were two sessions to share a warehouse. A repeat invocation at the
-    # same sf reuses the layer, so the timing reflects the pruned join;
-    # a different sf (or a table someone else dropped) rebuilds it.
+    # full partitioned write inside the benched timing. A repeat
+    # invocation at the same sf reuses the layer, so steady-state timing
+    # reflects the pruned join; a different sf (or a table someone else
+    # dropped) rebuilds it. Two residual caveats (ADVICE r7, accepted):
+    # _DPP_WRITTEN is PROCESS-local, so two concurrent sessions sharing
+    # one warehouse can still interleave overwrite/read of DPP_TABLE
+    # (the bench protocol runs one session; a shared deployment would
+    # key the table per session), and the FIRST timed invocation per
+    # session still includes the full partitioned write — bench.py's
+    # min-of-N discards that warm-up sample.
     key = (spark.sparkContext.applicationId, sf_dir)
     if not _DPP_WRITTEN.get(key) or not spark.catalog.tableExists(DPP_TABLE):
         fact = t["orders"].withColumn("o_year", F.year("o_orderdate"))

@@ -83,141 +83,68 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # (r5 pins pruned: both reshaped sketch twins were proven green in
-    # r5 — CORRECTNESS_r05.json — making them inert; earlier rounds'
-    # pins pruned the same way.)
-    # r6 rewrote this gate's body + the archival machinery under it
-    # without pinning (VERDICT r6 "What's wrong" #1) — re-prove on the
-    # shipped code; r7 additionally adds the parquet landing branch to
-    # the shared ``streaming/ingest.py`` reader both event gates ride.
-    "events_stream_e2e_ingest_gate": 7,
-    "events_stream_crossrun_redelivery_gate": 7,
-    # r7 adds the id-floor guard (ADVICE r6) inside the query body
-    "dedup_clusters_incremental": 7,
-    # r7 makes the DPP layer write once per (session, sf) (ADVICE r6)
-    "orders_partition_pruned_join": 7,
-    # r7 rewrote ``grams_of`` (element_at → try_element_at: a plain OOB
-    # element_at THROWS under ANSI — Spark 4 default and the driver's
-    # vanilla session — so sub-n-token documents crashed every shingle
-    # consumer; caught by the containment property test shrinking to
-    # single-token docs). Output is identical on gate data, but every
-    # shingle-consuming green outside the r7 window must re-prove on
-    # the shipped code; the in-window consumers (dedup_minhash_lsh,
-    # text_repetition, contamination_eval_vs_train, the new gates)
-    # re-prove without pins.
-    "dedup_verified": 7,
-    "dedup_incremental": 7,
-    "dedup_minhash_calibration": 7,
-    "dedup_clusters": 7,
-    "dedup_ngram_jaccard": 7,
-    "dedup_substring": 7,
-    # r7: bpe_train stops early at pair exhaustion instead of raising
-    # a bare IndexError (empty-input robustness probe)
-    "bpe_train_merges": 7,
-    # r7: pagerank returns an empty rank frame on an empty graph
-    # instead of ZeroDivisionError (same probe)
-    "graph_pagerank": 7,
-    # r7: multimodal workers skip NULL payloads (bytes(None) killed the
-    # Arrow worker; an absent/corrupt object must not fail the job)
-    "multimodal_feature_extract": 7,
-    "multimodal_frame_sample": 7,
-    "multimodal_resize": 7,
-    "multimodal_phash_dedup": 7,
-    # r7: sample_weight guarded with nullif — a zero per-mille stratum
-    # rate crashed at PLAN time under ANSI constant folding
-    "corpus_stratified_sample": 7,
-    # r7: ANSI divide-by-zero guards — under Spark 4's default ANSI
-    # mode a double division by zero THROWS (DuckDB returns NULL), so
-    # zero-magnitude embeddings crashed every cosine consumer and a
-    # zero sampling weight crashed weighted_sample. cosine() now
-    # nullif-guards (NULL, exactly the oracle's semantics); every
-    # cosine consumer outside the window is pinned below. The r3-tier
-    # consumers re-prove without pins, but the pins push the last two
-    # CODE-UNCHANGED r3-stale entries (corpus_unigram_logprob,
-    # corpus_datacard) out of the 50-slot window — accepted trade
-    # (VERDICT r6 #5 anticipated displacement; an unpinned rewrite is
-    # the worse violation), they re-front in r8. Two sibling guards
-    # are DEFERRED to r8 for the same window arithmetic: text-ratio
-    # divisions on empty documents (functions/text.py, would pin
-    # text_metrics + corpus_mixture_weights + corpus_source_budget)
-    # and the funnel n1=0 conversion rate (operators/analytics.py,
-    # would pin events_funnel).
-    "dedup_semantic": 7,
-    "ann_ivf_cell_stats": 7,
-    "mining_hard_negatives": 7,
-    "ann_bruteforce_topk": 7,
-    "ann_lsh_topk": 7,
-    "embedding_cosine_neardup": 7,
-    # grams_of consumers pushed past slot 50 by the pins above
-    "dedup_minhash_lsh": 7,
-    "text_repetition": 7,
-    # weighted_sample itself rewrote (try_divide) — pin per policy
-    # (its r4-tier rank happened to sit at slot 49, but policy rank is
-    # 0.5, not luck)
-    "corpus_weighted_sample": 7,
-    # line_filter kept_frac try_divide-guarded (zero-line document) —
-    # window-neutral pin: text_line_filter already sat in the r7
-    # window as r3-stale
-    "text_line_filter": 7,
-    # readability ratios nullif-guarded (a zero-[a-z]-word document —
-    # digits-only or non-Latin — crashed both divisions under ANSI;
-    # DuckDB double/0 is NULL so the oracle string is unchanged).
-    # Window-neutral: text_readability already sat in the r7 window
-    # as r3-stale
-    "text_readability": 7,
-    # centroid-ranking division nullif-guarded in ann_ivf_topk /
-    # ann_ivf_cell_stats / dedup_semantic (a zero padding vector among
-    # the centroid seeds has cnorm = 0 → ANSI throw; DuckDB yields
-    # NULL, ordered last by DESC in both engines). cell_stats and
-    # semantic were already pinned above; ann_ivf_topk sat in the r7
-    # window as r3-stale — window-neutral
-    "ann_ivf_topk": 7,
-    # r7 empty-corpus sweep (tools/make_degenerate_fixtures.py +
-    # driver_sim at SIM_SF=empty): every registered query run against
-    # ZERO-row tables with the DuckDB oracle as arbiter found five fix
-    # classes; each touched green below re-proves per policy. Eight of
-    # nine are out-of-window pins — they displace the window tail's
-    # r3-stale refreshes into r8 (accepted: an unpinned rewrite is the
-    # worse violation, VERDICT r6 #2).
-    # (a) driver-side types[0] crash on empty events (shared split
-    #     helper — NULL-literal filter mirrors the oracle's min/max)
-    "asof_join_events": 7,
-    "asof_join_forward_events": 7,
-    # (b) ANSI grand-total patch-up: Spark's Expand-based grouping sets
-    #     emit nothing from nothing; ANSI and DuckDB emit the () row —
-    #     unioned a COUNT(*)=0-gated global aggregate (hot path
-    #     untouched)
-    "rollup_agg": 7,
-    "cube_agg": 7,
-    "grouping_sets_agg": 7,
-    "corpus_datacard": 7,
-    # (c) funnel conv_rate n1=0 nullif guard (the r7-deferred sibling,
-    #     now sweep-proven)
-    "events_funnel": 7,
-    # (d) profile: format_string renders NULL as the literal 'null'
-    #     (DuckDB printf yields NULL) + SUM-over-empty vs COUNT(*)=0
-    "lineitem_profile": 7,
-    # (e) gate row-count expectation now skips no-data batches, exactly
-    #     as process() does (in-window already — neutral)
-    "dedup_stream_incremental_gate": 7,
-    # r7 (late): the previously-DEFERRED with_text_metrics ratio guards
-    # — an empty document (n_chars = 0) threw under ANSI; nullif = the
-    # oracle's BIGINT/0 NULL (probed directly: DuckDB 3/0 IS NULL).
-    # 38 pins + 5 defers left 7 window slots, so these four fit without
-    # pushing any pinned recheck out (they displace 4 more r3/r4-stale
-    # tail entries into r8). All four consumers of the shared helper:
-    "text_metrics": 7,
-    "corpus_mixture_weights": 7,
-    "corpus_source_budget": 7,
-    "corpus_curation": 7,
-    # boiler_frac nullif-guarded (zero-line document — the latent
-    # sibling of line_filter's kept_frac crash; fixture never reaches
-    # it, property test does)
-    "text_boilerplate_lines": 7,
-    # seasonality change ratios nullif-guarded (a zero-revenue month's
-    # successor divided by 0 under ANSI; DuckDB double/0 is NULL).
-    # 45 pins + 5 defers = the window is now exactly full.
-    "orders_monthly_seasonality": 7,
+    # (r7's 44 pins pruned: CORRECTNESS_r07.json proved all 50 window
+    # entries green — every pin inert; earlier rounds' pins pruned the
+    # same way.)
+    #
+    # r8 NULL-text boundary fix (VERDICT r7 #1 / VERIFY_DEGENERATE.md):
+    # NULL text ≡ the empty document, defined ONCE at the normalization
+    # boundary — coalesce(text,'') inside dedup.normalized() and its
+    # oracle twins (dedup._D_NORM, cleaning._D_TOKS, corpus._D_NTOK,
+    # text._METRICS_ORACLE / _LANGID_ORACLE) plus per-op branches
+    # (fim, passages, roundtrip checksum, multimodal NULL-payload skip,
+    # jaccard NULL-block join). 46 oracle strings changed (diffed
+    # programmatically vs HEAD) + corpus_curation (engine-only:
+    # consumes the coalesced fixtures/metrics, oracle byte-identical).
+    # All 47 re-proven locally: nulltext + empty + sf0.01 sweeps all
+    # 178/178 on this code.
+    "contamination_eval_vs_train": 8,
+    "corpus_balance_report": 8,
+    "corpus_collocations": 8,
+    "corpus_curation": 8,
+    "corpus_datacard": 8,
+    "corpus_distinct_kmv": 8,
+    "corpus_dsir_select": 8,
+    "corpus_fim_split": 8,
+    "corpus_inverted_index": 8,
+    "corpus_mixture_weights": 8,
+    "corpus_pack_chunks": 8,
+    "corpus_padding_waste": 8,
+    "corpus_ppl_buckets": 8,
+    "corpus_source_budget": 8,
+    "corpus_tfidf_topk": 8,
+    "corpus_training_manifest": 8,
+    "corpus_unigram_logprob": 8,
+    "corpus_vocab_encode": 8,
+    "corpus_vocab_topk": 8,
+    "dedup_clusters": 8,
+    "dedup_clusters_incremental": 8,
+    "dedup_containment": 8,
+    "dedup_crosslingual_leakage": 8,
+    "dedup_exact": 8,
+    "dedup_impact_report": 8,
+    "dedup_incremental": 8,
+    "dedup_minhash_calibration": 8,
+    "dedup_minhash_lsh": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_passages": 8,
+    "dedup_simhash": 8,
+    "dedup_stream_incremental_gate": 8,
+    "dedup_substring": 8,
+    "dedup_url_content_funnel": 8,
+    "dedup_verified": 8,
+    "doc_chunking": 8,
+    "lang_confusion_matrix": 8,
+    "multimodal_feature_extract": 8,
+    "retrieval_bm25_topk": 8,
+    "retrieval_rrf_hybrid": 8,
+    "source_jsonl_roundtrip": 8,
+    "source_orc_roundtrip": 8,
+    "text_boilerplate_lines": 8,
+    "text_language_id": 8,
+    "text_line_filter": 8,
+    "text_metrics": 8,
+    "text_repetition": 8,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
@@ -229,18 +156,10 @@ _RECHECK: dict[str, int] = {
 #: the window sooner) — module declaration order is the wrong tie-break
 #: for a hand-prioritized queue.
 _DEFER: dict[str, int] = {
-    # (r3-r5 entries pruned: all nine carried green rows by r5 —
-    # CORRECTNESS_r04/r05.json — making them inert.)
-    # (r6 entries pruned: crossrun gate / DPP proof / incremental CC all
-    # carry r6 greens — inert.)
-    # r7 registrations (VERDICT r6 next-steps #2/#6). The r7 window:
-    # 3 _RECHECK pins + these two + the 24 r3-stale greens = 29 slots,
-    # leaving ~21 for the oldest r4 tier.
-    "multimodal_stream_ingest_gate": 0,  # r6 verdict #2 (r5 #6b)
-    "dedup_stream_incremental_gate": 1,  # r6 verdict #6
-    "retrieval_rrf_hybrid": 2,  # hybrid lexical+dense rank fusion
-    "dedup_containment": 3,  # asymmetric-Jaccard excerpt detection
-    "corpus_dsir_select": 4,  # DSIR importance weighting (Xie 2023)
+    # (r7 entries pruned: all five r7 registrations — both stream
+    # gates, retrieval_rrf_hybrid, dedup_containment, corpus_dsir_select
+    # — carry r7 greens in CORRECTNESS_r07.json, making them inert;
+    # r3-r6 entries pruned the same way in earlier rounds.)
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

@@ -205,8 +205,9 @@ _ROUNDTRIP_ORACLE = """
 SELECT lang, source,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM((CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT)
-                 % 1000000007)) AS BIGINT) AS text_checksum
+       CAST(SUM(CASE WHEN text IS NOT NULL THEN
+                 (CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT)
+                  % 1000000007) END) AS BIGINT) AS text_checksum
 FROM documents
 GROUP BY lang, source
 """
