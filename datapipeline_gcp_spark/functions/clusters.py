@@ -910,12 +910,83 @@ FROM deg GROUP BY 1
 """
 
 
+def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a HIGH-DIAMETER planted graph — the
+    external proof of :func:`connected_components_star` (VERDICT r7 #6:
+    label propagation is O(diameter) rounds; this tier must not be).
+
+    Fixture: within each source, consecutive documents (doc_id order)
+    are chained, with the link (a, b) dropped when ``(a + b) % 7 = 0``
+    — long path segments of varying length (diameter scales with the
+    corpus, exactly the regime that starves label propagation) plus
+    singleton nodes where both links broke. The engine runs the REAL
+    O(log n)-round star contraction over the edge list; the oracle
+    exploits the planted structure (a path segment's component is the
+    segment minimum) with two window passes — break-flag running sum →
+    segment id → MIN per segment — no recursion needed, which is what
+    makes a transitive closure checkable in plain SQL at this size.
+
+    Returns (doc_id, component, component_size). Scale shape: edge
+    build is ONE window over (source, doc_id); contraction is two
+    grouped aggregations per round over a SHRINKING edge list; the
+    size rollup is component-cardinality."""
+    docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("source").orderBy("doc_id")
+    edges = (
+        docs.select("source", "doc_id")
+        .withColumn("nxt", F.lead("doc_id").over(w))
+        .filter(F.col("nxt").isNotNull() & ((F.col("doc_id") + F.col("nxt")) % 7 != 0))
+        .select(F.col("doc_id").alias("doc_a"), F.col("nxt").alias("doc_b"))
+    )
+    comp = connected_components_star(edges)
+    out = (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    wc = Window.partitionBy("component")
+    return out.select(
+        "doc_id",
+        "component",
+        F.count("*").over(wc).cast("bigint").alias("component_size"),
+    )
+
+
+_CHAIN_ORACLE = """
+WITH linked AS (
+  SELECT source, doc_id,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt,
+         lag(doc_id)  OVER (PARTITION BY source ORDER BY doc_id) AS prv
+  FROM documents
+),
+seg AS (
+  -- a row STARTS a new segment when its backward link is absent/broken;
+  -- the running sum of start flags within a source is the segment id
+  SELECT source, doc_id,
+         SUM(CASE WHEN prv IS NULL OR (prv + doc_id) % 7 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM linked
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY source, seg_id) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY source, seg_id) AS BIGINT)
+         AS component_size
+FROM seg
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_incremental": dedup_clusters_incremental,
     "graph_pagerank": graph_pagerank,
     "graph_triangles": graph_triangles,
     "graph_degree_histogram": graph_degree_histogram,
+    "graph_components_chain": graph_components_chain,
 }
 ORACLES = {
     "dedup_clusters": _CLUSTERS_ORACLE,
@@ -923,4 +994,5 @@ ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
     "graph_triangles": _TRIANGLES_ORACLE,
     "graph_degree_histogram": _DEGREE_ORACLE,
+    "graph_components_chain": _CHAIN_ORACLE,
 }

@@ -160,6 +160,9 @@ _DEFER: dict[str, int] = {
     # gates, retrieval_rrf_hybrid, dedup_containment, corpus_dsir_select
     # — carry r7 greens in CORRECTNESS_r07.json, making them inert;
     # r3-r6 entries pruned the same way in earlier rounds.)
+    # r8: star-contraction CC proven externally on a planted
+    # high-diameter chain graph (VERDICT r7 #6)
+    "graph_components_chain": 0,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
