@@ -650,6 +650,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # a graph edge needs two IDENTITIES: a NULL key row is dropped
+        # in both engines (r8 nullkeys sweep — without the filter Spark's
+        # NULL-poisoning concat makes a NULL node while DuckDB's
+        # NULL-skipping concat makes a ghost 'c_' node, and the rank
+        # mass distribution diverges). Pushed into the scans.
+        .filter(F.col("l_suppkey").isNotNull() & F.col("o_custkey").isNotNull())
         .select(
             F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
             F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
@@ -674,6 +680,7 @@ def _pagerank_oracle(iters: int = PR_ITERS) -> str:
 WITH pairs AS (
   SELECT DISTINCT concat('s_', l_suppkey) AS s, concat('c_', o_custkey) AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
 ),
 edges AS (
   SELECT s AS src, c AS dst FROM pairs
@@ -868,6 +875,9 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # NULL keys carry no graph identity — same edge rule as
+        # graph_pagerank (r8 nullkeys sweep)
+        .filter(F.col("l_suppkey").isNotNull() & F.col("o_custkey").isNotNull())
         .select(
             F.concat(F.lit("s_"), F.col("l_suppkey")).alias("s"),
             F.concat(F.lit("c_"), F.col("o_custkey")).alias("c"),
@@ -893,6 +903,7 @@ _DEGREE_ORACLE = """
 WITH pairs AS (
   SELECT DISTINCT concat('s_', l_suppkey) AS s, concat('c_', o_custkey) AS c
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey IS NOT NULL AND o_custkey IS NOT NULL
 ),
 edges AS (
   SELECT s AS src, c AS dst FROM pairs

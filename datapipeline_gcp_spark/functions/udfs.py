@@ -101,11 +101,25 @@ def robust_zscore_builtin(
     is what production should call (measured 3.7 s → 1.05 s at sf0.1,
     and the gap widens with group size — the pandas path additionally
     breaks outright when one group outgrows a worker)."""
+    def _nullsafe_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        # eqNullSafe (<=>): the stats come from a groupBy, where a NULL
+        # group key IS a group — an equi-join would drop its rows from
+        # the scored output (r8 nullkeys sweep; the grouped-map twin
+        # keeps them, and the two variants share one oracle). <=> keys
+        # still hash-join, so the plan shape is unchanged.
+        r = right
+        cond = None
+        for c in group_cols:
+            r = r.withColumnRenamed(c, f"__{c}")
+            this = left[c].eqNullSafe(F.col(f"__{c}"))
+            cond = this if cond is None else (cond & this)
+        return left.join(r, cond).drop(*[f"__{c}" for c in group_cols])
+
     med = df.groupBy(*group_cols).agg(
         F.percentile(value_col, F.lit(0.5)).alias("_med")
     )
     mad = (
-        df.join(med, group_cols)
+        _nullsafe_join(df, med)
         .groupBy(*group_cols)
         .agg(
             F.percentile(
@@ -115,7 +129,7 @@ def robust_zscore_builtin(
         )
     )
     scale = F.lit(1.4826) * F.col("_mad")
-    return df.join(mad, group_cols).withColumn(
+    return _nullsafe_join(df, mad).withColumn(
         out_col,
         F.when(scale == 0, F.lit(0.0)).otherwise(
             (F.col(value_col) - F.col("_med")) / scale
@@ -172,8 +186,11 @@ SELECT e.user_id, e.event_id, e.value,
   (floor((CASE WHEN 1.4826 * s.mad_v = 0 THEN 0.0
              ELSE (e.value - s.med_v) / (1.4826 * s.mad_v) END) * 1e6 + 0.5)
    / 1e6) AS robust_z
-FROM events e JOIN stats s USING (user_id)
+FROM events e JOIN stats s ON e.user_id IS NOT DISTINCT FROM s.user_id
 """
+# ^ IS NOT DISTINCT FROM: the statistic is GROUPED — a NULL user_id is
+#   a group (both engine variants score those rows), and a USING join
+#   would silently drop its rows from the output (r8 nullkeys sweep)
 
 def robust_zscore_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same statistic as ``udf_robust_zscore``, built-ins only — shares

@@ -306,9 +306,14 @@ def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") <= F.col(c), 1).otherwise(0)
         ).alias(f"hi_{c}")
 
+    # eqNullSafe (<=>): the estimates come from a groupBy, where a NULL
+    # event_type IS a group — the proof join must carry that group
+    # instead of equi-dropping it (r8 nullkeys sweep). <=> is still a
+    # hash-joinable key, so the broadcast plan shape is unchanged.
+    ev2 = ev.select(F.col("event_type").alias("__et"), "value")
     ranks = (
-        ev.join(F.broadcast(est), "event_type")
-        .groupBy("event_type")
+        ev2.join(F.broadcast(est), F.col("__et").eqNullSafe(est["event_type"]))
+        .groupBy("__et")
         .agg(lo("p50"), hi("p50"), lo("p95"), hi("p95"), lo("p99"), hi("p99"))
     )
 
@@ -327,7 +332,9 @@ def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"{c}_ok")
         )
 
-    return est.join(F.broadcast(ranks), "event_type").select(
+    return est.join(
+        F.broadcast(ranks), est["event_type"].eqNullSafe(ranks["__et"])
+    ).select(
         "event_type",
         "n_events",
         ok("p50", 0.5),

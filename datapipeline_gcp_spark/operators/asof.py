@@ -63,6 +63,20 @@ def asof_join(
     payload = "__asof_payload"
     carried = [f"{c}{suffix}" for c in value_cols] + [f"{ts_col}{suffix}"]
 
+    # JOIN equality semantics for the by-keys (r8 nullkeys sweep): a
+    # NULL by-key matches NOTHING — SQL's ASOF JOIN (the oracle) and
+    # pandas merge_asof both say so, while this union+window sweep's
+    # partitionBy would group NULL keys together and match them. NULL
+    # right rows can never be picked, so they are dropped; NULL left
+    # rows keep left-join semantics (they pass through unmatched, via
+    # a window partition that contains no right rows).
+    null_by = None
+    for c in by_cols:
+        cond = F.col(c).isNull()
+        null_by = cond if null_by is None else (null_by | cond)
+    if null_by is not None:  # a global (no-key) as-of has nothing to drop
+        right = right.filter(~null_by)
+
     r = right.select(
         *by_cols,
         F.col(ts_col),
@@ -117,7 +131,17 @@ def asof_join(
 
 def _events_split(spark: SparkSession, sf_dir: str):
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
-    types = [r[0] for r in ev.select("event_type").distinct().orderBy("event_type").collect()]
+    # isNotNull: the oracle picks the types via min/max, which SKIP
+    # NULLs — a NULL event_type sorting first (Spark ASC = NULLS FIRST)
+    # must not become the left type (r8 nullkeys sweep)
+    types = [
+        r[0]
+        for r in ev.filter(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+        .orderBy("event_type")
+        .collect()
+    ]
     # empty events: the oracle's min/max(event_type) are NULL and its
     # `event_type = NULL` predicates keep no rows — mirror that instead
     # of crashing on types[0] (NULL-literal equality filters to empty

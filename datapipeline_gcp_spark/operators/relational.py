@@ -386,7 +386,10 @@ _FUZZY_ORACLE = """
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
 FROM customer a JOIN customer b
-  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  -- IS NOT DISTINCT FROM: blocking is grouping — the engine blocks via
+  -- groupBy, where a NULL nation is a block value (r8 nullkeys sweep)
+  ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+  AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 

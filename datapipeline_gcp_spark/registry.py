@@ -145,6 +145,26 @@ _RECHECK: dict[str, int] = {
     "text_line_filter": 8,
     "text_metrics": 8,
     "text_repetition": 8,
+    # r8 nullkeys sweep (the NEW degenerate variant: NULL join/group/
+    # window keys in the relational tables): 6 failure classes, one
+    # principle — grouping-style ops (groupBy, blocking, grouped stats)
+    # treat a NULL key as a VALUE; join-style ops (ASOF equality, graph
+    # edge identity) treat NULL as non-matching — exactly ANSI SQL's own
+    # split. Fixes: asof type-pick skips NULLs + NULL by-keys pass
+    # through unmatched (right side filtered); percentile-proof joins
+    # and the two-pass zscore joins go null-safe (<=> still hash-joins);
+    # fuzzy/zscore oracles use IS NOT DISTINCT FROM; graph edge builds
+    # drop NULL-endpoint rows in both engines. With these eight the
+    # pin count exceeds the 50-slot window — the overflow (ranked by
+    # module order within the tier) fronts r9's window automatically.
+    "asof_join_events": 8,
+    "asof_join_forward_events": 8,
+    "events_percentiles_approx": 8,
+    "fuzzy_customer_names": 8,
+    "udf_robust_zscore": 8,
+    "robust_zscore_twopass": 8,
+    "graph_pagerank": 8,
+    "graph_degree_histogram": 8,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -158,13 +158,32 @@ def test_rewritten_since_green_precedes_never_checked_and_stale():
 
 
 def test_recheck_entries_enter_current_window():
-    """The four operators rewritten since their last green must sit in
-    the driver's ~50-entry check window right now."""
+    """Live rewritten-since-green pins must occupy the FRONT of the
+    rotation: every one ranks before any unpinned query, and all of them
+    sit inside the ~50-entry window whenever they fit. A round may pin
+    more than 50 (r8's nulltext + nullkeys fix classes did) — then the
+    overflow is the LAST pins by module order and fronts the next
+    round's window automatically, but no pin may ever trail a non-pin."""
     order = list(registry.all_queries())
-    last_green, _failed, _latest = registry.correctness_history(_REPO_ROOT)
-    for name, rewritten in registry._RECHECK.items():
-        if last_green.get(name, 0) < rewritten and name in order:
-            assert order.index(name) < 50, f"{name} outside the check window"
+    last_green, failed, _latest = registry.correctness_history(_REPO_ROOT)
+    live = [
+        name
+        for name, rewritten in registry._RECHECK.items()
+        if last_green.get(name, 0) < rewritten and name in order
+    ]
+    if not live:
+        return
+    worst_pin = max(order.index(n) for n in live)
+    first_unpinned = min(
+        i
+        for i, n in enumerate(order)
+        if n not in live and n not in failed
+    )
+    assert worst_pin < first_unpinned, (
+        "a live _RECHECK pin ranks behind an unpinned query"
+    )
+    if len(live) + len(failed) <= 50:
+        assert worst_pin < 50, "pins fit the window but one sits outside"
 
 
 def test_pins_name_registered_queries():

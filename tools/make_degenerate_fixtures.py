@@ -42,25 +42,45 @@ NULL_COLS = {
 }
 
 
-def _null_every_third(tbl: pa.Table, col: str) -> pa.Table:
+#: (table, column) pairs blanked in the nullkeys variant (every 5th
+#: row): join keys, grouping keys, and window partition/order keys of
+#: the relational surface. The divergence classes this hunts are NOT
+#: NULL propagation (nulltext covers that) but engine DEFAULTS around
+#: NULL ordering — Spark orders ASC NULLS FIRST, DuckDB NULLS LAST —
+#: plus all-NULL groups under min/max/ntile and NULL routing keys.
+NULLKEY_COLS = {
+    ("customer", "c_nationkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_returnflag"),
+    ("part", "p_brand"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+}
+
+
+def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
     i = tbl.schema.get_field_index(col)
-    mask = pa.array([r % 3 == 0 for r in range(tbl.num_rows)])
+    mask = pa.array([r % n == 0 for r in range(tbl.num_rows)])
     blanked = pc.if_else(mask, pa.nulls(tbl.num_rows, tbl.column(i).type), tbl.column(i))
     return tbl.set_column(i, tbl.schema.field(i), blanked)
 
 
 def main(out_root: str) -> None:
-    for variant in ("empty", "nulltext"):
+    for variant in ("empty", "nulltext", "nullkeys"):
         d = os.path.join(out_root, variant)
         os.makedirs(d, exist_ok=True)
         for t in TABLES:
             tbl = pq.read_table(f"{SRC}/{t}.parquet")
             if variant == "empty":
                 tbl = tbl.slice(0, 0)
-            else:
+            elif variant == "nulltext":
                 for tt, col in NULL_COLS:
                     if tt == t:
-                        tbl = _null_every_third(tbl, col)
+                        tbl = _null_every_nth(tbl, col, 3)
+            else:
+                for tt, col in NULLKEY_COLS:
+                    if tt == t:
+                        tbl = _null_every_nth(tbl, col, 5)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
