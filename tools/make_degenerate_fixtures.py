@@ -58,6 +58,28 @@ NULLKEY_COLS = {
 }
 
 
+def _nan_values(tbl: pa.Table) -> pa.Table:
+    """events.value → NaN on every 7th row (nanvalues variant)."""
+    i = tbl.schema.get_field_index("value")
+    mask = pa.array([r % 7 == 0 for r in range(tbl.num_rows)])
+    nan = pa.array([float("nan")] * tbl.num_rows, type=tbl.column(i).type)
+    blanked = pc.if_else(mask, nan, tbl.column(i))
+    return tbl.set_column(i, tbl.schema.field(i), blanked)
+
+
+def _nan_embedding_component(tbl: pa.Table) -> pa.Table:
+    """embeddings.embedding[0] → NaN on every 7th row."""
+    import numpy as np
+
+    i = tbl.schema.get_field_index("embedding")
+    col = tbl.column(i).to_pylist()
+    for r in range(0, len(col), 7):
+        if col[r]:
+            col[r] = [float("nan")] + [np.float32(x) for x in col[r][1:]]
+    arr = pa.array(col, type=tbl.column(i).type)
+    return tbl.set_column(i, tbl.schema.field(i), arr)
+
+
 def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
     i = tbl.schema.get_field_index(col)
     mask = pa.array([r % n == 0 for r in range(tbl.num_rows)])
@@ -66,7 +88,7 @@ def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
 
 
 def main(out_root: str) -> None:
-    for variant in ("empty", "nulltext", "nullkeys"):
+    for variant in ("empty", "nulltext", "nullkeys", "nanvalues"):
         d = os.path.join(out_root, variant)
         os.makedirs(d, exist_ok=True)
         for t in TABLES:
@@ -77,10 +99,15 @@ def main(out_root: str) -> None:
                 for tt, col in NULL_COLS:
                     if tt == t:
                         tbl = _null_every_nth(tbl, col, 3)
-            else:
+            elif variant == "nullkeys":
                 for tt, col in NULLKEY_COLS:
                     if tt == t:
                         tbl = _null_every_nth(tbl, col, 5)
+            else:  # nanvalues: IEEE NaN in measure / embedding doubles
+                if t == "events":
+                    tbl = _nan_values(tbl)
+                elif t == "embeddings":
+                    tbl = _nan_embedding_component(tbl)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
