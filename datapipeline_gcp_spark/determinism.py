@@ -41,6 +41,23 @@ def dec(c: Column | str) -> Column:
     return _col(c).cast(_DECIMAL)
 
 
+#: r8 nanvalues boundary — the MEASURE twin of similarity.finite_vectors:
+#: an IEEE NaN measurement is a corrupt reading and becomes NULL (absent)
+#: at the load projection of every events-measure query, which the whole
+#: NULL-skipping aggregate surface then handles identically in both
+#: engines. Applied per-query (not inside dsum) so the boundary is
+#: visible in each query's plan and oracle string.
+def nan_to_null(c: Column | str) -> Column:
+    return F.nanvl(_col(c), F.lit(None).cast("double"))
+
+
+#: oracle twin: DuckDB `SELECT * REPLACE` keeps every other column
+SQL_EVENTS_NANSAFE = (
+    "(SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL ELSE value END"
+    " AS value) FROM events)"
+)
+
+
 def dsum(c: Column | str) -> Column:
     """Order-independent SUM for double measures (exact decimal internally,
     DOUBLE externally)."""

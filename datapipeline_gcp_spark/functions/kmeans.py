@@ -139,14 +139,19 @@ def kmeans_clusters(
 
 
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
-    return kmeans_clusters(emb)
+    from datapipeline_gcp_spark.functions.similarity import finite_vectors
 
+    emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kmeans_clusters(finite_vectors(emb))
+
+
+from datapipeline_gcp_spark.functions.similarity import _D_FIN as _FIN  # noqa: E402
 
 _EX = f"""
   SELECT vec_id, u.i - 1 AS d,
          CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {QUANT}) AS BIGINT) AS qx
   FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  WHERE {_FIN}
 """
 
 _ASSIGN_TMPL = """

@@ -59,6 +59,24 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Drop rows whose vector has ANY non-finite component (r8
+    nanvalues sweep): a NaN/Inf component is corrupt input to every
+    similarity op — the shared fixed-point quantization
+    ``CAST(floor(x·Q) AS BIGINT)`` cannot cast it in either engine
+    (Spark ANSI throws, DuckDB raises a Conversion Error), and no
+    distance involving it is meaningful. One designed boundary, the
+    vector twin of ``dedup.normalized()``'s NULL-text rule; the oracle
+    twin is :data:`_D_FIN`. A pushed-down per-row predicate — no
+    shuffle, no extra pass."""
+    bad = F.exists(
+        F.col(col),
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return df.filter(~bad)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (order-stable across engines)."""
     return F.aggregate(
@@ -128,7 +146,8 @@ def _prep(spark: SparkSession, sf_dir: str, with_bucket: bool) -> DataFrame:
     base = (
         # small corpus parquet = one input split; spread the per-row
         # arithmetic across cores (free at real scale)
-        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        finite_vectors(emb)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "label", as_double(F.col("embedding")).alias("vd"))
     )
     return _with_stats(base, with_bucket)
@@ -314,7 +333,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
     ex = (
-        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        finite_vectors(emb)
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("label", F.posexplode(as_double(F.col("embedding"))).alias("d", "x"))
         .withColumn("qx", F.floor(F.col("x") * QUANT).cast("long"))
     )
@@ -375,6 +395,13 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _D_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+#: oracle twin of ``finite_vectors`` — TRUE iff every component is
+#: finite (empty vectors count finite: bool_or over [] is NULL)
+_D_FIN = (
+    "NOT coalesce(list_aggregate(list_transform(embedding, "
+    "x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))), "
+    "'bool_or'), FALSE)"
+)
 _D_DOT = (
     "list_reduce(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
@@ -398,7 +425,7 @@ list_reduce(list_transform(generate_series(0, {N_PLANES - 1}), p ->
 
 _D_PREP = f"""
 SELECT vec_id, label, vd, {_D_NORM} AS vnorm
-FROM (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings)
+FROM (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN})
 """
 
 _D_SCORE = (
@@ -492,7 +519,7 @@ WITH ex AS (
   SELECT label, u.i AS i, u.x AS x FROM (
     SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
       i -> struct_pack(i := i, x := CAST(embedding[i] AS DOUBLE)))) AS u
-    FROM embeddings
+    FROM embeddings WHERE {_D_FIN}
   )
 )
 SELECT label,
@@ -505,7 +532,7 @@ GROUP BY label, i
 """
 
 _NEARDUP_ORACLE = f"""
-WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings),
+WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN}),
 perturbed AS (
   SELECT vec_id + 100000 AS vec_id, label,
     list_transform(generate_series(1, len(vd)),
@@ -585,11 +612,11 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, ("embeddings",))["embeddings"]
-    return quantize_int8(emb)
+    return quantize_int8(finite_vectors(emb))
 
 
 _QUANT_ORACLE = f"""
-WITH vd AS (SELECT vec_id, {_D_VD} AS vd FROM embeddings),
+WITH vd AS (SELECT vec_id, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN}),
 st AS (
   SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS amax
   FROM vd
@@ -941,7 +968,7 @@ FROM per_cell, tot
 
 
 _SEMDEDUP_ORACLE = f"""
-WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings),
+WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN}),
 perturbed AS (
   SELECT vec_id + 100000 AS vec_id, label,
     list_transform(generate_series(1, len(vd)),

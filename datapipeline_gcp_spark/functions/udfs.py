@@ -22,7 +22,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import qround, sql_qround
+from datapipeline_gcp_spark.determinism import (
+    SQL_EVENTS_NANSAFE,
+    nan_to_null,
+    qround,
+    sql_qround,
+)
 from datapipeline_gcp_spark.schemas import load_testdata
 
 
@@ -72,10 +77,20 @@ def robust_zscore_per_group(
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col].astype(float)
+        # a NULL measure arrives as NaN in the float64 block (Arrow
+        # has no NaN/NULL distinction after .astype(float)); pandas
+        # median() skips NaN, matching the NULL-skipping oracle, and
+        # the masked rows leave as genuine NULLs via the nullable
+        # Float64 dtype (r8 nanvalues boundary)
+        mask = v.isna()
         med = v.median()
         mad = (v - med).abs().median()
         scale = 1.4826 * mad
-        pdf[out_col] = 0.0 if scale == 0 else ((v - med) / scale)
+        scores = pd.Series(0.0, index=pdf.index) if scale == 0 else ((v - med) / scale)
+        pdf[out_col] = pd.array(
+            [None if m else float(s) for m, s in zip(mask, scores)],
+            dtype="Float64",
+        )
         return pdf
 
     return df.groupBy(*group_cols).applyInPandas(per_group, schema=out_schema)
@@ -165,7 +180,9 @@ def udf_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     out = robust_zscore_per_group(
-        ev.select("user_id", "event_id", "value"), ["user_id"], "value"
+        ev.select("user_id", "event_id", nan_to_null("value").alias("value")),
+        ["user_id"],
+        "value",
     )
     return out.select(
         "user_id", "event_id", "value", qround("robust_z", 6).alias("robust_z")
@@ -177,16 +194,17 @@ SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS text_nfkc
 FROM documents
 """
 
-_ZSCORE_ORACLE = """
+_ZSCORE_ORACLE = f"""
 WITH stats AS (
   SELECT user_id, median(value) AS med_v, mad(value) AS mad_v
-  FROM events GROUP BY user_id
+  FROM {SQL_EVENTS_NANSAFE} GROUP BY user_id
 )
 SELECT e.user_id, e.event_id, e.value,
   (floor((CASE WHEN 1.4826 * s.mad_v = 0 THEN 0.0
              ELSE (e.value - s.med_v) / (1.4826 * s.mad_v) END) * 1e6 + 0.5)
    / 1e6) AS robust_z
-FROM events e JOIN stats s ON e.user_id IS NOT DISTINCT FROM s.user_id
+FROM {SQL_EVENTS_NANSAFE} e
+JOIN stats s ON e.user_id IS NOT DISTINCT FROM s.user_id
 """
 # ^ IS NOT DISTINCT FROM: the statistic is GROUPED — a NULL user_id is
 #   a group (both engine variants score those rows), and a USING join
@@ -198,7 +216,9 @@ def robust_zscore_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement: one oracle, two execution strategies, identical hashes)."""
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     out = robust_zscore_builtin(
-        ev.select("user_id", "event_id", "value"), ["user_id"], "value"
+        ev.select("user_id", "event_id", nan_to_null("value").alias("value")),
+        ["user_id"],
+        "value",
     )
     return out.select(
         "user_id", "event_id", "value", qround("robust_z", 6).alias("robust_z")

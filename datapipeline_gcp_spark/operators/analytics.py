@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import dec, dsum, qround, sql_dsum, sql_qround
+from datapipeline_gcp_spark.determinism import (
+    SQL_EVENTS_NANSAFE,
+    dec,
+    dsum,
+    nan_to_null,
+    qround,
+    sql_dsum,
+    sql_qround,
+)
 from datapipeline_gcp_spark.schemas import load_testdata
 
 
@@ -234,6 +242,9 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rounding needed).
     """
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    # NaN measure ≡ NULL (r8 nanvalues boundary) — percentile and
+    # quantile_cont then both skip it, where NaN placement differs
+    ev = ev.withColumn("value", nan_to_null("value"))
     q = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
     return ev.groupBy("event_type").agg(
         q[0].alias("p50"), q[1].alias("p95"), q[2].alias("p99"),
@@ -241,13 +252,13 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PERCENTILE_ORACLE = """
+_PERCENTILE_ORACLE = f"""
 SELECT event_type,
        quantile_cont(value, 0.5)  AS p50,
        quantile_cont(value, 0.95) AS p95,
        quantile_cont(value, 0.99) AS p99,
        CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events
+FROM {SQL_EVENTS_NANSAFE}
 GROUP BY event_type
 """
 
@@ -365,6 +376,10 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     is written in the same operation order as the oracle, so bin
     assignment is bit-deterministic without rounding."""
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    # NaN measure ≡ NULL (r8 nanvalues boundary): a corrupt reading
+    # lands in the NULL bin group instead of engine-specific NaN
+    # min/max/bin placement
+    ev = ev.withColumn("value", nan_to_null("value"))
     stats = ev.groupBy("event_type").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
@@ -395,7 +410,7 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTOGRAM_ORACLE = f"""
 WITH stats AS (
   SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
-  FROM events GROUP BY event_type
+  FROM {SQL_EVENTS_NANSAFE} GROUP BY event_type
 )
 SELECT e.event_type,
        CAST(CASE WHEN s.vmax = s.vmin THEN 0
@@ -405,7 +420,7 @@ SELECT e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(s.vmin) AS vmin,
        MAX(s.vmax) AS vmax
-FROM events e JOIN stats s USING (event_type)
+FROM {SQL_EVENTS_NANSAFE} e JOIN stats s USING (event_type)
 GROUP BY 1, 2
 """
 

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import dsum, sql_dsum
+from datapipeline_gcp_spark.determinism import (
+    SQL_EVENTS_NANSAFE,
+    dsum,
+    nan_to_null,
+    sql_dsum,
+)
 from datapipeline_gcp_spark.schemas import load_testdata
 
 BUCKET = "1 hour"
@@ -81,6 +86,8 @@ def _parts(spark: SparkSession, sf_dir: str):
 
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev, intervals = _parts(spark, sf_dir)
+    # NaN measure ≡ NULL (r8 nanvalues boundary)
+    ev = ev.withColumn("value", nan_to_null("value"))
     joined = range_join(
         ev.select("user_id", "ts", "event_id", "value"),
         intervals,
@@ -108,7 +115,7 @@ SELECT
   e.user_id, i.win_id, i.win_start,
   COUNT(e.event_id) AS n_events_in_window,
   {sql_dsum('e.value')} AS window_value
-FROM events e
+FROM {SQL_EVENTS_NANSAFE} e
 JOIN intervals i
   ON e.user_id = i.user_id
  AND i.win_start <= e.ts AND e.ts < i.win_end

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import dsum, sql_dsum, sql_qround
+from datapipeline_gcp_spark.determinism import (
+    SQL_EVENTS_NANSAFE,
+    dsum,
+    nan_to_null,
+    sql_dsum,
+    sql_qround,
+)
 from datapipeline_gcp_spark.schemas import load_testdata
 
 # ---------------------------------------------------------------------------
@@ -144,6 +150,8 @@ def join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the reference's campaigns⋈transactions on
     (country, date_time) (``m_data_model.sql:17``)."""
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
+    # NaN measure ≡ NULL (r8 nanvalues boundary; determinism.nan_to_null)
+    ev = ev.withColumn("value", nan_to_null("value"))
     rollup = ev.groupBy("user_id", "event_type").agg(
         F.count("event_id").alias("n_events"),
         dsum("value").alias("total_value"),
@@ -157,10 +165,10 @@ _COMPOSITE_JOIN_ORACLE = f"""
 WITH rollup AS (
   SELECT user_id, event_type, COUNT(event_id) AS n_events,
          {sql_dsum('value')} AS total_value
-  FROM events GROUP BY 1, 2
+  FROM {SQL_EVENTS_NANSAFE} GROUP BY 1, 2
 )
 SELECT e.event_id, e.user_id, e.event_type, e.value, r.n_events, r.total_value
-FROM events e
+FROM {SQL_EVENTS_NANSAFE} e
 JOIN rollup r ON e.user_id = r.user_id AND e.event_type = r.event_type
 """
 

@@ -165,6 +165,35 @@ _RECHECK: dict[str, int] = {
     "robust_zscore_twopass": 8,
     "graph_pagerank": 8,
     "graph_degree_histogram": 8,
+    # r8 nanvalues sweep (fourth degenerate variant: IEEE NaN in
+    # events.value and embedding components): one boundary per type —
+    # a non-finite VECTOR is an absent vector (similarity.finite_vectors
+    # + oracle _D_FIN filter on every embeddings read), a NaN MEASURE is
+    # a NULL measure (determinism.nan_to_null at each events-measure
+    # load projection + SQL_EVENTS_NANSAFE in the oracle), after which
+    # the NULL-skipping aggregate surface handles it identically in
+    # both engines. 23 findings closed; every touched green pinned
+    # (udf_robust_zscore / robust_zscore_twopass already pinned above).
+    "ann_bruteforce_topk": 8,
+    "ann_ivf_topk": 8,
+    "ann_ivf_cell_stats": 8,
+    "ann_lsh_topk": 8,
+    "ann_recall_eval": 8,
+    "dedup_semantic": 8,
+    "embedding_cosine_neardup": 8,
+    "embedding_label_centroids": 8,
+    "embedding_quantize_int8": 8,
+    "kmeans_lloyd": 8,
+    "mining_hard_negatives": 8,
+    "join_composite_key": 8,
+    "events_tumbling_window": 8,
+    "events_sliding_window": 8,
+    "events_session_window": 8,
+    "events_stream_tumbling_gate": 8,
+    "events_stream_session_gate": 8,
+    "range_join_events": 8,
+    "events_histogram": 8,
+    "events_percentiles": 8,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipeline_gcp_spark.determinism import dsum, sql_dsum
+from datapipeline_gcp_spark.determinism import (
+    SQL_EVENTS_NANSAFE,
+    dsum,
+    nan_to_null,
+    sql_dsum,
+)
 from datapipeline_gcp_spark.schemas import load_testdata, pin_utc
 
 DEFAULT_WATERMARK = "10 minutes"
@@ -36,6 +41,7 @@ def _project_window(df: DataFrame, extra: list[str]) -> DataFrame:
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Tumbling windows: each event in exactly one [start, start+width)
     bucket, keyed by event_type."""
+    events = events.withColumn("value", nan_to_null("value"))
     agg = events.groupBy(F.window("ts", width), "event_type").agg(
         F.count("event_id").alias("n_events"),
         dsum("value").alias("total_value"),
@@ -48,6 +54,7 @@ def sliding_agg(
 ) -> DataFrame:
     """Sliding windows: each event lands in width/slide overlapping
     buckets (2 here)."""
+    events = events.withColumn("value", nan_to_null("value"))
     agg = events.groupBy(F.window("ts", width, slide), "event_type").agg(
         F.count("event_id").alias("n_events"),
         dsum("value").alias("total_value"),
@@ -58,6 +65,10 @@ def sliding_agg(
 def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Session windows per user: events merge while consecutive gaps are
     < gap; the window end is last-event-time + gap."""
+    # NaN measure ≡ NULL in all three builders (r8 nanvalues boundary;
+    # determinism.nan_to_null) — shared by the batch queries AND the
+    # streaming gates, so one edit covers both execution modes
+    events = events.withColumn("value", nan_to_null("value"))
     agg = events.groupBy(F.session_window("ts", gap), "user_id").agg(
         F.count("event_id").alias("n_events"),
         dsum("value").alias("total_value"),
@@ -118,7 +129,7 @@ SELECT
   event_type,
   COUNT(event_id) AS n_events,
   {sql_dsum('value')} AS total_value
-FROM events
+FROM {SQL_EVENTS_NANSAFE}
 GROUP BY 1, 2, 3
 """
 
@@ -127,7 +138,7 @@ GROUP BY 1, 2, 3
 _SLIDING_ORACLE = f"""
 WITH exploded AS (
   SELECT e.*, s.window_start
-  FROM events e,
+  FROM {SQL_EVENTS_NANSAFE} e,
   UNNEST([
     time_bucket(INTERVAL 30 MINUTE, ts),
     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
@@ -153,7 +164,7 @@ WITH flagged AS (
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
          THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM {SQL_EVENTS_NANSAFE}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
