@@ -905,29 +905,34 @@ def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's sensor waits for FILES to exist,
     `datapipeline_gcp.py` poke loop; this checks the CONTENT landed).
 
-    Shape: distinct (type, hour) is one pre-aggregated projection of
-    the fact table; per-type bounds are a 5-row aggregate; the expected
-    grid explodes from the bounds row (grid cardinality = hours in
-    range — metadata-scale even for years); the missing set is a
-    LEFT ANTI join of grid against actual, broadcast from the actual
-    side's pre-aggregated hours. Nothing here rescans or shuffles raw
-    events beyond the first distinct. Returns (event_type,
-    missing_hour)."""
+    Shape (r8 redesign): distinct (type, hour) is one pre-aggregated
+    projection of the fact table, then ONE lead() window per type turns
+    consecutive active hours into gap RUNS — (event_type, gap_start,
+    gap_end, missing_hours). The previous design exploded the full
+    expected-hour GRID and anti-joined: output cardinality = hours in
+    the bounds span, which a single corrupt far-future timestamp turns
+    into millions of rows per type (the r8 extremes sweep OOM'd first
+    the boxed timestamp sequence() array and then the result
+    collection). Runs are bounded by the ACTIVE hour count regardless
+    of the time span — the report stays readable and the plan stays
+    result-bounded under arbitrarily dirty clocks, which is the 100 TB
+    property a completeness monitor actually needs."""
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     actual = ev.select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).distinct()
-    bounds = actual.groupBy("event_type").agg(
-        F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
-    expected = bounds.select(
-        "event_type",
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
-    )
-    return expected.join(actual, ["event_type", "h"], "left_anti").select(
-        "event_type", F.col("h").alias("missing_hour")
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        actual.withColumn("nxt", F.lead("h").over(w))
+        .filter(F.col("nxt") > F.expr("h + INTERVAL 1 HOUR"))
+        .select(
+            "event_type",
+            F.expr("h + INTERVAL 1 HOUR").alias("gap_start"),
+            F.expr("nxt - INTERVAL 1 HOUR").alias("gap_end"),
+            (F.expr("timestampdiff(HOUR, h, nxt)") - 1)
+            .cast("bigint")
+            .alias("missing_hours"),
+        )
     )
 
 
@@ -935,15 +940,17 @@ _GAP_ORACLE = """
 WITH actual AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events
 ),
-b AS (
-  SELECT event_type, min(h) AS lo, max(h) AS hi FROM actual GROUP BY 1
-),
-expected AS (
-  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
-  FROM b
+runs AS (
+  SELECT event_type, h,
+         lead(h) OVER (PARTITION BY event_type ORDER BY h) AS nxt
+  FROM actual
 )
-SELECT event_type, h AS missing_hour
-FROM expected ANTI JOIN actual USING (event_type, h)
+SELECT event_type,
+       h + INTERVAL 1 HOUR AS gap_start,
+       nxt - INTERVAL 1 HOUR AS gap_end,
+       CAST(date_diff('hour', h, nxt) - 1 AS BIGINT) AS missing_hours
+FROM runs
+WHERE nxt > h + INTERVAL 1 HOUR
 """
 
 

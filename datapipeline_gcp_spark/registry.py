@@ -194,6 +194,12 @@ _RECHECK: dict[str, int] = {
     "range_join_events": 8,
     "events_histogram": 8,
     "events_percentiles": 8,
+    # r8 extremes sweep: the per-missing-hour GRID design OOM'd on a
+    # century-wide bound (one corrupt far-future timestamp); redesigned
+    # to gap RUNS via one lead() window — output bounded by ACTIVE
+    # hours, not the time span (new schema: gap_start/gap_end/
+    # missing_hours)
+    "events_gap_detection": 8,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

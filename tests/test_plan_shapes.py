@@ -209,12 +209,14 @@ def test_hll_active_users_scans_fact_once(spark):
     assert "SortMergeJoin" not in contract_plan, contract_plan
 
 
-def test_gap_detection_anti_join_on_preaggregated_hours(spark):
-    """The expected-hours grid anti-joins the pre-aggregated actual
-    hours — events are scanned, distinct-aggregated, and never
-    re-shuffled at event cardinality."""
+def test_gap_detection_is_one_window_no_join(spark):
+    """r8 redesign: gap RUNS via one lead() window over the distinct
+    (type, hour) projection — no expected-hour grid, no join at all,
+    so the result stays bounded by ACTIVE hours even when a corrupt
+    clock stretches the bounds by a century (the extremes-sweep OOM)."""
     plan = _plan(spark, "events_gap_detection")
-    assert "LeftAnti" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_bloom_semijoin_broadcasts_and_never_shuffles_the_fact(spark):

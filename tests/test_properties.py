@@ -1678,8 +1678,9 @@ def test_scd2_history_invariants_and_reference(spark, cur_keys, upd_keys):
 )
 @settings(**_SETTINGS)
 def test_gap_detection_matches_python_range(spark, hours):
-    """events_gap_detection vs a Python set difference of each type's
-    full hourly range against its active hours."""
+    """events_gap_detection (gap-RUN form, r8) vs a Python scan over
+    each type's sorted active hours: every consecutive pair further
+    than one hour apart is a run (start, end, count)."""
     import datetime as dt
     import shutil
     import tempfile
@@ -1701,7 +1702,7 @@ def test_gap_detection_matches_python_range(spark, hours):
             " value double, props string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
         got = sorted(
-            (r["event_type"], r["missing_hour"])
+            (r["event_type"], r["gap_start"], r["gap_end"], r["missing_hours"])
             for r in events_gap_detection(spark, tmp).collect()
         )
     finally:
@@ -1712,12 +1713,14 @@ def test_gap_detection_matches_python_range(spark, hours):
         active.setdefault(t, set()).add(ts.replace(minute=0, second=0))
     want = []
     for t, hs in active.items():
-        lo, hi = min(hs), max(hs)
-        cur = lo
-        while cur <= hi:
-            if cur not in hs:
-                want.append((t, cur))
-            cur += dt.timedelta(hours=1)
+        ordered = sorted(hs)
+        for h, nxt in zip(ordered, ordered[1:]):
+            n_missing = int((nxt - h).total_seconds() // 3600) - 1
+            if n_missing > 0:
+                want.append(
+                    (t, h + dt.timedelta(hours=1),
+                     nxt - dt.timedelta(hours=1), n_missing)
+                )
     assert got == sorted(want)
 
 

@@ -80,6 +80,27 @@ def _nan_embedding_component(tbl: pa.Table) -> pa.Table:
     return tbl.set_column(i, tbl.schema.field(i), arr)
 
 
+def _extreme_events(tbl: pa.Table) -> pa.Table:
+    """extremes variant: every 11th ts moved to 1901 / every 17th to
+    2099 (epoch-boundary and far-future timestamp arithmetic), every
+    13th value negated (sign assumptions in measures)."""
+    import datetime as dt
+
+    ts_i = tbl.schema.get_field_index("ts")
+    v_i = tbl.schema.get_field_index("value")
+    ts = tbl.column(ts_i).to_pylist()
+    vals = tbl.column(v_i).to_pylist()
+    for r in range(len(ts)):
+        if r % 11 == 0 and ts[r] is not None:
+            ts[r] = dt.datetime(1901, 3, 7, 4, 5, 6)
+        elif r % 17 == 0 and ts[r] is not None:
+            ts[r] = dt.datetime(2099, 11, 23, 21, 22, 23)
+        if r % 13 == 0 and vals[r] is not None:
+            vals[r] = -vals[r]
+    tbl = tbl.set_column(ts_i, tbl.schema.field(ts_i), pa.array(ts, type=tbl.column(ts_i).type))
+    return tbl.set_column(v_i, tbl.schema.field(v_i), pa.array(vals, type=tbl.column(v_i).type))
+
+
 def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
     i = tbl.schema.get_field_index(col)
     mask = pa.array([r % n == 0 for r in range(tbl.num_rows)])
@@ -88,7 +109,7 @@ def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
 
 
 def main(out_root: str) -> None:
-    for variant in ("empty", "nulltext", "nullkeys", "nanvalues"):
+    for variant in ("empty", "nulltext", "nullkeys", "nanvalues", "extremes"):
         d = os.path.join(out_root, variant)
         os.makedirs(d, exist_ok=True)
         for t in TABLES:
@@ -103,11 +124,14 @@ def main(out_root: str) -> None:
                 for tt, col in NULLKEY_COLS:
                     if tt == t:
                         tbl = _null_every_nth(tbl, col, 5)
-            else:  # nanvalues: IEEE NaN in measure / embedding doubles
+            elif variant == "nanvalues":  # IEEE NaN in measure/embedding
                 if t == "events":
                     tbl = _nan_values(tbl)
                 elif t == "embeddings":
                     tbl = _nan_embedding_component(tbl)
+            else:  # extremes: 1901/2099 timestamps + negated measures
+                if t == "events":
+                    tbl = _extreme_events(tbl)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
