@@ -83,123 +83,40 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # (r7's 44 pins pruned: CORRECTNESS_r07.json proved all 50 window
-    # entries green — every pin inert; earlier rounds' pins pruned the
-    # same way.)
-    #
-    # r8 NULL-text boundary fix (VERDICT r7 #1 / VERIFY_DEGENERATE.md):
-    # NULL text ≡ the empty document, defined ONCE at the normalization
-    # boundary — coalesce(text,'') inside dedup.normalized() and its
-    # oracle twins (dedup._D_NORM, cleaning._D_TOKS, corpus._D_NTOK,
-    # text._METRICS_ORACLE / _LANGID_ORACLE) plus per-op branches
-    # (fim, passages, roundtrip checksum, multimodal NULL-payload skip,
-    # jaccard NULL-block join). 46 oracle strings changed (diffed
-    # programmatically vs HEAD) + corpus_curation (engine-only:
-    # consumes the coalesced fixtures/metrics, oracle byte-identical).
-    # All 47 re-proven locally: nulltext + empty + sf0.01 sweeps all
-    # 178/178 on this code.
-    "contamination_eval_vs_train": 8,
-    "corpus_balance_report": 8,
-    "corpus_collocations": 8,
-    "corpus_curation": 8,
-    "corpus_datacard": 8,
+    # (r8's 50 in-window pins pruned: CORRECTNESS_r08.json proved all 50
+    # window entries green — those pins inert; earlier rounds' pins
+    # pruned the same way. The 26 below are the r8 rewrites that
+    # SPILLED past the 50-slot r8 window — still unproven on the
+    # rewritten code, so they front r9's window. See the r8 registry
+    # history for the per-sweep rationale: NULL-text boundary
+    # (nulltext), null-safe key semantics (nullkeys), NaN-measure
+    # boundary (nanvalues), and the gap-RUNS rewrite (extremes).)
+    "asof_join_events": 8,
+    "asof_join_forward_events": 8,
     "corpus_distinct_kmv": 8,
     "corpus_dsir_select": 8,
-    "corpus_fim_split": 8,
     "corpus_inverted_index": 8,
     "corpus_mixture_weights": 8,
     "corpus_pack_chunks": 8,
-    "corpus_padding_waste": 8,
     "corpus_ppl_buckets": 8,
     "corpus_source_budget": 8,
-    "corpus_tfidf_topk": 8,
-    "corpus_training_manifest": 8,
-    "corpus_unigram_logprob": 8,
-    "corpus_vocab_encode": 8,
     "corpus_vocab_topk": 8,
-    "dedup_clusters": 8,
-    "dedup_clusters_incremental": 8,
-    "dedup_containment": 8,
-    "dedup_crosslingual_leakage": 8,
-    "dedup_exact": 8,
-    "dedup_impact_report": 8,
-    "dedup_incremental": 8,
-    "dedup_minhash_calibration": 8,
-    "dedup_minhash_lsh": 8,
-    "dedup_ngram_jaccard": 8,
-    "dedup_passages": 8,
-    "dedup_simhash": 8,
     "dedup_stream_incremental_gate": 8,
-    "dedup_substring": 8,
-    "dedup_url_content_funnel": 8,
-    "dedup_verified": 8,
     "doc_chunking": 8,
-    "lang_confusion_matrix": 8,
-    "multimodal_feature_extract": 8,
-    "retrieval_bm25_topk": 8,
-    "retrieval_rrf_hybrid": 8,
-    "source_jsonl_roundtrip": 8,
-    "source_orc_roundtrip": 8,
-    "text_boilerplate_lines": 8,
-    "text_language_id": 8,
-    "text_line_filter": 8,
-    "text_metrics": 8,
-    "text_repetition": 8,
-    # r8 nullkeys sweep (the NEW degenerate variant: NULL join/group/
-    # window keys in the relational tables): 6 failure classes, one
-    # principle — grouping-style ops (groupBy, blocking, grouped stats)
-    # treat a NULL key as a VALUE; join-style ops (ASOF equality, graph
-    # edge identity) treat NULL as non-matching — exactly ANSI SQL's own
-    # split. Fixes: asof type-pick skips NULLs + NULL by-keys pass
-    # through unmatched (right side filtered); percentile-proof joins
-    # and the two-pass zscore joins go null-safe (<=> still hash-joins);
-    # fuzzy/zscore oracles use IS NOT DISTINCT FROM; graph edge builds
-    # drop NULL-endpoint rows in both engines. With these eight the
-    # pin count exceeds the 50-slot window — the overflow (ranked by
-    # module order within the tier) fronts r9's window automatically.
-    "asof_join_events": 8,
-    "asof_join_forward_events": 8,
-    "events_percentiles_approx": 8,
-    "fuzzy_customer_names": 8,
-    "udf_robust_zscore": 8,
-    "robust_zscore_twopass": 8,
-    "graph_pagerank": 8,
-    "graph_degree_histogram": 8,
-    # r8 nanvalues sweep (fourth degenerate variant: IEEE NaN in
-    # events.value and embedding components): one boundary per type —
-    # a non-finite VECTOR is an absent vector (similarity.finite_vectors
-    # + oracle _D_FIN filter on every embeddings read), a NaN MEASURE is
-    # a NULL measure (determinism.nan_to_null at each events-measure
-    # load projection + SQL_EVENTS_NANSAFE in the oracle), after which
-    # the NULL-skipping aggregate surface handles it identically in
-    # both engines. 23 findings closed; every touched green pinned
-    # (udf_robust_zscore / robust_zscore_twopass already pinned above).
-    "ann_bruteforce_topk": 8,
-    "ann_ivf_topk": 8,
-    "ann_ivf_cell_stats": 8,
-    "ann_lsh_topk": 8,
-    "ann_recall_eval": 8,
-    "dedup_semantic": 8,
-    "embedding_cosine_neardup": 8,
-    "embedding_label_centroids": 8,
-    "embedding_quantize_int8": 8,
-    "kmeans_lloyd": 8,
-    "mining_hard_negatives": 8,
-    "join_composite_key": 8,
-    "events_tumbling_window": 8,
-    "events_sliding_window": 8,
-    "events_session_window": 8,
-    "events_stream_tumbling_gate": 8,
-    "events_stream_session_gate": 8,
-    "range_join_events": 8,
+    "events_gap_detection": 8,
     "events_histogram": 8,
     "events_percentiles": 8,
-    # r8 extremes sweep: the per-missing-hour GRID design OOM'd on a
-    # century-wide bound (one corrupt far-future timestamp); redesigned
-    # to gap RUNS via one lead() window — output bounded by ACTIVE
-    # hours, not the time span (new schema: gap_start/gap_end/
-    # missing_hours)
-    "events_gap_detection": 8,
+    "events_percentiles_approx": 8,
+    "events_session_window": 8,
+    "events_sliding_window": 8,
+    "events_stream_session_gate": 8,
+    "events_stream_tumbling_gate": 8,
+    "events_tumbling_window": 8,
+    "fuzzy_customer_names": 8,
+    "join_composite_key": 8,
+    "range_join_events": 8,
+    "source_jsonl_roundtrip": 8,
+    "source_orc_roundtrip": 8,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
