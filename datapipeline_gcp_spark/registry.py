@@ -109,14 +109,46 @@ _RECHECK: dict[str, int] = {
     "events_percentiles_approx": 8,
     "events_session_window": 8,
     "events_sliding_window": 8,
-    "events_stream_session_gate": 8,
-    "events_stream_tumbling_gate": 8,
     "events_tumbling_window": 8,
+    # r9 event-time validity boundary (VERDICT r8 #1, watermark
+    # poisoning): all seven event-time gates now split the source on
+    # harness.valid_event_time BEFORE withWatermark, route rejected
+    # rows to an observable <name>_quarantine memory sink, and their
+    # oracles mirror the filter (agg source AND terminal watermark over
+    # valid rows only). Extremes sweep target: 179/179.
+    "events_stream_session_gate": 9,
+    "events_stream_tumbling_gate": 9,
+    "events_stream_stateful_session_gate": 9,
+    "events_stream_dedup_gate": 9,
+    "events_stream_e2e_ingest_gate": 9,
+    "events_stream_crossrun_redelivery_gate": 9,
+    "events_stream_interval_join_gate": 9,
     "fuzzy_customer_names": 8,
     "join_composite_key": 8,
     "range_join_events": 8,
     "source_jsonl_roundtrip": 8,
     "source_orc_roundtrip": 8,
+    # r9 ADVICE closures: (a) zero-MAD groups containing NULL measures
+    # now score NULL (not 0.0) in the builtin variant AND the shared
+    # oracle, matching the grouped-map variant's mask; (b) the
+    # finite-vector boundary is explicit about NULLs on both sides —
+    # a NULL embedding or any NULL component drops the row in BOTH
+    # engines (the oracle's bool_or used to skip NULL elements; every
+    # _D_FIN-composing oracle string changed).
+    "udf_robust_zscore": 9,
+    "robust_zscore_twopass": 9,
+    "ann_bruteforce_topk": 9,
+    "ann_ivf_cell_stats": 9,
+    "ann_ivf_topk": 9,
+    "ann_lsh_topk": 9,
+    "ann_recall_eval": 9,
+    "dedup_semantic": 9,
+    "embedding_cosine_neardup": 9,
+    "embedding_label_centroids": 9,
+    "embedding_quantize_int8": 9,
+    "kmeans_lloyd": 9,
+    "mining_hard_negatives": 9,
+    "retrieval_rrf_hybrid": 9,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

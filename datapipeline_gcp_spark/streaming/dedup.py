@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapipeline_gcp_spark.streaming.harness import SQL_EVENT_TIME_VALID
+
 DEDUP_WATERMARK = "2 hours"
 
 
@@ -55,32 +57,32 @@ def streaming_ingest_dedup(
 
 def events_stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redelivery-storm gate: every event delivered twice (self-union
-    of the source), exactly-once output proven against batch DISTINCT."""
+    of the source), exactly-once output proven against batch DISTINCT
+    over validity-filtered events. The event-time validity split sits
+    BEFORE the union's watermark (r9 watermark-poisoning defense): a
+    corrupt clock must not expire every honest key's dedup state.
+    Rejected deliveries (BOTH copies of a corrupt-clock event — the
+    quarantine sees deliveries, not logical events) are observable in
+    ``stream_dedup_gate_quarantine``."""
     from datapipeline_gcp_spark.schemas import pin_utc
-    from datapipeline_gcp_spark.streaming.harness import run_gate_query
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_gate_query,
+        split_event_time,
+    )
 
     pin_utc(spark)
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-
-    def _side() -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s.withColumn("ts", F.col("ts").cast("timestamp"))
-
-    doubled = _side().union(_side())  # at-least-once: everything twice
-    agg = streaming_ingest_dedup(doubled, ["event_id"])
-    return run_gate_query(spark, agg, "stream_dedup_gate").select("event_id")
+    # at-least-once: everything twice
+    doubled = events_stream(spark, sf_dir).union(events_stream(spark, sf_dir))
+    valid, rejected = split_event_time(doubled)
+    agg = streaming_ingest_dedup(valid, ["event_id"])
+    return run_gate_query(
+        spark, agg, "stream_dedup_gate", quarantine=rejected
+    ).select("event_id")
 
 
-_DEDUP_GATE_ORACLE = """
-SELECT DISTINCT event_id FROM events
+_DEDUP_GATE_ORACLE = f"""
+SELECT DISTINCT event_id FROM events WHERE {SQL_EVENT_TIME_VALID}
 """
 
 QUERIES = {

@@ -55,7 +55,13 @@ from datapipeline_gcp_spark.streaming.dedup import (
     DEDUP_WATERMARK,
     streaming_ingest_dedup,
 )
-from datapipeline_gcp_spark.streaming.harness import GATE_SHUFFLE_PARTITIONS
+from datapipeline_gcp_spark.streaming.harness import (
+    GATE_SHUFFLE_PARTITIONS,
+    SQL_EVENT_TIME_VALID,
+    run_to_memory_sink,
+    split_event_time,
+    valid_event_time,
+)
 from datapipeline_gcp_spark.streaming.ingest import drain, stream_landing_table
 
 N_PARTS = 3
@@ -96,6 +102,45 @@ def _drop_gate_table(spark: SparkSession, table: str) -> None:
     shutil.rmtree(os.path.join(_local_path(wh), table), ignore_errors=True)
 
 
+def _ingest_dedup_valid(s: DataFrame) -> DataFrame:
+    """The e2e gates' stream transform: event-time validity boundary
+    (r9 watermark-poisoning defense — one corrupt future clock in a
+    landing file must not expire every honest key's dedup state) THEN
+    watermark-bounded exactly-once dedup. Rejected rows never reach the
+    raw table; they are observable via the gates' quarantine scan
+    (:func:`_drain_quarantine`)."""
+    return streaming_ingest_dedup(
+        s.filter(valid_event_time()), ["event_id"], project_keys=False
+    )
+
+
+def _drain_quarantine(
+    spark: SparkSession, landing: str, root: str, sink_name: str
+) -> None:
+    """The quarantine leg of the landing ingest: a second availableNow
+    scan over the SAME landing glob keeping only validity-REJECTED rows
+    (plus their source file for tracing), into an observable memory
+    sink — Structured Streaming has no side outputs, so the production
+    split idiom is two filters over one source, the quarantine leg
+    writing a dead-letter table. Runs BEFORE the main ingest (whose
+    drain archives the landing files away). Fresh checkpoint per call —
+    a memory sink cannot recover a checkpoint, and archival has already
+    emptied landing of the previous run's files, so each call scans
+    only what is currently pending (the crossrun gate's run 2: just the
+    redelivered objects). Production would use a durable dead-letter
+    table + checkpoint instead."""
+    src = (
+        spark.readStream.schema(_CSV_SCHEMA)
+        .option("pathGlobFilter", "events_*.csv")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("header", True)
+        .csv(f"{landing}/csv")
+        .select("*", F.col("_metadata.file_path").alias("_src"))
+    )
+    ckpt = tempfile.mkdtemp(dir=root, prefix="qckpt_")
+    run_to_memory_sink(spark, split_event_time(src)[1], sink_name, ckpt)
+
+
 def events_stream_e2e_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     ev = _load_events(spark, sf_dir)
@@ -117,6 +162,9 @@ def events_stream_e2e_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             write_landing_file(parts[i], landing, "events", "csv", "20240101")
 
         spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
+        _drain_quarantine(
+            spark, landing, root, f"{GATE_TABLE}_quarantine"
+        )
         stream = stream_landing_table(
             spark,
             landing,
@@ -126,9 +174,7 @@ def events_stream_e2e_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             GATE_TABLE,
             archive,
             ckpt,
-            transform=lambda s: streaming_ingest_dedup(
-                s, ["event_id"], project_keys=False
-            ),
+            transform=_ingest_dedup_valid,
         )
         drain(stream)
         n_landing = len(os.listdir(f"{landing}/csv"))
@@ -186,6 +232,12 @@ def events_stream_crossrun_redelivery_gate(
         spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
 
         def start_run() -> None:
+            # quarantine leg first (landing still holds only this run's
+            # pending files — archival emptied it after run 1), then
+            # the main ingest whose drain archives the files away
+            _drain_quarantine(
+                spark, landing, root, f"{CROSSRUN_TABLE}_quarantine"
+            )
             stream = stream_landing_table(
                 spark,
                 landing,
@@ -195,9 +247,7 @@ def events_stream_crossrun_redelivery_gate(
                 CROSSRUN_TABLE,
                 archive,
                 ckpt,
-                transform=lambda s: streaming_ingest_dedup(
-                    s, ["event_id"], project_keys=False
-                ),
+                transform=_ingest_dedup_valid,
             )
             drain(stream)
 
@@ -230,8 +280,11 @@ def events_stream_crossrun_redelivery_gate(
     )
 
 
-_E2E_ORACLE = """
+#: the raw table holds exactly the validity-passing distinct events —
+#: the oracle mirrors the transform's event-time boundary
+_E2E_ORACLE = f"""
 SELECT event_id, user_id, event_type FROM events
+WHERE {SQL_EVENT_TIME_VALID}
 """
 
 

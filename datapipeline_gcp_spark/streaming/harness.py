@@ -17,6 +17,25 @@ identical. Both settings are restored/cleaned up afterwards; they are
 bench-harness choices, not engine policy — a production deployment
 sizes ``spark.sql.shuffle.partitions`` to the stream's key cardinality
 and checkpoints to durable storage.
+
+Event-time VALIDITY boundary (VERDICT r8 #1 — watermark poisoning):
+a watermark is ``max(event time seen) − delay``, so a single corrupt
+far-future clock (one 2099-stamped event in a 2024 stream) advances it
+a century and every subsequent in-order event is silently dropped as
+late — correct Spark semantics, catastrophic completeness failure, and
+at 100 TB/day an ingest path WILL see corrupt clocks. The defense is a
+deliberate validity window applied BEFORE ``withWatermark``: an event
+time outside ``[EVENT_TIME_VALID_MIN, EVENT_TIME_VALID_MAX)`` (or a
+NULL one) cannot influence the watermark. Rejected rows are never
+dropped silently — ``split_event_time`` returns them as a second
+stream which the gates route to an observable ``<name>_quarantine``
+memory sink (production: a quarantine table/dead-letter topic). The
+bounds are deliberate CONSTANTS, not ``now()``-derived: the oracle SQL
+mirror (``SQL_EVENT_TIME_VALID``) must be byte-stable across runs, and
+a replay of a 2019 backfill must classify rows exactly as the live run
+did. Batch twins stay UNFILTERED — batch has no watermark to poison,
+and the monitor queries (gap detection) must SEE the corrupt clocks to
+report them.
 """
 
 from __future__ import annotations
@@ -25,28 +44,115 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 GATE_SHUFFLE_PARTITIONS = "8"
 
+#: The event-time validity window for streaming ingest. Half-open
+#: [MIN, MAX): wide enough for any plausible corpus epoch or replayed
+#: backfill, narrow enough that a corrupt epoch-zero or far-future
+#: clock (the classic failure values: 1970, 1901, 2038, 2099) falls
+#: outside. A deployment tunes these per stream; the engine contract
+#: is only that SOME bound exists before the watermark.
+EVENT_TIME_VALID_MIN = "1990-01-01 00:00:00"
+EVENT_TIME_VALID_MAX = "2035-01-01 00:00:00"
 
-def run_gate_query(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+#: DuckDB/ANSI mirror of :func:`valid_event_time` for the gate oracles
+#: (predicate over a column literally named ``ts``).
+SQL_EVENT_TIME_VALID = (
+    "ts IS NOT NULL"
+    f" AND ts >= TIMESTAMP '{EVENT_TIME_VALID_MIN}'"
+    f" AND ts < TIMESTAMP '{EVENT_TIME_VALID_MAX}'"
+)
+
+
+def valid_event_time(ts_col: str = "ts") -> Column:
+    """Boolean: *ts_col* is a sane event time (non-NULL, inside the
+    validity window). NULL event times count as invalid — a NULL can
+    never advance a watermark, but a stateful operator keyed on event
+    time has no correct bucket for it either, so it belongs in
+    quarantine, not in state."""
+    c = F.col(ts_col)
+    return (
+        c.isNotNull()
+        & (c >= F.lit(EVENT_TIME_VALID_MIN).cast("timestamp"))
+        & (c < F.lit(EVENT_TIME_VALID_MAX).cast("timestamp"))
+    )
+
+
+def split_event_time(
+    df: DataFrame, ts_col: str = "ts"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, rejected) split on :func:`valid_event_time`. Works on
+    batch and streaming frames; on a stream, each side is an
+    independent stateless filter, so routing the rejected side to a
+    quarantine sink is a second lightweight query over the same source
+    (Structured Streaming has no side outputs — two filters over one
+    file source IS the split idiom, and the scan is predicate-pruned)."""
+    pred = valid_event_time(ts_col)
+    return df.filter(pred), df.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared gate source: ``readStream`` over the driver's events
+    parquet with ``ts`` normalized to TIMESTAMP (the fixtures carry
+    either µs-instant or NTZ/nanos-as-long timestamps depending on the
+    writer; watermarks require the instant type — session pinned UTC
+    makes the cast wall-clock identity)."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(s.dtypes).get("ts") == "bigint":
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_to_memory_sink(
+    spark: SparkSession, df: DataFrame, name: str, ckpt: str
+) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_gate_query(
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    quarantine: DataFrame | None = None,
+) -> DataFrame:
     """Run *agg* (a streaming DataFrame) through one availableNow
-    append-mode batch into memory sink *name*; return the sink table."""
+    append-mode batch into memory sink *name*; return the sink table.
+
+    *quarantine*, when given, is the rejected side of
+    :func:`split_event_time`: it is drained FIRST into memory sink
+    ``<name>_quarantine`` (own checkpoint) so every row the validity
+    boundary rejected is observable in-session — the gate contract is
+    "bounded watermark AND no silent drops". On clean fixtures the
+    quarantine is empty and the extra query is one predicate-pruned
+    scan."""
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(dir=ckpt_base, prefix="gate_ckpt_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        if quarantine is not None:
+            run_to_memory_sink(
+                spark, quarantine, f"{name}_quarantine", f"{ckpt}/quarantine"
+            )
+        run_to_memory_sink(spark, agg, name, f"{ckpt}/main")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(ckpt, ignore_errors=True)

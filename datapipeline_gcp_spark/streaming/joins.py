@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.schemas import load_testdata
+from datapipeline_gcp_spark.streaming.harness import SQL_EVENT_TIME_VALID
 
 JOIN_INTERVAL = "1 HOUR"
 STREAM_WATERMARK = "2 hours"
@@ -152,30 +153,36 @@ def events_stream_interval_join_gate(
     Harness cost settings (8 state partitions, tmpfs checkpoint —
     result-identical) are shared gate policy: see
     :mod:`datapipeline_gcp_spark.streaming.harness`.
+
+    Event-time validity split before BOTH sides' watermarks (r9
+    watermark-poisoning defense): on a stream-stream join one corrupt
+    future clock on EITHER side advances the shared watermark and
+    evicts the other side's honest buffered rows, silently losing
+    pairs. The quarantine stream (one unfiltered scan, before the
+    purchase/click split) makes every rejected event observable in
+    ``stream_interval_join_gate_quarantine``.
     """
     from datapipeline_gcp_spark.schemas import pin_utc
-    from datapipeline_gcp_spark.streaming.harness import run_gate_query
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_gate_query,
+        split_event_time,
+        valid_event_time,
+    )
 
     pin_utc(spark)
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
 
-    def _side() -> DataFrame:
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+    def _valid_side() -> DataFrame:
+        return events_stream(spark, sf_dir).filter(valid_event_time())
 
     agg = streaming_interval_join(
-        _side().filter(F.col("event_type") == "purchase"),
-        _side().filter(F.col("event_type") == "click"),
+        _valid_side().filter(F.col("event_type") == "purchase"),
+        _valid_side().filter(F.col("event_type") == "click"),
     )
-    return run_gate_query(spark, agg, "stream_interval_join_gate").select(
+    _, rejected = split_event_time(events_stream(spark, sf_dir))
+    return run_gate_query(
+        spark, agg, "stream_interval_join_gate", quarantine=rejected
+    ).select(
         "user_id",
         "purchase_id",
         "click_id",
@@ -185,6 +192,22 @@ def events_stream_interval_join_gate(
     )
 
 
+#: the gate's oracle mirrors the validity boundary on both sides; the
+#: batch query (`events_interval_join`) stays unfiltered — batch has no
+#: watermark to poison
+_STREAM_INTERVAL_ORACLE = f"""
+WITH valid AS (SELECT * FROM events WHERE {SQL_EVENT_TIME_VALID})
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS p_ts,
+       c.ts AS c_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM valid p JOIN valid c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {JOIN_INTERVAL}
+"""
+
 QUERIES = {
     "events_interval_join": events_interval_join,
     "events_stream_interval_join_gate": events_stream_interval_join_gate,
@@ -192,7 +215,8 @@ QUERIES = {
 }
 ORACLES = {
     "events_interval_join": _INTERVAL_ORACLE,
-    # inner stream-stream join must equal the batch join exactly
-    "events_stream_interval_join_gate": _INTERVAL_ORACLE,
+    # inner stream-stream join must equal the batch join exactly —
+    # over validity-filtered events (the gate's ingest boundary)
+    "events_stream_interval_join_gate": _STREAM_INTERVAL_ORACLE,
     "events_enriched": _ENRICH_ORACLE,
 }

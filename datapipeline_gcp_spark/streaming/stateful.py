@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from datapipeline_gcp_spark.streaming.harness import SQL_EVENT_TIME_VALID
+
 
 def streaming_distinct_within_watermark(
     stream: DataFrame,
@@ -250,26 +252,21 @@ def events_stream_stateful_session_gate(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from datapipeline_gcp_spark.schemas import pin_utc
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_gate_query,
+        split_event_time,
+    )
 
     pin_utc(spark)
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    from datapipeline_gcp_spark.streaming.harness import run_gate_query
-
-    agg = streaming_sessionize_stateful(stream)
-    return run_gate_query(spark, agg, "stream_stateful_session_gate").select(
+    # event-time validity split BEFORE the watermark (r9 poisoning
+    # defense, same contract as the windows gates); rejected rows are
+    # observable in stream_stateful_session_gate_quarantine
+    valid, rejected = split_event_time(events_stream(spark, sf_dir))
+    agg = streaming_sessionize_stateful(valid)
+    return run_gate_query(
+        spark, agg, "stream_stateful_session_gate", quarantine=rejected
+    ).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
@@ -281,6 +278,7 @@ def events_stream_stateful_session_gate(spark, sf_dir: str) -> DataFrame:
 _STATEFUL_SESSION_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) // 1000 AS ts_ms, value FROM events
+  WHERE {SQL_EVENT_TIME_VALID}
 ),
 flagged AS (
   SELECT user_id, ts_ms, value,
@@ -310,6 +308,7 @@ sess AS (
 ),
 wm AS (
   SELECT (epoch_us(max(ts)) // 1000) - {GATE_DELAY_MS} AS wm_ms FROM events
+  WHERE {SQL_EVENT_TIME_VALID}
 )
 SELECT user_id,
        make_timestamp(start_ms * 1000) AS session_start,

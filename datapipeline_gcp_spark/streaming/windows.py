@@ -26,6 +26,7 @@ from datapipeline_gcp_spark.determinism import (
     sql_dsum,
 )
 from datapipeline_gcp_spark.schemas import load_testdata, pin_utc
+from datapipeline_gcp_spark.streaming.harness import SQL_EVENT_TIME_VALID
 
 DEFAULT_WATERMARK = "10 minutes"
 
@@ -122,16 +123,23 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(_events(spark, sf_dir))
 
 
-_TUMBLING_ORACLE = f"""
+def _tumbling_sql(src: str) -> str:
+    """Tumbling-agg SQL over event source *src* — shared by the batch
+    oracle (raw nansafe events) and the stream-gate oracle (validity-
+    filtered events)."""
+    return f"""
 SELECT
   date_trunc('hour', ts) AS window_start,
   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
   event_type,
   COUNT(event_id) AS n_events,
   {sql_dsum('value')} AS total_value
-FROM {SQL_EVENTS_NANSAFE}
+FROM {src}
 GROUP BY 1, 2, 3
 """
+
+
+_TUMBLING_ORACLE = _tumbling_sql(SQL_EVENTS_NANSAFE)
 
 # Slide 30 min ⇒ an event belongs to the windows starting at
 # trunc30(ts) and trunc30(ts) - 30 min.
@@ -157,14 +165,15 @@ GROUP BY 1, 2, 3
 # Gaps-and-islands: a new session starts where the gap from the previous
 # event is >= 10 min (Spark's session window is end-exclusive: an event
 # exactly gap after the last one opens a new session).
-_SESSION_ORACLE = f"""
+def _session_sql(src: str) -> str:
+    return f"""
 WITH flagged AS (
   SELECT
     user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
          THEN 1 ELSE 0 END AS new_session
-  FROM {SQL_EVENTS_NANSAFE}
+  FROM {src}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
@@ -185,21 +194,34 @@ FROM numbered
 GROUP BY user_id, session_no
 """
 
+
+_SESSION_ORACLE = _session_sql(SQL_EVENTS_NANSAFE)
+
+
 def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling aggregation as a REAL structured stream —
-    ``readStream`` over the events parquet → ``withWatermark`` →
-    windowed agg → append-mode memory sink, ``availableNow`` trigger —
-    and return the sink's contents. This is the one registry entry
-    where the oracle checks *streaming* semantics, not a batch twin:
+    ``readStream`` over the events parquet → event-time validity split
+    → ``withWatermark`` → windowed agg → append-mode memory sink,
+    ``availableNow`` trigger — and return the sink's contents. This is
+    the one registry entry where the oracle checks *streaming*
+    semantics, not a batch twin:
 
     Append mode emits a window only once the watermark passes it, and
     the final no-data micro-batch flushes every window the terminal
-    watermark ``max(ts) − delay`` has closed; windows newer than that
-    stay in state and are NOT in the result. The DuckDB oracle encodes
-    exactly that contract: the batch tumbling aggregation restricted to
-    ``window_end <= max(ts) − delay``. A wrong watermark
-    implementation (dropping data, emitting open windows, off-by-one
-    on the closure boundary) breaks the hash match.
+    watermark ``max(valid ts) − delay`` has closed; windows newer than
+    that stay in state and are NOT in the result. The DuckDB oracle
+    encodes exactly that contract: the batch tumbling aggregation over
+    validity-filtered events restricted to ``window_end <= max(valid
+    ts) − delay``. A wrong watermark implementation (dropping data,
+    emitting open windows, off-by-one on the closure boundary) breaks
+    the hash match.
+
+    The validity split (``harness.split_event_time``) is the r9
+    watermark-poisoning defense: without it one corrupt 2099 clock
+    advances the watermark a century and silently drops every
+    subsequent in-order event. Rejected rows are observable in the
+    ``stream_tumbling_gate_quarantine`` memory sink, never silently
+    dropped.
 
     Scale: this is the bounded-state streaming shape for 100 TB/day
     event streams — state is (window × event_type) keyed and the
@@ -209,27 +231,18 @@ def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfill pattern: replay a parquet landing zone through the SAME
     query that tails the live stream.
     """
-    pin_utc(spark)
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_gate_query,
+        split_event_time,
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        # TIMESTAMP_NTZ → TIMESTAMP is wall-clock identity (session
-        # pinned UTC); watermarks require the instant type
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    from datapipeline_gcp_spark.streaming.harness import run_gate_query
 
-    agg = streaming_tumbling(stream)
-    return run_gate_query(spark, agg, "stream_tumbling_gate").select(
+    pin_utc(spark)
+    valid, rejected = split_event_time(events_stream(spark, sf_dir))
+    agg = streaming_tumbling(valid)
+    return run_gate_query(
+        spark, agg, "stream_tumbling_gate", quarantine=rejected
+    ).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         F.col("window_end").cast("timestamp_ntz").alias("window_end"),
         "event_type",
@@ -238,12 +251,25 @@ def events_stream_tumbling_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: append-mode closure: the terminal watermark is max(ts) − delay and a
-#: window is emitted iff the watermark passed its end
+#: oracle mirror of the gates' event-time validity boundary: the agg
+#: source and the terminal watermark both see VALID rows only (an
+#: invalid clock can neither contribute to a window nor poison the
+#: watermark); the rejected rows land in the quarantine sink, which the
+#: harness tests assert directly.
+_SQL_EVENTS_STREAM_SAFE = (
+    f"(SELECT * FROM {SQL_EVENTS_NANSAFE} WHERE {SQL_EVENT_TIME_VALID})"
+)
+_SQL_VALID_TERMINAL_WM = (
+    f"(SELECT max(ts) - INTERVAL 10 MINUTE FROM events"
+    f" WHERE {SQL_EVENT_TIME_VALID})"
+)
+
+#: append-mode closure: the terminal watermark is max(valid ts) − delay
+#: and a window is emitted iff the watermark passed its end
 _STREAM_TUMBLING_ORACLE = f"""
-WITH agg AS ({_TUMBLING_ORACLE})
+WITH agg AS ({_tumbling_sql(_SQL_EVENTS_STREAM_SAFE)})
 SELECT * FROM agg
-WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+WHERE window_end <= {_SQL_VALID_TERMINAL_WM}
 """
 
 
@@ -260,26 +286,21 @@ def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state per (user, open session); the gap bounds merge scope
     and the watermark expires closed sessions — the unbounded-key
     analogue of the tumbling case's fixed window count per key.
+    Event-time validity split + observable quarantine: same
+    watermark-poisoning defense as the tumbling gate.
     """
-    pin_utc(spark)
-    path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_gate_query,
+        split_event_time,
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    from datapipeline_gcp_spark.streaming.harness import run_gate_query
 
-    agg = streaming_session(stream)
-    return run_gate_query(spark, agg, "stream_session_gate").select(
+    pin_utc(spark)
+    valid, rejected = split_event_time(events_stream(spark, sf_dir))
+    agg = streaming_session(valid)
+    return run_gate_query(
+        spark, agg, "stream_session_gate", quarantine=rejected
+    ).select(
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "user_id",
@@ -289,9 +310,9 @@ def events_stream_session_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_SESSION_ORACLE = f"""
-WITH agg AS ({_SESSION_ORACLE})
+WITH agg AS ({_session_sql(_SQL_EVENTS_STREAM_SAFE)})
 SELECT * FROM agg
-WHERE session_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+WHERE session_end <= {_SQL_VALID_TERMINAL_WM}
 """
 
 
