@@ -338,7 +338,14 @@ def assert_below_id_floor(docs: DataFrame) -> None:
     silently misclassifying edges into the wrong old/new set). One
     max-aggregate over a single pruned column — a column SCAN, not a
     stats read, so the verdict is cached per (session, source plan) and
-    only the first invocation pays it."""
+    only the first invocation pays it.
+
+    Cache-key caveat (ADVICE r8, accepted for the bench protocol): the
+    plan string does not fingerprint the DATA, so overwriting the
+    parquet at the same path with larger doc_ids within one session
+    would skip the guard. The driver/bench protocol never rewrites
+    fixtures mid-session; a deployment that does should key on a data
+    fingerprint (file mtimes / snapshot id) instead."""
     key = (docs.sparkSession.sparkContext.applicationId, docs._jdf.queryExecution().logical().toString())
     if key in _ID_FLOOR_CHECKED:
         return

@@ -68,10 +68,20 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     distance involving it is meaningful. One designed boundary, the
     vector twin of ``dedup.normalized()``'s NULL-text rule; the oracle
     twin is :data:`_D_FIN`. A pushed-down per-row predicate — no
-    shuffle, no extra pass."""
-    bad = F.exists(
-        F.col(col),
-        lambda x: F.isnan(x.cast("double"))
+    shuffle, no extra pass.
+
+    NULL vectors and NULL components are EXPLICITLY part of the rule
+    (ADVICE r8): both count as absent and drop the row in BOTH engines
+    — previously Spark dropped them via three-valued NULL fallout
+    while DuckDB's bool_or skipped NULL elements and kept the row, a
+    latent parity break no fixture planted. The ``isNull`` arms keep
+    the predicate two-valued, so the filter is deterministic rather
+    than an accident of NULL propagation."""
+    c = F.col(col)
+    bad = c.isNull() | F.exists(
+        c,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
         | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
     return df.filter(~bad)
@@ -395,11 +405,17 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _D_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-#: oracle twin of ``finite_vectors`` — TRUE iff every component is
-#: finite (empty vectors count finite: bool_or over [] is NULL)
+#: oracle twin of ``finite_vectors`` — TRUE iff the vector exists and
+#: every component is non-NULL and finite (empty vectors count finite:
+#: bool_or over [] is NULL → coalesce FALSE). The explicit IS NOT NULL
+#: arms mirror the engine's rule exactly (ADVICE r8): without them
+#: bool_or SKIPS NULL elements and a NULL embedding slips through the
+#: coalesce, keeping rows the engine drops.
 _D_FIN = (
+    "embedding IS NOT NULL AND "
     "NOT coalesce(list_aggregate(list_transform(embedding, "
-    "x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))), "
+    "x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR "
+    "isinf(CAST(x AS DOUBLE))), "
     "'bool_or'), FALSE)"
 )
 _D_DOT = (

@@ -144,11 +144,15 @@ def robust_zscore_builtin(
         )
     )
     scale = F.lit(1.4826) * F.col("_mad")
+    # NULL measure → NULL score in EVERY branch: without the leading
+    # isNull arm, a NULL row in a zero-MAD group would score 0.0 here
+    # while the grouped-map twin masks it to NULL (ADVICE r8) — the
+    # divide branch already propagates NULL on its own.
     return _nullsafe_join(df, mad).withColumn(
         out_col,
-        F.when(scale == 0, F.lit(0.0)).otherwise(
-            (F.col(value_col) - F.col("_med")) / scale
-        ),
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("double"))
+        .when(scale == 0, F.lit(0.0))
+        .otherwise((F.col(value_col) - F.col("_med")) / scale),
     ).drop("_med", "_mad")
 
 
@@ -200,12 +204,17 @@ WITH stats AS (
   FROM {SQL_EVENTS_NANSAFE} GROUP BY user_id
 )
 SELECT e.user_id, e.event_id, e.value,
-  (floor((CASE WHEN 1.4826 * s.mad_v = 0 THEN 0.0
+  (floor((CASE WHEN e.value IS NULL THEN NULL
+             WHEN 1.4826 * s.mad_v = 0 THEN 0.0
              ELSE (e.value - s.med_v) / (1.4826 * s.mad_v) END) * 1e6 + 0.5)
    / 1e6) AS robust_z
 FROM {SQL_EVENTS_NANSAFE} e
 JOIN stats s ON e.user_id IS NOT DISTINCT FROM s.user_id
 """
+# ^ the leading value-IS-NULL arm mirrors both engine variants' rule
+#   "NULL measure → NULL score" in the zero-MAD branch too (ADVICE r8:
+#   without it the THEN 0.0 would score missing measures in constant
+#   groups)
 # ^ IS NOT DISTINCT FROM: the statistic is GROUPED — a NULL user_id is
 #   a group (both engine variants score those rows), and a USING join
 #   would silently drop its rows from the output (r8 nullkeys sweep)

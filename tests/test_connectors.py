@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from datapipeline_gcp_spark import connectors
 
 
@@ -55,8 +57,11 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
         ]
         # Derby's dialect maps StringType to CLOB, which Derby refuses
         # to compare/hash; VARCHAR via createTableColumnTypes keeps the
-        # round-trip faithful for the fixture's bounded strings
-        .limit(200)
+        # round-trip faithful for the fixture's bounded strings.
+        # Deterministic subset (ADVICE r8): a bare limit(200) over a
+        # multi-split scan may pick different rows for the JDBC write
+        # vs the `want` collect below — filter, don't sample.
+        .filter(F.col("doc_id") < 200)
     )
     docs.write.option(
         "createTableColumnTypes",

@@ -44,3 +44,40 @@ def test_robust_zscore_matches_numpy(spark):
 
     g2 = got[got.user_id == 2]
     assert (g2.robust_z == 0.0).all()
+
+
+def test_zero_mad_group_with_null_measure_all_three_agree(spark):
+    """ADVICE r8: in a zero-MAD group containing NULL measures, the
+    grouped-map variant, the built-in two-pass variant, and the shared
+    DuckDB oracle must agree on "NULL measure → NULL score" — the 0.0
+    zero-MAD fallback applies only to rows that HAVE a measure. The
+    driver fixtures never produce this shape, so pin it here."""
+    import duckdb
+
+    from datapipeline_gcp_spark.functions.udfs import robust_zscore_builtin
+
+    rows = [(1, 10, 5.0), (1, 11, 5.0), (1, 12, None), (2, 20, None)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double"
+    )
+    want = {10: 0.0, 11: 0.0, 12: None, 20: None}
+
+    for variant in (robust_zscore_per_group, robust_zscore_builtin):
+        got = {
+            r.event_id: r.robust_z
+            for r in variant(df, ["user_id"], "value").collect()
+        }
+        assert got == want, variant.__name__
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, 10, 5.0), (1, 11, 5.0), (1, 12, NULL), (2, 20, NULL)"
+        ") t(user_id, event_id, value)"
+    )
+    from datapipeline_gcp_spark.functions.udfs import _ZSCORE_ORACLE
+
+    oracle = {
+        r[1]: r[3] for r in con.execute(_ZSCORE_ORACLE).fetchall()
+    }
+    assert oracle == want
