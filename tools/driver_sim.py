@@ -127,11 +127,26 @@ def main():
     # verified" is an artifact, not a claim — VERDICT r3 #8).
     if os.environ.get("SIM_SUMMARY"):
         import json
+        import subprocess
 
+        # stamp the exact code the sweep ran on (VERDICT r8 #4: without
+        # it, "refreshed on HEAD" needs git archaeology to audit)
+        try:
+            commit = subprocess.run(
+                ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+            dirty = bool(subprocess.run(
+                ["git", "-C", "/root/repo", "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip())
+        except Exception:
+            commit, dirty = "unknown", True
         with open(os.environ["SIM_SUMMARY"], "w") as fh:
             json.dump(
                 {
                     "harness": "tools/driver_sim.py (vanilla local[32] session, DuckDB oracles)",
+                    "commit": commit + ("+dirty" if dirty else ""),
                     "sf_dir": sf,
                     "tz": os.environ.get("TZ", "system"),
                     "entry_smoke_rows": n,
