@@ -29,6 +29,15 @@ from datapipeline_gcp_spark.schemas import load_testdata
 BUCKET = "1 hour"
 _BUCKET_SECONDS = 3600
 
+#: Loud ceiling on the per-interval bucket explosion (r9 extremes
+#: audit, the gap-detection OOM class): one interval with corrupt
+#: century-wide bounds would explode into ~867k boxed longs per row
+#: and bucket-multiply every downstream join. An interval this many
+#: buckets wide is either corrupt bounds or a mis-sized BUCKET for the
+#: workload — both should fail with a diagnosable error, not an
+#: executor OOM. 10k hourly buckets ≈ 14 months per interval.
+MAX_BUCKETS_PER_INTERVAL = 10_000
+
 
 def range_join(
     points: DataFrame,
@@ -43,14 +52,29 @@ def range_join(
     p = points.withColumn(
         "__bucket", (F.unix_timestamp(ts_col) / _BUCKET_SECONDS).cast("long")
     )
+    b0 = (F.unix_timestamp(start_col) / _BUCKET_SECONDS).cast("long")
+    # end is exclusive: a bucket containing only `end` itself cannot
+    # match, but the filter below settles exactness
+    b1 = (F.unix_timestamp(end_col) / _BUCKET_SECONDS).cast("long")
     i = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(start_col) / _BUCKET_SECONDS).cast("long"),
-                # end is exclusive: a bucket containing only `end` itself
-                # cannot match, but the filter below settles exactness
-                (F.unix_timestamp(end_col) / _BUCKET_SECONDS).cast("long"),
+                # guard the explode, per row, inside codegen: corrupt
+                # bounds fail loudly instead of materializing a
+                # span-scaled array (see MAX_BUCKETS_PER_INTERVAL)
+                F.when(b1 - b0 < F.lit(MAX_BUCKETS_PER_INTERVAL), b0).otherwise(
+                    F.raise_error(
+                        F.format_string(
+                            "range_join interval spans %s buckets "
+                            f"(cap {MAX_BUCKETS_PER_INTERVAL}): corrupt "
+                            "bounds, or BUCKET is mis-sized for this "
+                            "workload",
+                            b1 - b0 + F.lit(1),
+                        )
+                    )
+                ),
+                b1,
             )
         ),
     )

@@ -125,7 +125,9 @@ _RECHECK: dict[str, int] = {
     "events_stream_interval_join_gate": 9,
     "fuzzy_customer_names": 8,
     "join_composite_key": 8,
-    "range_join_events": 8,
+    # (range_join_events bumped to 9: the bucket-explosion guard —
+    # corrupt century-wide interval bounds now raise instead of OOM.)
+    "range_join_events": 9,
     "source_jsonl_roundtrip": 8,
     "source_orc_roundtrip": 8,
     # r9 ADVICE closures: (a) zero-MAD groups containing NULL measures

@@ -192,3 +192,41 @@ def test_rfm_cuts_orientation_five_is_best(spark):
     assert mean("r_days", "r_q", 5) < mean("r_days", "r_q", 1)
     assert mean("n_orders", "f_q", 5) > mean("n_orders", "f_q", 1)
     assert mean("monetary", "m_q", 5) > mean("monetary", "m_q", 1)
+
+
+def test_range_join_rejects_span_scaled_interval(spark):
+    """r9 extremes audit (the gap-detection OOM class): an interval with
+    corrupt century-wide bounds must fail LOUDLY at the explode guard,
+    not materialize ~867k buckets per row. Narrow intervals pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-05 10:30:00", 10)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ok = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", "2024-01-05 11:00:00", 1)],
+        "user_id long, s string, e string, win_id long",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "win_id",
+    )
+    got = range_join(points, ok, "ts", "s", "e", ["user_id"]).collect()
+    assert len(got) == 1
+
+    corrupt = spark.createDataFrame(
+        [(1, "1901-03-07 04:05:06", "2099-11-23 21:22:23", 2)],
+        "user_id long, s string, e string, win_id long",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "win_id",
+    )
+    with pytest.raises(Exception, match="buckets"):
+        range_join(points, corrupt, "ts", "s", "e", ["user_id"]).collect()
