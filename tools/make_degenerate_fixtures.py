@@ -101,6 +101,56 @@ def _extreme_events(tbl: pa.Table) -> pa.Table:
     return tbl.set_column(v_i, tbl.schema.field(v_i), pa.array(vals, type=tbl.column(v_i).type))
 
 
+#: Deterministic unicode palette for the `unicode` variant — each entry
+#: exercises a distinct normalization/token boundary: NFKC compat folds
+#: (ligatures, full-width, enclosed numerics, unit squares), combining
+#: marks (NFC-vs-NFD and Zalgo stacks), ZWJ emoji + surrogate pairs,
+#: exotic whitespace (NBSP, ideographic space), and RTL scripts.
+_UNI_PALETTE = [
+    "ﬁle ﬂow oﬀice",
+    "Ｈｅｌｌｏ　ｗｏｒｌｄ",
+    "café résumé naïve",
+    "fam 👨‍👩‍👧‍👦 lab 🧪 snow ☃ rocket 🚀",
+    "nbsp joined narrow space",
+    "العربية mixed עברית rtl",
+    "①②③ ㎞ ㎡ ½ ¾",
+    "zalgo źàl̂g̃ō end",
+]
+
+
+def _unicode_text(tbl: pa.Table) -> pa.Table:
+    """documents.text → prepend a unicode palette entry on every 4th
+    row (deterministic by position); n_chars recomputed so the derived
+    column stays honest (stale-metadata probing is a separate
+    variant's job, not this one's)."""
+    t_i = tbl.schema.get_field_index("text")
+    n_i = tbl.schema.get_field_index("n_chars")
+    texts = tbl.column(t_i).to_pylist()
+    for r in range(0, len(texts), 4):
+        if texts[r] is not None:
+            texts[r] = f"{_UNI_PALETTE[(r // 4) % len(_UNI_PALETTE)]} {texts[r]}"
+    n_chars = [len(t) if t is not None else None for t in texts]
+    tbl = tbl.set_column(t_i, tbl.schema.field(t_i), pa.array(texts, type=pa.string()))
+    return tbl.set_column(n_i, tbl.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type))
+
+
+def _dup_rows(tbl: pa.Table, n: int = 10) -> pa.Table:
+    """`dupkeys` variant: append an EXACT copy of every nth row at the
+    END of the table. Deliberate semantics decision (VERDICT r8 #5):
+    the duplicated thing is the FULL ROW, not just the id — two rows
+    sharing an id but differing in payload have NO total order either
+    engine could deterministically agree on (any tiebreak on (ts, id)
+    or (id) is exhausted), so that shape is out of scope BY DESIGN; the
+    engine's documented contract is that ids order-tiebreak uniquely.
+    Exact duplicate rows, by contrast, are the real-world batch-layer
+    redelivery artifact: they probe every op that ASSUMES id uniqueness
+    — counts vs distinct counts, 2×2 join fan-out, first()/any_value,
+    rank ties, dedup collapse — where both engines must agree exactly.
+    Appending at the end also breaks any sorted-by-id file assumption."""
+    idx = list(range(0, tbl.num_rows, n))
+    return pa.concat_tables([tbl, tbl.take(pa.array(idx, pa.int64()))])
+
+
 def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
     i = tbl.schema.get_field_index(col)
     mask = pa.array([r % n == 0 for r in range(tbl.num_rows)])
@@ -108,8 +158,19 @@ def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
     return tbl.set_column(i, tbl.schema.field(i), blanked)
 
 
+#: tables whose rows the dupkeys variant duplicates: the fact/corpus
+#: tables plus the two dims the business joins hit (fan-out probing)
+_DUP_TABLES = {"events", "orders", "lineitem", "documents", "embeddings",
+               "customer", "part"}
+
+VARIANTS = (
+    "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
+    "dupkeys", "unicode",
+)
+
+
 def main(out_root: str) -> None:
-    for variant in ("empty", "nulltext", "nullkeys", "nanvalues", "extremes"):
+    for variant in VARIANTS:
         d = os.path.join(out_root, variant)
         os.makedirs(d, exist_ok=True)
         for t in TABLES:
@@ -129,9 +190,15 @@ def main(out_root: str) -> None:
                     tbl = _nan_values(tbl)
                 elif t == "embeddings":
                     tbl = _nan_embedding_component(tbl)
-            else:  # extremes: 1901/2099 timestamps + negated measures
+            elif variant == "extremes":  # 1901/2099 ts + negated measures
                 if t == "events":
                     tbl = _extreme_events(tbl)
+            elif variant == "dupkeys":  # exact-duplicate rows appended
+                if t in _DUP_TABLES:
+                    tbl = _dup_rows(tbl)
+            else:  # unicode: NFKC/emoji/RTL text prepends
+                if t == "documents":
+                    tbl = _unicode_text(tbl)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
