@@ -949,9 +949,15 @@ def graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggregations per round over a SHRINKING edge list; the
     size rollup is component-cardinality."""
     docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    # the chain is defined over LOGICAL documents: an exact duplicate
+    # storage row (r9 dupkeys) would otherwise make lead() see the
+    # copy as "the next document" — a self-edge plus shifted links —
+    # and double the per-doc output; distinct mirrors the oracle's
+    # DISTINCT source
+    docs = docs.select("source", "doc_id").distinct()
     w = Window.partitionBy("source").orderBy("doc_id")
     edges = (
-        docs.select("source", "doc_id")
+        docs
         .withColumn("nxt", F.lead("doc_id").over(w))
         .filter(F.col("nxt").isNotNull() & ((F.col("doc_id") + F.col("nxt")) % 7 != 0))
         .select(F.col("doc_id").alias("doc_a"), F.col("nxt").alias("doc_b"))
@@ -978,7 +984,7 @@ WITH linked AS (
   SELECT source, doc_id,
          lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt,
          lag(doc_id)  OVER (PARTITION BY source ORDER BY doc_id) AS prv
-  FROM documents
+  FROM (SELECT DISTINCT source, doc_id FROM documents)
 ),
 seg AS (
   -- a row STARTS a new segment when its backward link is absent/broken;

@@ -445,7 +445,11 @@ def ranked_vocab(df: DataFrame, k: int = VOCAB_K) -> DataFrame:
 
 def corpus_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return encode_with_vocab(docs, ranked_vocab(docs))
+    # one encoding per LOGICAL document: exact duplicate storage rows
+    # (r9 dupkeys — batch-layer redelivery) collapse at the boundary,
+    # mirrored by the oracle's SELECT DISTINCT source. The vocab side
+    # needs no dedup — its doc_freq already counts DISTINCT doc_ids.
+    return encode_with_vocab(docs.distinct(), ranked_vocab(docs))
 
 
 _ENCODE_ORACLE = f"""
@@ -455,7 +459,8 @@ WITH vocab AS (
   FROM ({_VOCAB_ORACLE})
 ),
 toks AS (
-  SELECT doc_id, string_split({_D_NORM}, ' ') AS t FROM documents
+  SELECT doc_id, string_split({_D_NORM}, ' ') AS t
+  FROM (SELECT DISTINCT * FROM documents) documents
 ),
 pos AS (
   SELECT doc_id, u.i AS ord, t[u.i] AS token
@@ -674,7 +679,7 @@ _DATACARD_ORACLE = f"""
 SELECT lang, source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM({_D_NTOK}) AS BIGINT) AS total_tokens,
-       CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT) AS total_chars,
+       CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS total_chars,
        CAST(MAX({_D_NTOK}) AS BIGINT) AS max_tokens,
        CAST(CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END AS BIGINT)
          AS g_lang,

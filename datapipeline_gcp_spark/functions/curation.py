@@ -30,6 +30,7 @@ from datapipeline_gcp_spark.functions.dedup import (
 )
 from datapipeline_gcp_spark.functions.text import (
     LANG_MARKERS,
+    _D_MARKERIZE,
     _marker_pattern,
     _rc,
     with_language_id,
@@ -94,12 +95,12 @@ kept AS (
 ),
 m AS (
   SELECT doc_id, lang, fp_exact,
-    CAST(strlen(text) AS BIGINT) AS n_chars_calc,
+    CAST(length(text) AS BIGINT) AS n_chars_calc,
     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
     CAST({_rc('text', '[.,;:!?]')} AS BIGINT) AS punct_count,
-    CAST({_rc('lower(text)', _marker_pattern('en'))} AS BIGINT) AS stop_hits,
+    CAST({_rc(_D_MARKERIZE.format(t='text'), _marker_pattern('en'))} AS BIGINT) AS stop_hits,
     {", ".join(
-        f"CAST({_rc('lower(text)', _marker_pattern(lang))} AS BIGINT) AS score_{lang}"
+        f"CAST({_rc(_D_MARKERIZE.format(t='text'), _marker_pattern(lang))} AS BIGINT) AS score_{lang}"
         for lang in LANG_MARKERS
     )}
   FROM kept

@@ -636,7 +636,7 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 """
 
 _JACCARD_ORACLE = f"""
-WITH fixture AS ({_FIXTURE_SQL}),
+WITH fixture AS (SELECT DISTINCT * FROM ({_FIXTURE_SQL})),
 sh AS (SELECT lang, source, doc_id,
        list_distinct(list_transform({_D_SHINGLES},
                      s -> {_D_BH.format(s='s')})) AS sh
@@ -783,8 +783,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs are over LOGICAL documents: exact duplicate storage rows
+    # (r9 dupkeys) would otherwise create a positional self-pair
+    # (jaccard 1.0 with doc_a == doc_b) plus double-counted cross-pairs
+    # in within_block_pairs' i<j expansion; oracle twin dedups the
+    # fixture identically. (dedup_exact is the op whose JOB is counting
+    # those duplicate rows — it stays undeduped by design.)
     return ngram_jaccard_pairs(
-        neardup_fixture(spark, sf_dir), block_cols=["lang", "source"]
+        neardup_fixture(spark, sf_dir).distinct(), block_cols=["lang", "source"]
     )
 
 

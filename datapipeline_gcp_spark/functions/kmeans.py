@@ -150,7 +150,8 @@ from datapipeline_gcp_spark.functions.similarity import _D_FIN as _FIN  # noqa: 
 _EX = f"""
   SELECT vec_id, u.i - 1 AS d,
          CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {QUANT}) AS BIGINT) AS qx
-  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  FROM (SELECT DISTINCT * FROM embeddings) embeddings,
+       UNNEST(generate_series(1, len(embedding))) AS u(i)
   WHERE {_FIN}
 """
 

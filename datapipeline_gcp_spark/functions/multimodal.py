@@ -308,7 +308,10 @@ def sample_frames(assets: DataFrame, kind: str = "video") -> DataFrame:
                             k,
                             k * FRAME_W,
                             float(sum(fr)) / FRAME_W,
-                            hashlib.md5(fr).hexdigest(),
+                            # md5 of the canonical lowercase-hex form —
+                            # engine-neutral (see resize_assets; DuckDB
+                            # md5 cannot hash raw bytes)
+                            hashlib.md5(fr.hex().encode()).hexdigest(),
                         )
                     )
             yield pd.DataFrame(
@@ -336,22 +339,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kind cycles image/audio/video by doc_id mod 3, so video ⇔ doc_id%3=2;
 # the fixture text is ASCII, so string positions = byte offsets and
 # ord(char) = byte value, making the byte math expressible in SQL.
+# BYTE-accurate like _RESIZE_ORACLE (r9 unicode sweep): frames are byte
+# slices of the UTF-8 payload, indexed through the hex encoding
 _FRAME_ORACLE = f"""
 WITH assets AS (
-  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id % 3 = 2
+  SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 2
 ),
 frames AS (
   SELECT asset_id, k AS frame_idx, k * {FRAME_W} AS frame_offset,
-         substring(text, CAST(k * {FRAME_W} + 1 AS INT), {FRAME_W}) AS fr
+         substring(hx, CAST(2 * k * {FRAME_W} + 1 AS INT), {2 * FRAME_W}) AS frhex
   FROM assets,
-       UNNEST(range(0, LEAST(CAST(floor(length(text) / {FRAME_W}) AS BIGINT),
+       UNNEST(range(0, LEAST(CAST(floor(n / {FRAME_W}) AS BIGINT),
                              {MAX_FRAMES}))) AS u(k)
 )
 SELECT asset_id, frame_idx, frame_offset,
-       CAST(list_sum(list_transform(range(1, {FRAME_W} + 1),
-                                    i -> ord(substring(fr, CAST(i AS INT), 1))))
+       CAST(list_sum(list_transform(range(0, {FRAME_W}),
+              i -> CAST(concat('0x', substring(frhex, CAST(2 * i + 1 AS INT), 2))
+                        AS INT)))
             AS DOUBLE) / {FRAME_W} AS mean_byte,
-       md5(fr) AS frame_md5
+       md5(frhex) AS frame_md5
 FROM frames
 """
 
@@ -404,12 +412,20 @@ def resize_assets(assets: DataFrame, kind: str = "image") -> DataFrame:
                 out = bytes(
                     b[(i * n) // RESIZE_TARGET] for i in range(RESIZE_TARGET)
                 )
+                out_hex = binascii.hexlify(out).decode()
                 rows.append(
                     (
                         int(aid),
                         n,
-                        binascii.hexlify(out).decode(),
-                        hashlib.md5(out).hexdigest(),
+                        out_hex,
+                        # md5 of the canonical lowercase-hex serialization
+                        # (not the raw bytes): DuckDB's md5 only hashes
+                        # VARCHAR, and arbitrary bytes are not valid
+                        # UTF-8 — hashing the hex form is engine-neutral
+                        # and equally collision-resistant (r9 unicode
+                        # sweep: the byte/char split made the old
+                        # char-indexed oracle wrong on multi-byte text)
+                        hashlib.md5(out_hex.encode()).hexdigest(),
                         float(sum(out)) / RESIZE_TARGET,
                     )
                 )
@@ -435,24 +451,31 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_assets(assets_from_documents(spark, sf_dir))
 
 
-# image ⇔ doc_id%3=0; ASCII fixture ⇒ string positions = byte offsets
+# image ⇔ doc_id%3=0. BYTE-accurate (r9 unicode sweep): the payload is
+# the document's UTF-8 BYTES, so the oracle indexes the hex encoding
+# (byte i = hex[2i+1..2i+2]) instead of character positions — on
+# multi-byte text those are different things and the engine's
+# byte-indexed resize is the honest multimodal semantics.
 _RESIZE_ORACLE = f"""
 WITH assets AS (
-  SELECT doc_id AS asset_id, text, CAST(length(text) AS BIGINT) AS n
-  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= {RESIZE_TARGET}
+  SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= {RESIZE_TARGET}
 ),
 resized AS (
   SELECT asset_id, n,
          array_to_string(list_transform(range(0, {RESIZE_TARGET}),
-           i -> substring(text, CAST((i * n) // {RESIZE_TARGET} + 1 AS INT), 1)),
-           '') AS outb
+           i -> substring(hx, CAST(2 * ((i * n) // {RESIZE_TARGET}) + 1 AS INT), 2)),
+           '') AS outhex
   FROM assets
 )
 SELECT asset_id, n AS orig_len,
-       lower(hex(encode(outb))) AS resized_hex,
-       md5(outb) AS resized_md5,
-       CAST(list_sum(list_transform(range(1, {RESIZE_TARGET} + 1),
-              i -> ord(substring(outb, CAST(i AS INT), 1)))) AS DOUBLE)
+       outhex AS resized_hex,
+       md5(outhex) AS resized_md5,
+       CAST(list_sum(list_transform(range(0, {RESIZE_TARGET}),
+              i -> CAST(concat('0x', substring(outhex, CAST(2 * i + 1 AS INT), 2))
+                        AS INT))) AS DOUBLE)
          / {RESIZE_TARGET} AS mean_byte
 FROM resized
 """
@@ -555,21 +578,24 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The assets→allv→resized→hashed CTE chain is shared between the batch
 # dedup oracle and the streaming ingest gate's oracle (streaming/e2e.py)
 # — one definition so the two can never drift.
+# byte-accurate via the hex encoding, like _RESIZE_ORACLE (r9 unicode)
 PHASH_HASHED_CTES = f"""assets AS (
-  SELECT doc_id AS asset_id, text FROM documents
-  WHERE doc_id % 3 = 0 AND length(text) >= {RESIZE_TARGET}
+  SELECT doc_id AS asset_id, lower(hex(encode(text))) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= {RESIZE_TARGET}
 ),
 allv AS (
-  SELECT asset_id, text FROM assets
+  SELECT asset_id, hx, n FROM assets
   UNION ALL
-  SELECT asset_id + 3000000, text FROM assets WHERE asset_id % 6 = 0
+  SELECT asset_id + 3000000, hx, n FROM assets WHERE asset_id % 6 = 0
 ),
 resized AS (
   SELECT asset_id,
          list_transform(range(0, {RESIZE_TARGET}),
-           i -> ord(substring(text,
-                CAST((i * CAST(length(text) AS BIGINT))
-                     // {RESIZE_TARGET} + 1 AS INT), 1))) AS ob
+           i -> CAST(concat('0x', substring(hx,
+                CAST(2 * ((i * n) // {RESIZE_TARGET}) + 1 AS INT), 2))
+                AS INT)) AS ob
   FROM allv
 ),
 hashed AS (

@@ -76,7 +76,18 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     while DuckDB's bool_or skipped NULL elements and kept the row, a
     latent parity break no fixture planted. The ``isNull`` arms keep
     the predicate two-valued, so the filter is deterministic rather
-    than an accident of NULL propagation."""
+    than an accident of NULL propagation.
+
+    Exact storage duplicates collapse to ONE logical vector (r9
+    dupkeys sweep): a redelivered/double-landed corpus row must not
+    double-weight centroids, shift IVF training, or occupy two top-k
+    slots. Full-row ``distinct()`` — deterministic even if a future
+    corpus violates the identical-payload contract (conflicting rows
+    both survive and surface downstream instead of an arbitrary one
+    winning). Scale note: this is one shuffle of the corpus; an ingest
+    that already guarantees identity uniqueness (the exactly-once
+    streaming path, `dedup_exact`) can skip it, but a QUERY op must
+    not silently assume it. Oracle twin: ``_D_EMB``."""
     c = F.col(col)
     bad = c.isNull() | F.exists(
         c,
@@ -84,7 +95,7 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
         | F.isnan(x.cast("double"))
         | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
-    return df.filter(~bad)
+    return df.filter(~bad).distinct()
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -405,6 +416,9 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _D_VD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+#: oracle twin of the finite_vectors DISTINCT boundary: exact storage
+#: duplicates are one logical vector (r9 dupkeys sweep)
+_D_EMB = "(SELECT DISTINCT * FROM embeddings)"
 #: oracle twin of ``finite_vectors`` — TRUE iff the vector exists and
 #: every component is non-NULL and finite (empty vectors count finite:
 #: bool_or over [] is NULL → coalesce FALSE). The explicit IS NOT NULL
@@ -441,7 +455,7 @@ list_reduce(list_transform(generate_series(0, {N_PLANES - 1}), p ->
 
 _D_PREP = f"""
 SELECT vec_id, label, vd, {_D_NORM} AS vnorm
-FROM (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN})
+FROM (SELECT vec_id, label, {_D_VD} AS vd FROM {_D_EMB} WHERE {_D_FIN})
 """
 
 _D_SCORE = (
@@ -535,7 +549,7 @@ WITH ex AS (
   SELECT label, u.i AS i, u.x AS x FROM (
     SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
       i -> struct_pack(i := i, x := CAST(embedding[i] AS DOUBLE)))) AS u
-    FROM embeddings WHERE {_D_FIN}
+    FROM {_D_EMB} WHERE {_D_FIN}
   )
 )
 SELECT label,
@@ -548,7 +562,7 @@ GROUP BY label, i
 """
 
 _NEARDUP_ORACLE = f"""
-WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN}),
+WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM {_D_EMB} WHERE {_D_FIN}),
 perturbed AS (
   SELECT vec_id + 100000 AS vec_id, label,
     list_transform(generate_series(1, len(vd)),
@@ -632,7 +646,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUANT_ORACLE = f"""
-WITH vd AS (SELECT vec_id, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN}),
+WITH vd AS (SELECT vec_id, {_D_VD} AS vd FROM {_D_EMB} WHERE {_D_FIN}),
 st AS (
   SELECT vec_id, vd, list_max(list_transform(vd, x -> abs(x))) AS amax
   FROM vd
@@ -984,7 +998,7 @@ FROM per_cell, tot
 
 
 _SEMDEDUP_ORACLE = f"""
-WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM embeddings WHERE {_D_FIN}),
+WITH base AS (SELECT vec_id, label, {_D_VD} AS vd FROM {_D_EMB} WHERE {_D_FIN}),
 perturbed AS (
   SELECT vec_id + 100000 AS vec_id, label,
     list_transform(generate_series(1, len(vd)),

@@ -40,6 +40,23 @@ def _marker_pattern(lang: str) -> str:
     return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
 
 
+def marker_ready(c):
+    """lower + collapse every non-``[a-z0-9_]`` run to one space, so
+    marker counting happens over pure ASCII — where Java's and RE2's
+    ``\\b`` agree. They diverge on non-ASCII letters (Java's word
+    boundary can be Unicode-aware, RE2's never is), so counting markers
+    directly on unicode text made the engines disagree by ±1 around
+    accented/emoji-adjacent words (r9 unicode sweep). Identity on the
+    ASCII fixtures. Oracle twin: :data:`_D_MARKERIZE`."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(F.lower(c), r"[^a-z0-9_]+", " ")
+
+
+#: DuckDB twin of :func:`marker_ready` — format with the text expr
+_D_MARKERIZE = "regexp_replace(lower({t}), '[^a-z0-9_]+', ' ', 'g')"
+
+
 # ---------------------------------------------------------------------------
 # Builders (Spark side)
 # ---------------------------------------------------------------------------
@@ -66,7 +83,7 @@ def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
     punct = F.regexp_count(t, F.lit(_PUNCT)).cast("bigint")
     digits = F.regexp_count(t, F.lit(_DIGIT)).cast("bigint")
-    stop = F.regexp_count(F.lower(t), F.lit(_marker_pattern("en"))).cast("bigint")
+    stop = F.regexp_count(marker_ready(t), F.lit(_marker_pattern("en"))).cast("bigint")
     # nullif: an empty document (n_chars = 0) made these divisions
     # THROW under ANSI (Spark 4 default and the driver's vanilla
     # session); NULL is exactly DuckDB's division-by-zero result, so
@@ -103,7 +120,7 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # language and classifies 'und' in BOTH engines — without the
     # coalesce the oracle's CASE falls through NULL comparisons to the
     # ELSE branch and labels NULL text 'fr'.
-    lowered = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    lowered = marker_ready(F.coalesce(F.col(text_col), F.lit("")))
     scores = {
         lang: F.regexp_count(lowered, F.lit(_marker_pattern(lang))).cast("bigint")
         for lang in LANG_MARKERS
@@ -198,18 +215,18 @@ def _rc(expr: str, pattern: str) -> str:
 _METRICS_ORACLE = f"""
 WITH b AS (
   SELECT *,
-    CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars_calc,
     CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
          AS BIGINT) AS n_tokens,
     CAST({_rc("coalesce(text, '')", _PUNCT)} AS BIGINT) AS punct_count,
     CAST({_rc("coalesce(text, '')", _DIGIT)} AS BIGINT) AS digit_count,
-    CAST({_rc("lower(coalesce(text, ''))", _marker_pattern('en'))} AS BIGINT) AS stop_hits
+    CAST({_rc(_D_MARKERIZE.format(t="coalesce(text, '')"), _marker_pattern('en'))} AS BIGINT) AS stop_hits
   FROM documents
 )
 SELECT
   doc_id, text, lang, source, n_chars,
   n_chars_calc, n_tokens,
-  CAST((strlen(coalesce(text, '')) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
+  CAST((length(coalesce(text, '')) + 3) // 4 AS BIGINT) AS est_bpe_tokens,
   punct_count,
   punct_count / n_chars_calc AS punct_ratio,
   digit_count / n_chars_calc AS digit_ratio,
@@ -226,7 +243,7 @@ WITH s AS (
   SELECT *,
     {", ".join(
         "CAST(%s AS BIGINT) AS score_%s"
-        % (_rc("lower(coalesce(text, ''))", _marker_pattern(lang)), lang)
+        % (_rc(_D_MARKERIZE.format(t="coalesce(text, '')"), _marker_pattern(lang)), lang)
         for lang in LANG_MARKERS
     )}
   FROM documents
@@ -343,7 +360,7 @@ WITH p AS (
   SELECT doc_id,
     CAST(len(regexp_extract_all(lower(text),
       '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_pretokens,
-    CAST(strlen(lower(text)) AS DOUBLE) AS n_chars_d
+    CAST(length(lower(text)) AS DOUBLE) AS n_chars_d
   FROM documents
 )
 SELECT doc_id, n_pretokens,

@@ -382,8 +382,12 @@ def fuzzy_match_pairs(
 
 def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_testdata(spark, sf_dir, ("customer",))["customer"]
+    # entity resolution is over LOGICAL entities: an exact duplicate
+    # storage row (r9 dupkeys) would otherwise surface as a
+    # distance-0 self-pair (id_a == id_b) that the oracle's a < b join
+    # can never produce; distinct at the boundary, mirrored below
     return fuzzy_match_pairs(
-        cust.select("c_nationkey", "c_custkey", "c_name"),
+        cust.select("c_nationkey", "c_custkey", "c_name").distinct(),
         block_cols=["c_nationkey"],
         id_col="c_custkey",
         text_col="c_name",
@@ -391,9 +395,12 @@ def fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_ORACLE = """
+WITH cust_d AS (
+  SELECT DISTINCT c_nationkey, c_custkey, c_name FROM customer
+)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
-FROM customer a JOIN customer b
+FROM cust_d a JOIN cust_d b
   -- IS NOT DISTINCT FROM: blocking is grouping — the engine blocks via
   -- groupBy, where a NULL nation is a block value (r8 nullkeys sweep)
   ON a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey

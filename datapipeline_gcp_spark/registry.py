@@ -101,7 +101,7 @@ _RECHECK: dict[str, int] = {
     "corpus_ppl_buckets": 8,
     "corpus_source_budget": 8,
     "corpus_vocab_topk": 8,
-    "dedup_stream_incremental_gate": 8,
+    "dedup_stream_incremental_gate": 9,
     "doc_chunking": 8,
     "events_gap_detection": 8,
     "events_histogram": 8,
@@ -123,7 +123,7 @@ _RECHECK: dict[str, int] = {
     "events_stream_e2e_ingest_gate": 9,
     "events_stream_crossrun_redelivery_gate": 9,
     "events_stream_interval_join_gate": 9,
-    "fuzzy_customer_names": 8,
+    "fuzzy_customer_names": 9,
     "join_composite_key": 8,
     # (range_join_events bumped to 9: the bucket-explosion guard —
     # corrupt century-wide interval bounds now raise instead of OOM.)
@@ -151,6 +151,36 @@ _RECHECK: dict[str, int] = {
     "kmeans_lloyd": 9,
     "mining_hard_negatives": 9,
     "retrieval_rrf_hybrid": 9,
+    # r9 dupkeys sweep: exact duplicate storage rows are ONE logical
+    # row for identity-keyed ops — finite_vectors gained a full-row
+    # distinct (every embedding op, oracle twin _D_EMB), vocab encode /
+    # jaccard pairs / fuzzy entity pairs / the chain fixture dedup
+    # their inputs (oracle DISTINCT mirrors), the e2e gate oracles are
+    # DISTINCT per event id (exactly-once ingest contract), and the
+    # incremental gate's index accounting counts logical docs.
+    # (fuzzy_customer_names / dedup_stream_incremental_gate bumped
+    # above; the embedding family and gates were already pinned at 9.)
+    "corpus_vocab_encode": 9,
+    "dedup_ngram_jaccard": 9,
+    # r9 unicode sweep: (a) oracle strlen (BYTES) → length (codepoints)
+    # everywhere a char count was meant — Spark length() counts
+    # codepoints, so the old equivalence held only on ASCII; (b) marker
+    # counting now happens over marker_ready() text (lower + collapse
+    # non-[a-z0-9_] runs) because Java's and RE2's \b disagree on
+    # non-ASCII letters; (c) the multimodal oracles are byte-accurate
+    # via the hex encoding (payloads are UTF-8 BYTES — char indexing
+    # was wrong on multi-byte text), with md5 over the canonical hex
+    # form in both engines (DuckDB md5 cannot hash raw bytes).
+    "corpus_curation": 9,
+    "corpus_datacard": 9,
+    "lang_confusion_matrix": 9,
+    "multimodal_frame_sample": 9,
+    "multimodal_phash_dedup": 9,
+    "multimodal_resize": 9,
+    "multimodal_stream_ingest_gate": 9,
+    "text_bpe_pretokenize": 9,
+    "text_language_id": 9,
+    "text_metrics": 9,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
@@ -167,8 +197,11 @@ _DEFER: dict[str, int] = {
     # — carry r7 greens in CORRECTNESS_r07.json, making them inert;
     # r3-r6 entries pruned the same way in earlier rounds.)
     # r8: star-contraction CC proven externally on a planted
-    # high-diameter chain graph (VERDICT r7 #6)
-    "graph_components_chain": 0,
+    # high-diameter chain graph (VERDICT r7 #6). NEGATIVE rank = judge-
+    # requested front-of-line (VERDICT r8 #3: the only query with no
+    # external green in ANY round must not be displaced by this round's
+    # recheck pins — it outranks even the 0.5 recheck tier).
+    "graph_components_chain": -1,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
@@ -254,13 +287,22 @@ def _rotation_rank(
     if name in ever_failed:
         return 0.0  # checked and red, fix unproven — front of the line
     if name in last_green and last_green[name] < _RECHECK.get(name, 0):
-        return 0.5  # green, but the code was rewritten since — re-prove
+        # green, but the code was rewritten since — re-prove. NEWEST
+        # rewrites first: when pins overflow the ~50-slot window, the
+        # current round's headline fixes must not spill just because
+        # their modules sort late, while a previous round's leftovers
+        # (already locally re-proven all sweeps) wait one more round.
+        return 0.5 - 0.001 * _RECHECK[name]
     if name not in last_green:
         # new registrations queue behind the existing never-checked
         # backlog instead of displacing it from the check window,
         # in their declared order (the 0.01 step keeps the whole
-        # deferred tier inside (1, 2))
+        # deferred tier inside (1, 2)). A NEGATIVE defer rank is the
+        # judge-requested front-of-line: a never-proven query that must
+        # not be displaced even by recheck pins (VERDICT r8 #3).
         if name in _DEFER:
+            if _DEFER[name] < 0:
+                return 0.25
             return 1.5 + 0.01 * _DEFER[name]
         return 1.0
     return 2.0 + last_green[name]  # stale green first, latest green last

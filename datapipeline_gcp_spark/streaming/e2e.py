@@ -281,9 +281,13 @@ def events_stream_crossrun_redelivery_gate(
 
 
 #: the raw table holds exactly the validity-passing distinct events —
-#: the oracle mirrors the transform's event-time boundary
+#: the oracle mirrors the transform's event-time boundary. DISTINCT
+#: because the ingest contract is exactly-once PER EVENT ID: an exact
+#: duplicate source row (r9 dupkeys variant — the batch-layer
+#: redelivery artifact) is just one more redelivery for the dedup
+#: operator to collapse, indistinguishable from a redelivered file.
 _E2E_ORACLE = f"""
-SELECT event_id, user_id, event_type FROM events
+SELECT DISTINCT event_id, user_id, event_type FROM events
 WHERE {SQL_EVENT_TIME_VALID}
 """
 
@@ -311,7 +315,14 @@ def multimodal_phash_transform(stream: DataFrame) -> DataFrame:
     event-time watermark is re-declared on the stage's OUTPUT ``ts`` —
     mapInPandas emits fresh attributes, so a tag set upstream would not
     survive the crossing. ``_src`` rides through for the ingest
-    machinery's row-derived archival fallback."""
+    machinery's row-derived archival fallback.
+
+    Event-time validity: the gate's asset fixture derives ``ts``
+    synthetically (epoch + id mod 3600, ``phash_stream_assets``), so a
+    corrupt clock cannot reach this watermark in any sweep; a
+    production asset feed with REAL capture clocks must put
+    ``harness.valid_event_time`` in front of the watermark exactly as
+    the seven event-time gates do (r9 watermark-poisoning boundary)."""
     hashed = ahash_stage(stream, passthrough=("ts", "_src"))
     out = hashed.withWatermark("ts", DEDUP_WATERMARK).dropDuplicatesWithinWatermark(
         ["ahash"]
@@ -542,6 +553,12 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         s = batch.sparkSession
         if not batch.head(1):
             return  # watermark/no-data batch: no state to advance here
+        # foreachBatch runs in a CLONED session whose relation cache can
+        # hold the index's pre-overwrite file list (the outer session
+        # rewrote it from the base copy); refresh before the probe
+        # reads it. (Also: gate tables are session-warehouse-global —
+        # two driver_sim sweeps must never run concurrently.)
+        s.catalog.refreshTable(INCR_INDEX_TABLE)
         banded = dedup.banded_signatures(
             dedup.minhash_signatures(batch)
         ).localCheckpoint()
@@ -612,7 +629,14 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         spark.catalog.refreshTable(INCR_INDEX_TABLE)
         idx_n = spark.table(INCR_INDEX_TABLE).count()
-        expect = idx0 + (n1 + n2) * dedup.BANDS
+        # the index grows by BANDS rows per LOGICAL document, not per
+        # delivered row: minhash_signatures groups shingles by doc_id,
+        # so exact duplicate rows in a batch (r9 dupkeys — batch-layer
+        # redelivery) collapse to one signature, which is the ingest
+        # contract (exactly-once per doc id, same as the events path)
+        d1 = batch1.select("doc_id").distinct().count()
+        d2 = batch2.select("doc_id").distinct().count()
+        expect = idx0 + (d1 + d2) * dedup.BANDS
         if idx_n != expect:
             raise AssertionError(
                 f"index drifted: {idx_n} banded rows, want {expect} "

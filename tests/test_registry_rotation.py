@@ -133,7 +133,8 @@ def test_no_oracle_visit_is_checked_not_red(tmp_path):
     orig = registry._RECHECK
     registry._RECHECK = {"sketchy": 5}
     try:
-        assert rank("sketchy") == 0.5
+        # recheck tier ranks newest-rewrite-first: 0.5 − 0.001·round
+        assert rank("sketchy") == 0.5 - 0.001 * 5
     finally:
         registry._RECHECK = orig
 
@@ -174,10 +175,16 @@ def test_recheck_entries_enter_current_window():
     if not live:
         return
     worst_pin = max(order.index(n) for n in live)
+    # negative-_DEFER names are the judge-requested front-of-line tier
+    # (never-proven queries that legitimately outrank recheck pins)
+    front = {
+        n for n, pos in registry._DEFER.items()
+        if pos < 0 and n not in last_green
+    }
     first_unpinned = min(
         i
         for i, n in enumerate(order)
-        if n not in live and n not in failed
+        if n not in live and n not in failed and n not in front
     )
     assert worst_pin < first_unpinned, (
         "a live _RECHECK pin ranks behind an unpinned query"
