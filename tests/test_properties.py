@@ -3258,3 +3258,46 @@ def test_language_id_null_text_is_und(spark):
     )
     got = {r["doc_id"]: r["lang_pred"] for r in with_language_id(df).collect()}
     assert got == {0: "und", 1: "en"}
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_event_time_validity_split_partitions_input(spark, seed):
+    """r9 watermark boundary: split_event_time is a PARTITION of the
+    input — every row lands in exactly one side, NULL and out-of-window
+    clocks (1901/2099/epoch-zero) always in rejected, in-window always
+    in valid — against a pure-Python replica over adversarial clocks."""
+    import datetime as dt
+    import random
+
+    from datapipeline_gcp_spark.streaming.harness import (
+        EVENT_TIME_VALID_MAX,
+        EVENT_TIME_VALID_MIN,
+        split_event_time,
+    )
+
+    rng = random.Random(seed)
+    pool = [
+        None,
+        dt.datetime(1901, 3, 7, 4, 5, 6),
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1989, 12, 31, 23, 59, 59),
+        dt.datetime(1990, 1, 1, 0, 0, 0),  # inclusive lower bound
+        dt.datetime(2024, 6, 1, 12, 0, 0),
+        dt.datetime(2034, 12, 31, 23, 59, 59),
+        dt.datetime(2035, 1, 1, 0, 0, 0),  # exclusive upper bound
+        dt.datetime(2038, 1, 19, 3, 14, 8),
+        dt.datetime(2099, 11, 23, 21, 22, 23),
+    ]
+    rows = [(i, rng.choice(pool)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    valid, rejected = split_event_time(df)
+    got_valid = {r.id for r in valid.collect()}
+    got_rejected = {r.id for r in rejected.collect()}
+
+    lo = dt.datetime.fromisoformat(EVENT_TIME_VALID_MIN)
+    hi = dt.datetime.fromisoformat(EVENT_TIME_VALID_MAX)
+    want_valid = {i for i, t in rows if t is not None and lo <= t < hi}
+    assert got_valid == want_valid
+    assert got_rejected == {i for i, _ in rows} - want_valid
+    assert not (got_valid & got_rejected)
