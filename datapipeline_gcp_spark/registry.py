@@ -202,6 +202,9 @@ _DEFER: dict[str, int] = {
     # external green in ANY round must not be displaced by this round's
     # recheck pins — it outranks even the 0.5 recheck tier).
     "graph_components_chain": -1,
+    # r9: the exact-forever first-seen dedup gate (second
+    # applyInPandasWithState operator, previously unit-tested only)
+    "events_stream_first_seen_gate": 0,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

@@ -320,10 +320,63 @@ WHERE end_ms < wm_ms
 """
 
 
+def events_stream_first_seen_gate(spark, sf_dir: str) -> DataFrame:
+    """Redelivery-storm gate for the EXACT-FOREVER dedup
+    (:func:`streaming_first_seen`, ``applyInPandasWithState`` with
+    ``NoTimeout`` — per-user seen-id sets that never expire): every
+    event delivered twice via self-union, output must equal the batch
+    first-occurrence relation exactly. This is the registry's second
+    custom-Python-state gate and pins the complement of
+    ``events_stream_dedup_gate``'s contract: the built-in
+    ``dropDuplicatesWithinWatermark`` trades exactness for bounded
+    state, the hand-rolled first-seen trades bounded state for
+    exactness — both trades must actually deliver their guarantee
+    under an at-least-once bus.
+
+    No event-time is involved (that is the point — state never
+    expires), so the r9 validity boundary does not apply: there is no
+    watermark to poison. Duplicate deliveries carry identical rows (the
+    dupkeys contract), so WHICH copy survives is immaterial and the
+    sink is deterministic; the oracle is the DISTINCT row set.
+
+    Scale: state is the per-user id set — unbounded by design; deploy
+    it where exactness beats the horizon trade (dedup of a bounded
+    id universe, e.g. per-day re-keyed streams), or switch to the
+    watermarked twin when it does not.
+    """
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.schemas import pin_utc
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_gate_query,
+    )
+
+    pin_utc(spark)
+
+    def _side() -> DataFrame:
+        return events_stream(spark, sf_dir).select(
+            "user_id", "event_id", "event_type", "value"
+        )
+
+    doubled = _side().union(_side())  # at-least-once: everything twice
+    out = streaming_first_seen(doubled)
+    return run_gate_query(spark, out, "stream_first_seen_gate").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+_FIRST_SEEN_ORACLE = """
+SELECT DISTINCT user_id, event_id, event_type, value FROM events
+"""
+
+
 QUERIES = {
     "events_stream_stateful_session_gate": events_stream_stateful_session_gate,
+    "events_stream_first_seen_gate": events_stream_first_seen_gate,
 }
 
 ORACLES = {
     "events_stream_stateful_session_gate": _STATEFUL_SESSION_ORACLE,
+    "events_stream_first_seen_gate": _FIRST_SEEN_ORACLE,
 }
