@@ -163,9 +163,41 @@ def _null_every_nth(tbl: pa.Table, col: str, n: int) -> pa.Table:
 _DUP_TABLES = {"events", "orders", "lineitem", "documents", "embeddings",
                "customer", "part"}
 
+#: control/escape characters for the `controls` variant — each entry a
+#: distinct serialization boundary: JSON escapes (quote, backslash,
+#: newline, tab), CSV-hostile bytes (comma, CR, quote), C0 controls
+#: (NUL excluded: parquet strings carry it but pandas/Arrow round-trips
+#: disagree — probing NUL is a different variant's job), DEL, and an
+#: ANSI escape sequence.
+_CTRL_PALETTE = [
+    'quote " and \\\\ backslash',
+    "newline\nsplit line",
+    "tab\tseparated\tfields",
+    "comma, semi; pipe| csv traps",
+    "cr\rcarriage",
+    "bell\x07 esc\x1b[31m ansi",
+    "del\x7fchar",
+    "quote'single and `backtick`",
+]
+
+
+def _control_text(tbl: pa.Table) -> pa.Table:
+    """documents.text → prepend a control-char palette entry on every
+    4th row; n_chars recomputed (same policy as the unicode variant)."""
+    t_i = tbl.schema.get_field_index("text")
+    n_i = tbl.schema.get_field_index("n_chars")
+    texts = tbl.column(t_i).to_pylist()
+    for r in range(0, len(texts), 4):
+        if texts[r] is not None:
+            texts[r] = f"{_CTRL_PALETTE[(r // 4) % len(_CTRL_PALETTE)]} {texts[r]}"
+    n_chars = [len(t) if t is not None else None for t in texts]
+    tbl = tbl.set_column(t_i, tbl.schema.field(t_i), pa.array(texts, type=pa.string()))
+    return tbl.set_column(n_i, tbl.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type))
+
+
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
-    "dupkeys", "unicode",
+    "dupkeys", "unicode", "controls",
 )
 
 
@@ -196,9 +228,12 @@ def main(out_root: str) -> None:
             elif variant == "dupkeys":  # exact-duplicate rows appended
                 if t in _DUP_TABLES:
                     tbl = _dup_rows(tbl)
-            else:  # unicode: NFKC/emoji/RTL text prepends
+            elif variant == "unicode":  # NFKC/emoji/RTL text prepends
                 if t == "documents":
                     tbl = _unicode_text(tbl)
+            else:  # controls: JSON/CSV-hostile chars in text
+                if t == "documents":
+                    tbl = _control_text(tbl)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
