@@ -195,9 +195,26 @@ def _control_text(tbl: pa.Table) -> pa.Table:
     return tbl.set_column(n_i, tbl.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type))
 
 
+def _huge_text(tbl: pa.Table) -> pa.Table:
+    """documents.text → every 100th doc amplified ~60× (≈30 KB of
+    REPEATED content — a hot row for every per-doc pipeline: shingles,
+    n-grams, regex counts, packing; repetition keeps the distinct-
+    shingle set small, so pair ops see a normal-sized signature from an
+    abnormal-sized document). n_chars recomputed."""
+    t_i = tbl.schema.get_field_index("text")
+    n_i = tbl.schema.get_field_index("n_chars")
+    texts = tbl.column(t_i).to_pylist()
+    for r in range(0, len(texts), 100):
+        if texts[r]:
+            texts[r] = " ".join([texts[r]] * 60)
+    n_chars = [len(t) if t is not None else None for t in texts]
+    tbl = tbl.set_column(t_i, tbl.schema.field(t_i), pa.array(texts, type=pa.string()))
+    return tbl.set_column(n_i, tbl.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type))
+
+
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
-    "dupkeys", "unicode", "controls",
+    "dupkeys", "unicode", "controls", "hugedoc",
 )
 
 
@@ -231,9 +248,12 @@ def main(out_root: str) -> None:
             elif variant == "unicode":  # NFKC/emoji/RTL text prepends
                 if t == "documents":
                     tbl = _unicode_text(tbl)
-            else:  # controls: JSON/CSV-hostile chars in text
+            elif variant == "controls":  # JSON/CSV-hostile chars
                 if t == "documents":
                     tbl = _control_text(tbl)
+            else:  # hugedoc: amplified hot documents
+                if t == "documents":
+                    tbl = _huge_text(tbl)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
