@@ -83,104 +83,22 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # (r8's 50 in-window pins pruned: CORRECTNESS_r08.json proved all 50
-    # window entries green — those pins inert; earlier rounds' pins
-    # pruned the same way. The 26 below are the r8 rewrites that
-    # SPILLED past the 50-slot r8 window — still unproven on the
-    # rewritten code, so they front r9's window. See the r8 registry
-    # history for the per-sweep rationale: NULL-text boundary
-    # (nulltext), null-safe key semantics (nullkeys), NaN-measure
-    # boundary (nanvalues), and the gap-RUNS rewrite (extremes).)
-    "asof_join_events": 8,
-    "asof_join_forward_events": 8,
-    "corpus_distinct_kmv": 8,
-    "corpus_dsir_select": 8,
-    "corpus_inverted_index": 8,
-    "corpus_mixture_weights": 8,
-    "corpus_pack_chunks": 8,
-    "corpus_ppl_buckets": 8,
-    "corpus_source_budget": 8,
-    "corpus_vocab_topk": 8,
-    "dedup_stream_incremental_gate": 9,
-    "doc_chunking": 8,
-    "events_gap_detection": 8,
+    # (r9's 49 inert pins pruned: CORRECTNESS_r09.json proved all 50
+    # window entries green — every pin whose query got an r9 green row
+    # is inert; earlier rounds' pins pruned the same way. The 8 below
+    # are the r8 rewrites that SPILLED past BOTH the r8 and r9 50-slot
+    # windows — still unproven externally on the rewritten code (the
+    # r8 NULL-text / null-safe-key / NaN-measure boundary rewrites;
+    # locally re-proven in every sweep since), so they front r10's
+    # window. See the r8/r9 registry history for per-sweep rationale.)
     "events_histogram": 8,
     "events_percentiles": 8,
     "events_percentiles_approx": 8,
     "events_session_window": 8,
     "events_sliding_window": 8,
     "events_tumbling_window": 8,
-    # r9 event-time validity boundary (VERDICT r8 #1, watermark
-    # poisoning): all seven event-time gates now split the source on
-    # harness.valid_event_time BEFORE withWatermark, route rejected
-    # rows to an observable <name>_quarantine memory sink, and their
-    # oracles mirror the filter (agg source AND terminal watermark over
-    # valid rows only). Extremes sweep target: 179/179.
-    "events_stream_session_gate": 9,
-    "events_stream_tumbling_gate": 9,
-    "events_stream_stateful_session_gate": 9,
-    "events_stream_dedup_gate": 9,
-    "events_stream_e2e_ingest_gate": 9,
-    "events_stream_crossrun_redelivery_gate": 9,
-    "events_stream_interval_join_gate": 9,
-    "fuzzy_customer_names": 9,
-    "join_composite_key": 8,
-    # (range_join_events bumped to 9: the bucket-explosion guard —
-    # corrupt century-wide interval bounds now raise instead of OOM.)
-    "range_join_events": 9,
     "source_jsonl_roundtrip": 8,
     "source_orc_roundtrip": 8,
-    # r9 ADVICE closures: (a) zero-MAD groups containing NULL measures
-    # now score NULL (not 0.0) in the builtin variant AND the shared
-    # oracle, matching the grouped-map variant's mask; (b) the
-    # finite-vector boundary is explicit about NULLs on both sides —
-    # a NULL embedding or any NULL component drops the row in BOTH
-    # engines (the oracle's bool_or used to skip NULL elements; every
-    # _D_FIN-composing oracle string changed).
-    "udf_robust_zscore": 9,
-    "robust_zscore_twopass": 9,
-    "ann_bruteforce_topk": 9,
-    "ann_ivf_cell_stats": 9,
-    "ann_ivf_topk": 9,
-    "ann_lsh_topk": 9,
-    "ann_recall_eval": 9,
-    "dedup_semantic": 9,
-    "embedding_cosine_neardup": 9,
-    "embedding_label_centroids": 9,
-    "embedding_quantize_int8": 9,
-    "kmeans_lloyd": 9,
-    "mining_hard_negatives": 9,
-    "retrieval_rrf_hybrid": 9,
-    # r9 dupkeys sweep: exact duplicate storage rows are ONE logical
-    # row for identity-keyed ops — finite_vectors gained a full-row
-    # distinct (every embedding op, oracle twin _D_EMB), vocab encode /
-    # jaccard pairs / fuzzy entity pairs / the chain fixture dedup
-    # their inputs (oracle DISTINCT mirrors), the e2e gate oracles are
-    # DISTINCT per event id (exactly-once ingest contract), and the
-    # incremental gate's index accounting counts logical docs.
-    # (fuzzy_customer_names / dedup_stream_incremental_gate bumped
-    # above; the embedding family and gates were already pinned at 9.)
-    "corpus_vocab_encode": 9,
-    "dedup_ngram_jaccard": 9,
-    # r9 unicode sweep: (a) oracle strlen (BYTES) → length (codepoints)
-    # everywhere a char count was meant — Spark length() counts
-    # codepoints, so the old equivalence held only on ASCII; (b) marker
-    # counting now happens over marker_ready() text (lower + collapse
-    # non-[a-z0-9_] runs) because Java's and RE2's \b disagree on
-    # non-ASCII letters; (c) the multimodal oracles are byte-accurate
-    # via the hex encoding (payloads are UTF-8 BYTES — char indexing
-    # was wrong on multi-byte text), with md5 over the canonical hex
-    # form in both engines (DuckDB md5 cannot hash raw bytes).
-    "corpus_curation": 9,
-    "corpus_datacard": 9,
-    "lang_confusion_matrix": 9,
-    "multimodal_frame_sample": 9,
-    "multimodal_phash_dedup": 9,
-    "multimodal_resize": 9,
-    "multimodal_stream_ingest_gate": 9,
-    "text_bpe_pretokenize": 9,
-    "text_language_id": 9,
-    "text_metrics": 9,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
@@ -192,19 +110,15 @@ _RECHECK: dict[str, int] = {
 #: the window sooner) — module declaration order is the wrong tie-break
 #: for a hand-prioritized queue.
 _DEFER: dict[str, int] = {
-    # (r7 entries pruned: all five r7 registrations — both stream
-    # gates, retrieval_rrf_hybrid, dedup_containment, corpus_dsir_select
-    # — carry r7 greens in CORRECTNESS_r07.json, making them inert;
-    # r3-r6 entries pruned the same way in earlier rounds.)
-    # r8: star-contraction CC proven externally on a planted
-    # high-diameter chain graph (VERDICT r7 #6). NEGATIVE rank = judge-
-    # requested front-of-line (VERDICT r8 #3: the only query with no
-    # external green in ANY round must not be displaced by this round's
-    # recheck pins — it outranks even the 0.5 recheck tier).
-    "graph_components_chain": -1,
+    # (r9 entry graph_components_chain pruned: green in
+    # CORRECTNESS_r09.json, making it inert; r3-r8 entries pruned the
+    # same way in earlier rounds.)
     # r9: the exact-forever first-seen dedup gate (second
-    # applyInPandasWithState operator, previously unit-tested only)
-    "events_stream_first_seen_gate": 0,
+    # applyInPandasWithState operator) — the ONE registered query with
+    # no CORRECTNESS_r* green row (judge-verified MATCH on r9 HEAD via
+    # SIM_ONLY). NEGATIVE rank = judge-requested front-of-line
+    # (VERDICT r9 #3, same mechanism as graph_components_chain in r9).
+    "events_stream_first_seen_gate": -1,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the
