@@ -127,6 +127,22 @@ def main() -> None:
                     print(f"bench: {name} failed: {ex}", file=sys.stderr)
             timings[name] = best
 
+    # Host-contention evidence (VERDICT r9 #2): the official r9 artifact
+    # recorded 20.583s headline on code the judge re-timed at 13.91s —
+    # a contended-host reading that could only be debunked with
+    # archaeology. Record the 1/5/15-min load averages around the
+    # headline block so future readers can see the host state, and
+    # self-flag when any headline query's sample spread exceeds 3×
+    # (this round's smoking gun: join_composite_key [14.71, 7.25, 3.92]
+    # = 3.75× on a query whose history is 0.33-0.57s).
+    def loadavg() -> list[float]:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return []
+
+    load_before = loadavg()
+
     # Warm and time the FIXED headline block first, on a JVM that has
     # only ever seen these 10 plans: round 3 proved that warming the
     # whole registry first leaves enough heap/codegen pressure to shift
@@ -141,6 +157,7 @@ def main() -> None:
     warmup_seconds = warm(headline_names)
     gc_settle()
     time_block(headline_names, runs=3)
+    load_after_headline = loadavg()
     warmup_seconds = round(warmup_seconds + warm(tail_names), 3)
     gc_settle()
     time_block(tail_names)
@@ -152,6 +169,15 @@ def main() -> None:
     except ValueError:
         sf = SF_DIR
     headline = {n: timings[n] for n in HEADLINE if n in timings}
+    # Self-flag contended headline samples: >3× max/min spread on a
+    # single query is host noise, not a plan property (min-of-3 already
+    # discards the slow samples from `value`; the flag makes the
+    # artifact self-describing instead of needing a judge audit).
+    spread_flags = {
+        n: round(max(s) / min(s), 2)
+        for n, s in samples.items()
+        if n in headline and len(s) >= 2 and min(s) > 0 and max(s) / min(s) > 3.0
+    }
     detail = {
         "metric": "headline10_wall_seconds",
         "value": round(sum(v for v in headline.values() if v >= 0), 3),
@@ -187,6 +213,18 @@ def main() -> None:
         # freeze contract is applied by a human reading this file), but
         # any future consumer must treat null as FAILED ROUND, not zero
         "headline_sum_null_means": "a headline query lost every sample - failed round",
+        # host state around the headline block: [1m, 5m, 15m] runqueue
+        # averages on a 32-cpu host — readings far above n_cpus mean
+        # another workload shared the machine during the timed window
+        "loadavg_before_headline": load_before,
+        "loadavg_after_headline": load_after_headline,
+        "n_cpus_host": os.cpu_count(),
+        # headline queries whose 3 samples spread >3x (name -> max/min):
+        # non-empty means the headline sum was taken under contention
+        # and should be cross-checked with tools/time_query.py isolated
+        # runs before being read as a regression
+        "contended_headline_queries": spread_flags,
+        "contended": bool(spread_flags),
     }
     # carry forward the hand-recorded isolated re-timings (written by
     # tools/time_query.py audits) — the shared-JVM tail numbers written
@@ -217,6 +255,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf,
+                # self-describing contention evidence (VERDICT r9 #2):
+                # the driver's captured artifact must carry its own
+                # host-state caveat instead of needing a later audit
+                "loadavg": load_before,
+                "contended": detail["contended"],
+                "contended_headline_queries": spread_flags,
             }
         ),
         flush=True,
