@@ -59,7 +59,9 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+def finite_vectors(
+    df: DataFrame, col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
     """Drop rows whose vector has ANY non-finite component (r8
     nanvalues sweep): a NaN/Inf component is corrupt input to every
     similarity op — the shared fixed-point quantization
@@ -94,7 +96,19 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     `dedup_exact`/the exactly-once ingest otherwise) the survivor is
     unique, so the result is deterministic; a contract violation
     diverges from the oracle twin ``_D_EMB`` (SELECT DISTINCT *) and
-    fails the gate rather than passing silently."""
+    fails the gate rather than passing silently (pinned by
+    ``tests/test_finite_vectors_boundary.py`` — the oracle keeps both
+    differing rows, the engine keeps one, so the row counts diverge
+    deterministically regardless of which survivor is chosen)."""
+    if id_col not in df.columns:
+        # ADVICE r9: the identity-dedup contract is part of this
+        # boundary's signature — fail with the contract named, not an
+        # AnalysisException deep inside dropDuplicates
+        raise ValueError(
+            f"finite_vectors dedups storage duplicates by {id_col!r}, "
+            f"which is not a column of the input ({df.columns}); pass "
+            "id_col= for frames keyed differently"
+        )
     c = F.col(col)
     bad = c.isNull() | F.exists(
         c,
@@ -104,8 +118,8 @@ def finite_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     )
     out = df.filter(~bad)
     return out.repartition(
-        out.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    ).dropDuplicates(["vec_id"])
+        out.sparkSession.sparkContext.defaultParallelism, id_col
+    ).dropDuplicates([id_col])
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -56,20 +56,32 @@ def range_join(
     # end is exclusive: a bucket containing only `end` itself cannot
     # match, but the filter below settles exactness
     b1 = (F.unix_timestamp(end_col) / _BUCKET_SECONDS).cast("long")
+    # Guard the explode, per row, inside codegen. Three arms (r10,
+    # closing the ADVICE r9 findings on this guard):
+    #  - NULL start/end flows through as NULL: sequence(NULL, …) is
+    #    NULL and explode drops the row — matching the oracle's
+    #    inner-join NULL-drop semantics (the r9 draft raised here).
+    #  - Inverted bounds (end < start) raise: sequence(b0, b1) with
+    #    b0 > b1 DESCENDS by default, so an inverted century-wide
+    #    interval would bypass a one-sided `b1 - b0 < cap` check with
+    #    a negative span and materialize the very array the guard
+    #    exists to prevent. An interval ending before it starts is
+    #    corrupt by definition.
+    #  - Spans at/over MAX_BUCKETS_PER_INTERVAL raise loudly instead
+    #    of OOMing an executor on a span-scaled array.
+    span_ok = (b1 >= b0) & (b1 - b0 < F.lit(MAX_BUCKETS_PER_INTERVAL))
+    null_bounds = b0.isNull() | b1.isNull()
     i = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                # guard the explode, per row, inside codegen: corrupt
-                # bounds fail loudly instead of materializing a
-                # span-scaled array (see MAX_BUCKETS_PER_INTERVAL)
-                F.when(b1 - b0 < F.lit(MAX_BUCKETS_PER_INTERVAL), b0).otherwise(
+                F.when(null_bounds | span_ok, b0).otherwise(
                     F.raise_error(
                         F.format_string(
                             "range_join interval spans %s buckets "
                             f"(cap {MAX_BUCKETS_PER_INTERVAL}): corrupt "
-                            "bounds, or BUCKET is mis-sized for this "
-                            "workload",
+                            "or inverted bounds, or BUCKET is mis-sized "
+                            "for this workload",
                             b1 - b0 + F.lit(1),
                         )
                     )

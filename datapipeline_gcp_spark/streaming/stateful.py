@@ -184,13 +184,44 @@ def _duration_ms(spec: str) -> int:
     return int(qty) * scale
 
 
+#: Loud per-key ceiling on the exact-forever seen-id state (VERDICT r9
+#: #6): the state row is a sorted id array REWRITTEN every batch the key
+#: appears in, so both the rewrite cost and the state-store row size are
+#: linear in ids-seen-per-key — unbounded by this operator's own
+#: contract. 10M longs ≈ 80 MB per key is already far past where the
+#: watermarked twin (``dropDuplicatesWithinWatermark``) or a re-keyed
+#: deployment (below) is the right tool; past it, fail with the
+#: trade-off named instead of letting one hot key grow a state row until
+#: the store or the Arrow transfer dies opaquely.
+MAX_SEEN_IDS_PER_KEY = 10_000_000
+
+
 def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "user_id",
     id_col: str = "event_id",
+    max_ids_per_key: int = MAX_SEEN_IDS_PER_KEY,
 ) -> DataFrame:
     """Emit only the first occurrence of each ``id_col`` within each
-    ``key_col`` group, across micro-batches (exactly-once per id)."""
+    ``key_col`` group, across micro-batches (exactly-once per id).
+
+    State-growth envelope (100 TB posture): state is one sorted
+    ``array<long>`` of every id ever seen per key — EXACT-FOREVER by
+    contract, the complement of ``dropDuplicatesWithinWatermark``'s
+    bounded-state/bounded-horizon trade. Growth is linear in distinct
+    ids per key with no expiry (``NoTimeout``), and the array is
+    rewritten on every batch that touches the key. Production posture
+    for long-lived streams: (a) run the state store on RocksDB
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) so state spills off-heap instead of
+    living on the executor heap; (b) bound the id universe by re-keying
+    — e.g. key by ``(user_id, day)`` so each state row's universe is one
+    day's ids and old rows go cold; or (c) accept a horizon and use the
+    watermarked twin. The ``max_ids_per_key`` guard (default
+    :data:`MAX_SEEN_IDS_PER_KEY`) makes the envelope loud: a key
+    exceeding it raises with the trade-off named, instead of an opaque
+    state-store/Arrow failure long after the design was wrong.
+    """
     out_schema = stream.schema
     state_schema = T.StructType(
         [T.StructField("seen", T.ArrayType(T.LongType()))]
@@ -206,6 +237,14 @@ def streaming_first_seen(
             if len(fresh):
                 seen.update(int(x) for x in fresh[id_col])
                 yield fresh[out_cols]
+        if len(seen) > max_ids_per_key:
+            raise RuntimeError(
+                f"streaming_first_seen: key {key!r} has seen "
+                f"{len(seen)} distinct {id_col}s (cap {max_ids_per_key});"
+                " exact-forever state is unbounded by contract — re-key"
+                " to bound the per-key id universe, or switch to the"
+                " watermarked dropDuplicatesWithinWatermark twin"
+            )
         state.update((sorted(seen),))
 
     return (

@@ -230,3 +230,33 @@ def test_range_join_rejects_span_scaled_interval(spark):
     )
     with pytest.raises(Exception, match="buckets"):
         range_join(points, corrupt, "ts", "s", "e", ["user_id"]).collect()
+
+    # Inverted bounds (end << start) must ALSO raise: a one-sided
+    # `b1 - b0 < cap` check passes a negative span, and sequence()
+    # with start > stop DESCENDS — materializing the same ~867k-slot
+    # array the guard exists to prevent (ADVICE r9, medium).
+    inverted = spark.createDataFrame(
+        [(1, "2099-11-23 21:22:23", "1901-03-07 04:05:06", 3)],
+        "user_id long, s string, e string, win_id long",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "win_id",
+    )
+    with pytest.raises(Exception, match="buckets"):
+        range_join(points, inverted, "ts", "s", "e", ["user_id"]).collect()
+
+    # A NULL bound is NOT corrupt — it flows into sequence() as NULL
+    # and the row drops, matching the oracle's inner-join NULL-drop
+    # semantics (ADVICE r9, low: the r9 draft guard raised here).
+    null_bound = spark.createDataFrame(
+        [(1, None, "2024-01-05 11:00:00", 4), (1, "2024-01-05 10:00:00", None, 5)],
+        "user_id long, s string, e string, win_id long",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "win_id",
+    )
+    assert range_join(points, null_bound, "ts", "s", "e", ["user_id"]).count() == 0

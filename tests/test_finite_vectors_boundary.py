@@ -43,3 +43,44 @@ def test_spark_and_duckdb_drop_identically(spark):
         ).fetchall()
     }
     assert oracle == want
+
+
+def test_differing_payload_duplicate_id_fails_the_gate_deterministically(spark):
+    """ADVICE r9: the identity-dedup contract (duplicate vec_ids carry
+    identical payloads) is enforced by the GATE, not by the engine —
+    but the failure must be deterministic, not a flake that depends on
+    which survivor dropDuplicates happens to keep. Plant the violating
+    case: the engine keeps exactly ONE of the two differing rows
+    (either one), the full-row-distinct oracle keeps BOTH, so the row
+    counts diverge no matter the survivor."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (1, [9.0, 9.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    engine = finite_vectors(df).collect()
+    assert len(engine) == 2  # one survivor for id 1, plus id 2
+    assert {r.vec_id for r in engine} == {1, 2}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?)",
+        [(1, [1.0, 2.0]), (1, [9.0, 9.0]), (2, [3.0, 4.0])],
+    )
+    n_oracle = con.execute(
+        "SELECT COUNT(*) FROM (SELECT DISTINCT * FROM embeddings) "
+        f"WHERE {_D_FIN}"
+    ).fetchone()[0]
+    assert n_oracle == 3  # both differing payloads survive DISTINCT *
+    assert n_oracle != len(engine)  # gate fails on rows, deterministically
+
+
+def test_finite_vectors_names_the_missing_id_column(spark):
+    """ADVICE r9: a frame without the identity column must fail with
+    the dedup contract named in the message, not an AnalysisException
+    from deep inside dropDuplicates."""
+    import pytest
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<float>")
+    with pytest.raises(ValueError, match="vec_id"):
+        finite_vectors(df)

@@ -59,6 +59,34 @@ def test_streaming_dedup_matches_batch_and_keeps_state(spark, tmp_path):
     assert sorted(zip(out2.user_id, out2.event_id)) == [(1, 102), (3, 7)]
 
 
+def test_first_seen_state_cap_raises_loudly(spark, tmp_path):
+    """VERDICT r9 #6: exact-forever state grows without bound BY
+    CONTRACT — the envelope must be loud. A key whose seen-id set
+    exceeds max_ids_per_key fails the stream with the trade-off named
+    (re-key or switch to the watermarked twin), not an opaque
+    state-store error months later."""
+    import pytest
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_batch(
+        spark, src, [(1, 100, 1.0), (1, 101, 2.0), (1, 102, 3.0), (2, 100, 4.0)]
+    )
+    stream = spark.readStream.schema(
+        "user_id bigint, event_id bigint, value double"
+    ).parquet(src)
+    q = (
+        streaming_first_seen(stream, max_ids_per_key=2)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="cap 2"):
+        q.awaitTermination()
+
+
 def test_dropduplicates_within_watermark_stream(spark, tmp_path):
     """Built-in streaming dedup: first row per key survives, duplicates
     within the watermark horizon are dropped — across micro-batches and

@@ -212,9 +212,47 @@ def _huge_text(tbl: pa.Table) -> pa.Table:
     return tbl.set_column(n_i, tbl.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type))
 
 
+def _hot_key(tbl: pa.Table, col: str, n: int = 2) -> pa.Table:
+    """`hotkey` variant: overwrite ``col`` on every nth row with the
+    value of the FIRST non-null row, so one key holds ~1/n of the
+    table. The 100×-scale hazard no other variant probes (VERDICT r9
+    #5): a single dominant key — one country/user/lang with half the
+    rows, exactly the reference repo's own single-country generator
+    trap — stresses AQE skew-join splitting, groupBy partial-agg
+    effectiveness, window/sessionization state on one partition, and
+    join fan-out through a hot dimension key. Semantics stay fully
+    defined (the oracle recomputes on the same skewed rows); what the
+    sweep hunts is engine behavior that silently ASSUMED balance —
+    tie-breaks that unique keys used to hide, per-group state that
+    only ever saw small groups, plans that die or crawl on a hot
+    partition."""
+    i = tbl.schema.get_field_index(col)
+    vals = tbl.column(i).to_pylist()
+    hot = next((v for v in vals if v is not None), None)
+    if hot is None:
+        return tbl
+    for r in range(0, len(vals), n):
+        if vals[r] is not None:
+            vals[r] = hot
+    return tbl.set_column(
+        i, tbl.schema.field(i), pa.array(vals, type=tbl.column(i).type)
+    )
+
+
+#: (table, column) pairs skewed in the hotkey variant: the stream/
+#: session key, the single-country dimension trap, the orders→customer
+#: join fan-out key, and the corpus grouping key.
+HOTKEY_COLS = {
+    ("events", "user_id"),
+    ("customer", "c_nationkey"),
+    ("orders", "o_custkey"),
+    ("documents", "lang"),
+}
+
+
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
-    "dupkeys", "unicode", "controls", "hugedoc",
+    "dupkeys", "unicode", "controls", "hugedoc", "hotkey",
 )
 
 
@@ -251,6 +289,10 @@ def main(out_root: str) -> None:
             elif variant == "controls":  # JSON/CSV-hostile chars
                 if t == "documents":
                     tbl = _control_text(tbl)
+            elif variant == "hotkey":  # one dominant key per surface
+                for tt, col in HOTKEY_COLS:
+                    if tt == t:
+                        tbl = _hot_key(tbl, col)
             else:  # hugedoc: amplified hot documents
                 if t == "documents":
                     tbl = _huge_text(tbl)
