@@ -250,9 +250,38 @@ HOTKEY_COLS = {
 }
 
 
+def _dst_events(tbl: pa.Table) -> pa.Table:
+    """`dst` variant: every 19th ts moved INTO America/New_York's
+    spring-forward hole (2024-03-10 02:30 — a wall-clock instant that
+    does not exist in that zone) and every 23rd into the fall-back
+    overlap (2024-11-03 01:30 — an instant that exists twice). The
+    fixtures store NAIVE micros and the engine reads TIMESTAMP_NTZ, so
+    these are perfectly ordinary values UNLESS some code path round-
+    trips through a zoned timestamp — exactly the class this probe
+    hunts, swept under TZ=America/New_York where any such round-trip
+    shifts/collapses the hour and diverges from the DuckDB twin (also
+    naive). Second-level offsets keep each planted row unique-ish so
+    window tie-breaks stay exercised rather than degenerate."""
+    import datetime as dt
+
+    ts_i = tbl.schema.get_field_index("ts")
+    ts = tbl.column(ts_i).to_pylist()
+    for r in range(len(ts)):
+        if ts[r] is None:
+            continue
+        if r % 19 == 0:
+            ts[r] = dt.datetime(2024, 3, 10, 2, 30, r % 60)
+        elif r % 23 == 0:
+            ts[r] = dt.datetime(2024, 11, 3, 1, 30, r % 60)
+    return tbl.set_column(
+        ts_i, tbl.schema.field(ts_i), pa.array(ts, type=tbl.column(ts_i).type)
+    )
+
+
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
     "dupkeys", "unicode", "controls", "hugedoc", "hotkey",
+    "nulldup", "dst",
 )
 
 
@@ -293,6 +322,22 @@ def main(out_root: str) -> None:
                 for tt, col in HOTKEY_COLS:
                     if tt == t:
                         tbl = _hot_key(tbl, col)
+            elif variant == "nulldup":  # COMPOSED: nulltext × dupkeys.
+                # Boundaries interacting (VERDICT r9 #8): NULL-text
+                # rows that are ALSO exact storage duplicates — the
+                # null-propagation rule and the duplicate-collapse rule
+                # must compose identically in both engines (a NULL-text
+                # duplicate must collapse to ONE null-text row, not
+                # leak through either rule's blind spot). NULL first,
+                # then duplicate, so the appended copies carry NULLs.
+                for tt, col in NULL_COLS:
+                    if tt == t:
+                        tbl = _null_every_nth(tbl, col, 3)
+                if t in _DUP_TABLES:
+                    tbl = _dup_rows(tbl)
+            elif variant == "dst":  # DST-transition wall-clock instants
+                if t == "events":
+                    tbl = _dst_events(tbl)
             else:  # hugedoc: amplified hot documents
                 if t == "documents":
                     tbl = _huge_text(tbl)
