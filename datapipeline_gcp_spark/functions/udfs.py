@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.determinism import (
@@ -182,15 +182,21 @@ def robust_zscore_builtin(
 #   now passes with the limitation encoded, not explained in prose.)
 # ---------------------------------------------------------------------------
 
-#: TRUE iff text is pure ASCII: UTF-8 byte count == codepoint count.
-_ASCII_ONLY = F.octet_length("text") == F.length("text")
+def _ascii_only() -> Column:
+    """TRUE iff text is pure ASCII: UTF-8 byte count == codepoint count.
+
+    Built lazily — Spark 4 Column construction needs an active session,
+    so a module-level Column would crash any import (pytest collection,
+    tooling) that happens before ``SparkSession`` exists.
+    """
+    return F.octet_length("text") == F.length("text")
 
 
 def udf_nfkc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
     return (
         with_nfkc_normalized(docs)
-        .filter(_ASCII_ONLY)
+        .filter(_ascii_only())
         .select("doc_id", "text_nfkc")
     )
 

@@ -79,7 +79,11 @@ def main():
     sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # the manyfiles variant stores each table as a DIRECTORY of
+        # part files (Spark reads those natively; DuckDB needs a glob)
+        p = f"{sf}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, os_ = mod.queries(), mod.oracle_sql()
     only = {n for n in os.environ.get("SIM_ONLY", "").split(",") if n}

@@ -278,10 +278,31 @@ def _dst_events(tbl: pa.Table) -> pa.Table:
     )
 
 
+def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
+    """`manyfiles` variant: the table becomes a DIRECTORY of ``n_parts``
+    tiny part files plus one 0-ROW part — the small-files layout every
+    100 TB lake degenerates into. Rows are dealt round-robin
+    (``r % n_parts``), so no part is a sorted prefix of the table:
+    any code that assumed "one input file = one sorted split" (``.first()``
+    seeding, as-of ordering, window frames, file-landing streams) now
+    sees interleaved splits, and every aggregate faces a different
+    float-combine order than the single-file layout. The 0-row part
+    probes empty-split handling in both engines (Spark scan tasks and
+    the DuckDB glob must both tolerate a schema-only file)."""
+    os.makedirs(table_dir, exist_ok=True)
+    for k in range(n_parts):
+        idx = [r for r in range(tbl.num_rows) if r % n_parts == k]
+        pq.write_table(
+            tbl.take(pa.array(idx, pa.int64())),
+            os.path.join(table_dir, f"part-{k:05d}.parquet"),
+        )
+    pq.write_table(tbl.slice(0, 0), os.path.join(table_dir, "part-empty.parquet"))
+
+
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
     "dupkeys", "unicode", "controls", "hugedoc", "hotkey",
-    "nulldup", "dst",
+    "nulldup", "dst", "manyfiles",
 )
 
 
@@ -338,9 +359,12 @@ def main(out_root: str) -> None:
             elif variant == "dst":  # DST-transition wall-clock instants
                 if t == "events":
                     tbl = _dst_events(tbl)
-            else:  # hugedoc: amplified hot documents
+            elif variant == "hugedoc":  # amplified hot documents
                 if t == "documents":
                     tbl = _huge_text(tbl)
+            elif variant == "manyfiles":  # small-files layout (rows untouched)
+                _write_manyfiles(tbl, f"{d}/{t}.parquet")
+                continue
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
