@@ -103,11 +103,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
-    s = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        # small-files layout (manyfiles variant; the production shape —
+        # a lake prefix holding many part files): stream the directory
+        # itself. pathGlobFilter matches LEAF file names only, so the
+        # single-file filter below would list zero files here.
+        s = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # single-file layout: events.parquet is one file among the
+        # other tables' files in sf_dir — glob it out by name
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(s.dtypes).get("ts") == "bigint":
         return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return s.withColumn("ts", F.col("ts").cast("timestamp"))
