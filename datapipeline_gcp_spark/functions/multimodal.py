@@ -144,16 +144,32 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 if payload is None:  # absent/corrupt object: skip, don't die
                     continue
                 buf = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                if buf.size == 0:
+                    # present-but-empty object: stats over zero bytes
+                    # are undefined — NULL, not fabricated zeros (the
+                    # repo-wide empty-aggregate rule; r10 blanktext
+                    # sweep caught the old 0.0/0 arms diverging from
+                    # the oracle's NULL)
+                    rows.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "kind": kind,
+                            "byte_len": 0,
+                            "mean_byte": None,
+                            "max_byte": None,
+                            "feature": None,
+                        }
+                    )
+                    continue
                 hist = _np.histogram(buf, bins=8, range=(0, 256))[0]
-                total = max(int(buf.size), 1)
                 rows.append(
                     {
                         "asset_id": int(asset_id),
                         "kind": kind,
                         "byte_len": int(buf.size),
-                        "mean_byte": float(buf.mean()) if buf.size else 0.0,
-                        "max_byte": int(buf.max()) if buf.size else 0,
-                        "feature": (hist / total).astype(float).tolist(),
+                        "mean_byte": float(buf.mean()),
+                        "max_byte": int(buf.max()),
+                        "feature": (hist / buf.size).astype(float).tolist(),
                     }
                 )
             yield _pd.DataFrame(rows, columns=feature_names)

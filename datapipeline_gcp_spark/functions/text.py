@@ -154,10 +154,13 @@ def with_bpe_pretokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     scan-speed."""
     t = F.lower(F.col(text_col))
     n_pre = F.regexp_count(t, F.lit(BPE_PRETOKEN_PATTERN)).cast("bigint")
+    # try_divide: a zero-pretoken doc (empty text) has no defined ratio —
+    # NULL, matching DuckDB's double 0/0 (ANSI `/` would raise instead;
+    # r10 blanktext sweep)
     return df.select(
         "*",
         n_pre.alias("n_pretokens"),
-        (F.length(t).cast("double") / n_pre.cast("double")).alias(
+        F.try_divide(F.length(t).cast("double"), n_pre.cast("double")).alias(
             "chars_per_pretoken"
         ),
     )

@@ -91,6 +91,16 @@ _RECHECK: dict[str, int] = {
     # r8 NULL-text / null-safe-key / NaN-measure boundary rewrites;
     # locally re-proven in every sweep since), so they front r10's
     # window. See the r8/r9 registry history for per-sweep rationale.)
+    # r10: the blanktext/negzero degenerate sweeps rewrote these five —
+    # CSV landing round-trip fidelity (\N sentinel + whitespace +
+    # multiLine) through both landing gates, the sessionizer's
+    # first-value left-fold (signed-zero), NULL features on empty
+    # payloads, and try_divide on zero-pretoken docs.
+    "events_stream_e2e_ingest_gate": 10,
+    "events_stream_crossrun_redelivery_gate": 10,
+    "events_stream_stateful_session_gate": 10,
+    "multimodal_feature_extract": 10,
+    "text_bpe_pretokenize": 10,
     "events_histogram": 8,
     "events_percentiles": 8,
     "events_percentiles_approx": 8,

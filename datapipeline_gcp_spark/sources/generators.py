@@ -31,6 +31,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapipeline_gcp_spark.landing_format import (
+    TEXT_WRITE_OPTS,
+    with_text_options,
+)
+
 COUNTRIES = ("Peru", "Chile", "Colombia", "Mexico", "Argentina", "Bolivia")
 #: Probability weight of the hot country: ids ≡ 0..5 (mod 10) → Peru.
 _HOT_WEIGHT = 6
@@ -260,6 +265,11 @@ def write_landing_file(
                     name, F.date_format(name, "yyyy-MM-dd HH:mm:ss")
                 )
     writer = out.coalesce(1).write.mode("overwrite")
+    if fmt in ("csv", "txt"):
+        # round-trip fidelity: preserve whitespace verbatim, encode
+        # NULL as the \N sentinel so it stays distinct from "" on
+        # ingest (see landing_format docstring; r10 blanktext sweep)
+        writer = with_text_options(writer, TEXT_WRITE_OPTS)
     if fmt == "csv":
         writer.option("header", True).csv(tmp)
     elif fmt == "txt":

@@ -34,6 +34,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from datapipeline_gcp_spark.landing_format import (
+    TEXT_READ_OPTS,
+    with_text_options,
+)
+
 
 def _reader(spark: SparkSession, schema: T.StructType, permissive: bool):
     mode = "PERMISSIVE" if permissive else "FAILFAST"
@@ -51,9 +56,15 @@ def read_csv(
     header: bool = True,
     permissive: bool = False,
 ) -> DataFrame:
-    """S1 — CSV landing files with a header row and declared schema."""
+    """S1 — CSV landing files with a header row and declared schema.
+
+    TEXT_READ_OPTS (\\N NULL sentinel, "" stays a string, multiLine for
+    quoted embedded newlines) is the round-trip contract with
+    ``write_landing_file`` — CSV/TSV ONLY: ``multiLine`` means
+    one-JSON-document-per-FILE to the JSON reader, so applying these in
+    the shared ``_reader`` broke JSONL (r10 blanktext sweep)."""
     return (
-        _reader(spark, schema, permissive)
+        with_text_options(_reader(spark, schema, permissive), TEXT_READ_OPTS)
         .option("header", header)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path_glob)
@@ -66,9 +77,10 @@ def read_tsv(
     schema: T.StructType,
     permissive: bool = False,
 ) -> DataFrame:
-    """S2 — tab-separated, headerless landing files."""
+    """S2 — tab-separated, headerless landing files (TEXT_READ_OPTS:
+    see :func:`read_csv`)."""
     return (
-        _reader(spark, schema, permissive)
+        with_text_options(_reader(spark, schema, permissive), TEXT_READ_OPTS)
         .option("sep", "\t")
         .option("header", False)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")

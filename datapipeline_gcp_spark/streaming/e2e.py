@@ -44,6 +44,10 @@ from pyspark.sql import types as T
 
 from datapipeline_gcp_spark import sinks
 from datapipeline_gcp_spark.functions import clusters, dedup
+from datapipeline_gcp_spark.landing_format import (
+    TEXT_READ_OPTS,
+    with_text_options,
+)
 from datapipeline_gcp_spark.functions.multimodal import (
     PHASH_HASHED_CTES,
     ahash_stage,
@@ -130,10 +134,13 @@ def _drain_quarantine(
     redelivered objects). Production would use a durable dead-letter
     table + checkpoint instead."""
     src = (
-        spark.readStream.schema(_CSV_SCHEMA)
-        .option("pathGlobFilter", "events_*.csv")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .option("header", True)
+        with_text_options(
+            spark.readStream.schema(_CSV_SCHEMA)
+            .option("pathGlobFilter", "events_*.csv")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .option("header", True),
+            TEXT_READ_OPTS,
+        )
         .csv(f"{landing}/csv")
         .select("*", F.col("_metadata.file_path").alias("_src"))
     )

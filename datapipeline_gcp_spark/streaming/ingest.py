@@ -46,6 +46,10 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from datapipeline_gcp_spark import sinks
+from datapipeline_gcp_spark.landing_format import (
+    TEXT_READ_OPTS,
+    with_text_options,
+)
 
 
 def parse_landing_filename(col: F.Column) -> tuple[F.Column, F.Column]:
@@ -319,6 +323,10 @@ def stream_landing_table(
         .option("pathGlobFilter", f"{table}_*.{fmt}")
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     )
+    if fmt in ("csv", "txt"):
+        # decode the \N NULL sentinel, keep "" a string (round-trip
+        # contract with write_landing_file — landing_format.py)
+        reader = with_text_options(reader, TEXT_READ_OPTS)
     if fmt == "txt":
         stream = reader.option("sep", "\t").option("header", False).csv(path)
     elif fmt == "parquet":

@@ -93,6 +93,9 @@ def streaming_sessionize_stateful(
     )
 
     def sessionize(key, pdf_iter, state):
+        import functools
+        import operator
+
         import pandas as pd
 
         wm = state.getCurrentWatermarkMs()
@@ -135,7 +138,14 @@ def streaming_sessionize_stateful(
                         pd.Timestamp(ts_ms[lo], unit="ms"),
                         pd.Timestamp(end_ms, unit="ms"),
                         hi - lo,
-                        float(sum(vals[lo:hi])),
+                        # left-fold from the FIRST value, not sum()'s
+                        # +0.0 seed: a single-event session of -0.0
+                        # must emit -0.0 (SQL SUM folds from the first
+                        # value — Spark's native sum and DuckDB agree;
+                        # r10 negzero sweep)
+                        float(
+                            functools.reduce(operator.add, vals[lo:hi])
+                        ),
                     )
                 )
             else:

@@ -1,0 +1,64 @@
+"""Round-trip fidelity of text landing formats (landing_format.py).
+
+The r10 `blanktext` degenerate sweep found Spark CSV defaults silently
+corrupting landed values (writer-side whitespace trim; "" collapsing to
+NULL on read; quoted embedded newlines sheared by the line-based
+reader). These tests pin the contract: write_landing_file → read_csv /
+read_tsv is the identity on string values, with the one documented
+exception (a literal ``\\N`` ingests as NULL — the sentinel collision
+inherent to any text NULL encoding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from datapipeline_gcp_spark.landing_format import NULL_SENTINEL
+from datapipeline_gcp_spark.sources.generators import write_landing_file
+from datapipeline_gcp_spark.sources.readers import read_csv, read_tsv
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+#: (value written, value expected back) — identity except the sentinel.
+_CASES = [
+    (1, "word", "word"),
+    (2, "", ""),
+    (3, "  word  ", "  word  "),
+    (4, None, None),
+    (5, "\t", "\t"),
+    (6, "line\nbreak", "line\nbreak"),
+    (7, 'quote " and, comma', 'quote " and, comma'),
+    (8, NULL_SENTINEL, None),  # documented sentinel collision
+]
+
+
+def _roundtrip(spark, tmp_path, fmt, reader):
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in _CASES], schema=_SCHEMA
+    )
+    write_landing_file(df, str(tmp_path), "rt", fmt, "20240101")
+    back = reader(
+        spark, f"{tmp_path}/{fmt}/rt_*.{fmt}", _SCHEMA
+    ).toPandas().set_index("id")["s"]
+    for i, _, want in _CASES:
+        got = back[i]
+        got = None if got is None or got != got else got
+        assert got == want or (got is None and want is None), (
+            fmt,
+            i,
+            repr(got),
+            repr(want),
+        )
+
+
+def test_csv_landing_roundtrip_is_identity(spark, tmp_path):
+    _roundtrip(spark, tmp_path, "csv", read_csv)
+
+
+def test_tsv_landing_roundtrip_is_identity(spark, tmp_path):
+    _roundtrip(spark, tmp_path, "txt", read_tsv)

@@ -278,6 +278,64 @@ def _dst_events(tbl: pa.Table) -> pa.Table:
     )
 
 
+#: blanktext palette — cycled over every 6th documents row. Empty and
+#: whitespace-only strings are NOT NULL (nulltext covers NULL): they
+#: flow through normalize/split/shingle/regex pipelines as values, and
+#: the repo's "shingle array is provably non-empty" guarantee plus
+#: every `split()`-based tokenizer must hold on them. The single-token
+#: and trailing/leading-space entries probe the n<k gram boundary and
+#: trim-vs-split disagreements between engines.
+_BLANK_PALETTE = ["", "   \t\n  ", "x", "  word  ", "\n\n\n"]
+
+
+def _blank_text(tbl: pa.Table, col: str, every: int = 6) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    vals = tbl.column(i).to_pylist()
+    for r in range(0, len(vals), every):
+        if vals[r] is not None:
+            vals[r] = _BLANK_PALETTE[(r // every) % len(_BLANK_PALETTE)]
+    out = tbl.set_column(i, tbl.schema.field(i), pa.array(vals, type=pa.string()))
+    if col == "text" and "n_chars" in tbl.schema.names:
+        n_i = tbl.schema.get_field_index("n_chars")
+        n_chars = [len(t) if t is not None else None for t in vals]
+        out = out.set_column(
+            n_i, out.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type)
+        )
+    return out
+
+
+def _neg_zero(tbl: pa.Table, col: str, every: int = 11) -> pa.Table:
+    """`negzero` variant: IEEE -0.0 planted in a measure column. -0.0
+    compares equal to 0.0 but `repr` distinguishes them — the gate's
+    float canonicalization would expose any engine that normalizes the
+    sign where the other preserves it (Spark normalizes -0.0 in
+    groupBy/join KEYS; as a VALUE it must survive min/max/first and
+    arithmetic identically in both engines — note -0.0 + 0.0 = +0.0
+    but SUM over an all-negative-zero group is sign-sensitive)."""
+    i = tbl.schema.get_field_index(col)
+    vals = tbl.column(i).to_pylist()
+    for r in range(0, len(vals), every):
+        if vals[r] is not None:
+            vals[r] = -0.0
+    return tbl.set_column(
+        i, tbl.schema.field(i), pa.array(vals, type=tbl.column(i).type)
+    )
+
+
+def _neg_zero_embedding(tbl: pa.Table, every: int = 11) -> pa.Table:
+    """embeddings.embedding[0] → -0.0 on every nth row (dot products
+    and norms must treat it as 0; cosine against it must not flip
+    sign in either engine)."""
+    i = tbl.schema.get_field_index("embedding")
+    col = tbl.column(i).to_pylist()
+    for r in range(0, len(col), every):
+        if col[r]:
+            col[r] = [-0.0] + col[r][1:]
+    return tbl.set_column(
+        i, tbl.schema.field(i), pa.array(col, type=tbl.column(i).type)
+    )
+
+
 def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
     """`manyfiles` variant: the table becomes a DIRECTORY of ``n_parts``
     tiny part files plus one 0-ROW part — the small-files layout every
@@ -302,7 +360,7 @@ def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
     "dupkeys", "unicode", "controls", "hugedoc", "hotkey",
-    "nulldup", "dst", "manyfiles",
+    "nulldup", "dst", "manyfiles", "blanktext", "negzero",
 )
 
 
@@ -365,6 +423,21 @@ def main(out_root: str) -> None:
             elif variant == "manyfiles":  # small-files layout (rows untouched)
                 _write_manyfiles(tbl, f"{d}/{t}.parquet")
                 continue
+            elif variant == "blanktext":  # empty/whitespace-only strings
+                if t == "documents":
+                    tbl = _blank_text(tbl, "text")
+                    tbl = _blank_text(tbl, "lang", every=9)
+                elif t == "part":
+                    tbl = _blank_text(tbl, "p_name", every=7)
+                elif t == "events":
+                    tbl = _blank_text(tbl, "event_type", every=9)
+            elif variant == "negzero":  # IEEE -0.0 measures/components
+                if t == "events":
+                    tbl = _neg_zero(tbl, "value")
+                elif t == "lineitem":
+                    tbl = _neg_zero(tbl, "l_discount")
+                elif t == "embeddings":
+                    tbl = _neg_zero_embedding(tbl)
             pq.write_table(tbl, f"{d}/{t}.parquet")
         print(f"{variant}: {d} ({len(TABLES)} tables)")
 
