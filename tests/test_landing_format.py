@@ -62,3 +62,49 @@ def test_csv_landing_roundtrip_is_identity(spark, tmp_path):
 
 def test_tsv_landing_roundtrip_is_identity(spark, tmp_path):
     _roundtrip(spark, tmp_path, "txt", read_tsv)
+
+
+# --- property form: ARBITRARY text survives the landing round-trip ----------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+#: printable+control+non-BMP text, excluding only what the contract
+#: documents: the \N sentinel (collides by design), NUL (univocity's
+#: C parser truncates at NUL — typed formats carry it), and lone
+#: surrogates (not encodable to UTF-8 at all). \r is normalized to \n
+#: by the multiLine parser's universal-newline handling — tested via
+#: canonicalization below rather than excluded, as real corpora carry
+#: CRLF.
+_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    ),
+    max_size=40,
+).filter(lambda s: s != NULL_SENTINEL)
+
+
+def _canon_newlines(s):
+    return None if s is None else s.replace("\r\n", "\n").replace("\r", "\n")
+
+
+@given(vals=st.lists(st.one_of(st.none(), _TEXT), min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None)
+def test_csv_roundtrip_property(spark, tmp_path_factory, vals):
+    tmp = tmp_path_factory.mktemp("rtprop")
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], schema=_SCHEMA
+    )
+    write_landing_file(df, str(tmp), "rt", "csv", "20240101")
+    back = (
+        read_csv(spark, f"{tmp}/csv/rt_*.csv", _SCHEMA)
+        .toPandas()
+        .set_index("id")["s"]
+    )
+    for i, want in enumerate(vals):
+        got = back.get(i)
+        got = None if got is None or got != got else got
+        assert _canon_newlines(got) == _canon_newlines(want), (
+            i,
+            repr(got),
+            repr(want),
+        )

@@ -336,6 +336,34 @@ def _neg_zero_embedding(tbl: pa.Table, every: int = 11) -> pa.Table:
     )
 
 
+def _nul_text(tbl: pa.Table, every: int = 8) -> pa.Table:
+    """`nulbyte` variant: documents.text gets an embedded NUL (plus a
+    NUL-adjacent palette: leading NUL, NUL-only-separator) on every nth
+    row. The `controls` variant deliberately excluded NUL ("a different
+    variant's job") — this is that variant. NUL is a VALID character in
+    parquet/Arrow/DuckDB/Spark strings; what this hunts is any code
+    path that treats strings as C strings (truncation at NUL), plus
+    regex/split/length/md5 agreement on it. Text formats are OUT of
+    scope by contract: landing_format.py documents that NUL-bearing
+    payloads belong in typed formats (univocity's parser truncates at
+    NUL), so documents.text (parquet-carried) is the only column
+    planted. n_chars recomputed."""
+    t_i = tbl.schema.get_field_index("text")
+    n_i = tbl.schema.get_field_index("n_chars")
+    palette = ["mid\x00dle ", "\x00leading ", "a\x00b\x00c "]
+    texts = tbl.column(t_i).to_pylist()
+    for r in range(0, len(texts), every):
+        if texts[r] is not None:
+            texts[r] = palette[(r // every) % len(palette)] + texts[r]
+    n_chars = [len(t) if t is not None else None for t in texts]
+    tbl = tbl.set_column(
+        t_i, tbl.schema.field(t_i), pa.array(texts, type=pa.string())
+    )
+    return tbl.set_column(
+        n_i, tbl.schema.field(n_i), pa.array(n_chars, type=tbl.column(n_i).type)
+    )
+
+
 def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
     """`manyfiles` variant: the table becomes a DIRECTORY of ``n_parts``
     tiny part files plus one 0-ROW part — the small-files layout every
@@ -360,7 +388,7 @@ def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
     "dupkeys", "unicode", "controls", "hugedoc", "hotkey",
-    "nulldup", "dst", "manyfiles", "blanktext", "negzero",
+    "nulldup", "dst", "manyfiles", "blanktext", "negzero", "nulbyte",
 )
 
 
@@ -431,6 +459,9 @@ def main(out_root: str) -> None:
                     tbl = _blank_text(tbl, "p_name", every=7)
                 elif t == "events":
                     tbl = _blank_text(tbl, "event_type", every=9)
+            elif variant == "nulbyte":  # embedded NUL in parquet text
+                if t == "documents":
+                    tbl = _nul_text(tbl)
             elif variant == "negzero":  # IEEE -0.0 measures/components
                 if t == "events":
                     tbl = _neg_zero(tbl, "value")
