@@ -477,8 +477,39 @@ def ngram_jaccard_pairs(
 _NEAR_SUFFIX = "near duplicate suffix tokens"
 
 
+#: (applicationId, sf_dir) pairs whose planting-floor check already ran
+#: (same session-cache pattern as clusters.assert_below_id_floor).
+_PLANT_FLOOR_CHECKED: set[tuple[str, str]] = set()
+
+
+def _assert_fixture_ids_below_plant_floor(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> None:
+    """The fixture's +500k/+1M plantings assume base doc_id < 500_000
+    (true of all driver testdata, max 49_999 at sf0.1). A larger corpus
+    must fail LOUDLY here: a base id at or above the exact-plant offset
+    COLLIDES with a planted id, and the id-keyed signature aggregation
+    then silently merges two different documents into one signature —
+    exactly the divergence the r10 8×-remap scale probe produced
+    (engine merged the colliding pair per id; the oracle's row-level
+    CTE did not)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PLANT_FLOOR_CHECKED:
+        return
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0][0] or 0
+    if max_id >= 500_000:
+        raise AssertionError(
+            f"documents doc_id max {max_id} reaches the +500k exact-"
+            "plant offset — planted ids would collide with real ids "
+            "and id-keyed signatures would merge distinct documents; "
+            "raise the planting offsets for this corpus"
+        )
+    _PLANT_FLOOR_CHECKED.add(key)
+
+
 def neardup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, ("documents",))["documents"]
+    _assert_fixture_ids_below_plant_floor(spark, sf_dir, docs)
     exact = (
         docs.filter(F.col("doc_id") % 7 == 0)
         .withColumn("doc_id", F.col("doc_id") + 500_000)

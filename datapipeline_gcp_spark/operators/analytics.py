@@ -237,9 +237,13 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash-aggregate shuffle); at 100 TB with huge groups the escape
     hatch is the mergeable one-pass sketch — registered as
     :func:`events_percentiles_approx` (in rank-contract form, so both
-    twins are oracle-checked since r5). Both engines
-    interpolate at (n-1)*p identically (verified bitwise on this data —
-    no rounding needed).
+    twins are oracle-checked since r5). Both engines interpolate at
+    (n-1)*p, but their interpolation EXPRESSIONS differ in the last
+    ULP on some (lo, hi, frac) triples — invisible on the shipped
+    fixtures, surfaced by the r10 8× scale probe's duplicated
+    multiset — so the quantiles carry the repo-standard 6-dp qround
+    equalizer on both sides (data-independent contract instead of a
+    bitwise claim scoped to one dataset).
     """
     ev = load_testdata(spark, sf_dir, ("events",))["events"]
     # NaN measure ≡ NULL (r8 nanvalues boundary) — percentile and
@@ -247,16 +251,18 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.withColumn("value", nan_to_null("value"))
     q = F.percentile("value", F.lit([0.5, 0.95, 0.99]))
     return ev.groupBy("event_type").agg(
-        q[0].alias("p50"), q[1].alias("p95"), q[2].alias("p99"),
+        qround(q[0], 6).alias("p50"),
+        qround(q[1], 6).alias("p95"),
+        qround(q[2], 6).alias("p99"),
         F.count("*").alias("n_events"),
     )
 
 
 _PERCENTILE_ORACLE = f"""
 SELECT event_type,
-       quantile_cont(value, 0.5)  AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99,
+       {sql_qround("quantile_cont(value, 0.5)", 6)}  AS p50,
+       {sql_qround("quantile_cont(value, 0.95)", 6)} AS p95,
+       {sql_qround("quantile_cont(value, 0.99)", 6)} AS p99,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM {SQL_EVENTS_NANSAFE}
 GROUP BY event_type

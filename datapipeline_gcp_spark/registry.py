@@ -102,7 +102,7 @@ _RECHECK: dict[str, int] = {
     "multimodal_feature_extract": 10,
     "text_bpe_pretokenize": 10,
     "events_histogram": 8,
-    "events_percentiles": 8,
+    "events_percentiles": 10,  # r10: 6-dp qround equalizer (8x probe ULP boundary)
     "events_percentiles_approx": 8,
     "events_session_window": 8,
     "events_sliding_window": 8,

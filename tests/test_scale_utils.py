@@ -174,3 +174,20 @@ def test_bucketed_tables_join_without_exchange(spark):
     )
     want = {(r.o_orderdate, r.n) for r in plain.collect()}
     assert got == want
+
+
+def test_neardup_fixture_guards_plant_floor(spark):
+    """A corpus whose ids reach the +500k exact-plant offset must fail
+    LOUDLY (r10 8x-remap probe: colliding planted/real ids silently
+    merge two documents into one id-keyed signature)."""
+    import pytest
+
+    from datapipeline_gcp_spark.functions.dedup import (
+        _assert_fixture_ids_below_plant_floor,
+    )
+
+    ok = spark.createDataFrame([(499_999, "t")], "doc_id long, text string")
+    _assert_fixture_ids_below_plant_floor(spark, "_floor_ok", ok)
+    bad = spark.createDataFrame([(500_000, "t")], "doc_id long, text string")
+    with pytest.raises(AssertionError, match="exact-plant offset"):
+        _assert_fixture_ids_below_plant_floor(spark, "_floor_bad", bad)
