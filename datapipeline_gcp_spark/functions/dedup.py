@@ -492,7 +492,13 @@ def _assert_fixture_ids_below_plant_floor(
     then silently merges two different documents into one signature —
     exactly the divergence the r10 8×-remap scale probe produced
     (engine merged the colliding pair per id; the oracle's row-level
-    CTE did not)."""
+    CTE did not).
+
+    The check is an eager max+collect during query construction — one
+    blocking driver action per (appId, sf_dir), acceptable at fixture
+    scale (ADVICE r10). If fixture corpora ever grow, fold it into the
+    planted-id generation lazily (plant at ``max_id + offset`` instead
+    of asserting a constant floor)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PLANT_FLOOR_CHECKED:
         return

@@ -55,17 +55,28 @@ def read_csv(
     schema: T.StructType,
     header: bool = True,
     permissive: bool = False,
+    external: bool = False,
 ) -> DataFrame:
     """S1 — CSV landing files with a header row and declared schema.
 
+    By default the reader assumes THIS repo's landing convention:
     TEXT_READ_OPTS (\\N NULL sentinel, "" stays a string, multiLine for
     quoted embedded newlines) is the round-trip contract with
     ``write_landing_file`` — CSV/TSV ONLY: ``multiLine`` means
     one-JSON-document-per-FILE to the JSON reader, so applying these in
-    the shared ``_reader`` broke JSONL (r10 blanktext sweep)."""
+    the shared ``_reader`` broke JSONL (r10 blanktext sweep).
+
+    ``external=True`` reads files produced by OTHER writers (e.g. the
+    reference's plain ``csv.writer``, which encodes NULL as a bare empty
+    field): the sentinel options are skipped, so an empty field is NULL
+    for every type — the standard CSV reading (ADVICE r10: under the
+    default convention such files would ingest NULL string fields as
+    ``""`` and could FAILFAST on empty typed fields)."""
+    reader = _reader(spark, schema, permissive)
+    if not external:
+        reader = with_text_options(reader, TEXT_READ_OPTS)
     return (
-        with_text_options(_reader(spark, schema, permissive), TEXT_READ_OPTS)
-        .option("header", header)
+        reader.option("header", header)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path_glob)
     )
@@ -76,12 +87,15 @@ def read_tsv(
     path_glob: str,
     schema: T.StructType,
     permissive: bool = False,
+    external: bool = False,
 ) -> DataFrame:
-    """S2 — tab-separated, headerless landing files (TEXT_READ_OPTS:
-    see :func:`read_csv`)."""
+    """S2 — tab-separated, headerless landing files (TEXT_READ_OPTS and
+    the ``external`` opt-out for foreign writers: see :func:`read_csv`)."""
+    reader = _reader(spark, schema, permissive)
+    if not external:
+        reader = with_text_options(reader, TEXT_READ_OPTS)
     return (
-        with_text_options(_reader(spark, schema, permissive), TEXT_READ_OPTS)
-        .option("sep", "\t")
+        reader.option("sep", "\t")
         .option("header", False)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path_glob)

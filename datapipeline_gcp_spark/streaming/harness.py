@@ -103,6 +103,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
+    # LOCAL-FILESYSTEM-ONLY layout detection (ADVICE r10): os.path.isdir
+    # is always False for remote URIs (gs://, hdfs://), so a
+    # directory-layout events.parquet on a remote lake path would take
+    # the single-file pathGlobFilter branch and stream zero files. The
+    # gate fixtures are local by contract (driver testdata + /tmp
+    # variants); a remote deployment must swap this for the Hadoop
+    # FileSystem API: Path(path).getFileSystem(hadoopConf)
+    # .getFileStatus(...).isDirectory().
     if os.path.isdir(path):
         # small-files layout (manyfiles variant; the production shape —
         # a lake prefix holding many part files): stream the directory

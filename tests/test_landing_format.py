@@ -108,3 +108,43 @@ def test_csv_roundtrip_property(spark, tmp_path_factory, vals):
             repr(got),
             repr(want),
         )
+
+
+# ---------------------------------------------------------------------------
+# Foreign-writer CSVs (ADVICE r10): files produced by a plain csv.writer
+# (the reference's own landing writer) encode NULL as a bare empty
+# field. external=True reads them with standard CSV semantics — the
+# default landing convention would ingest "" as a string and FAILFAST
+# on empty typed fields.
+# ---------------------------------------------------------------------------
+
+_EXT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def test_external_csv_reads_plain_writer_output(spark, tmp_path):
+    import csv
+
+    path = tmp_path / "ext.csv"
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "s", "n"])
+        w.writerow([1, "word", 7])
+        w.writerow([2, "", ""])  # csv.writer's None → empty field
+        w.writerow([3, "x,y", 9])
+    got = (
+        read_csv(spark, str(path), _EXT_SCHEMA, external=True)
+        .toPandas()
+        .set_index("id")
+    )
+    assert got.loc[1, "s"] == "word" and got.loc[1, "n"] == 7
+    # standard CSV: empty field is NULL for every type — no FAILFAST
+    # on the empty LongType field, no "" string fabricated
+    assert got.loc[2, "s"] is None or got.loc[2, "s"] != got.loc[2, "s"]
+    assert got.loc[2, "n"] != got.loc[2, "n"] or got.loc[2, "n"] is None
+    assert got.loc[3, "s"] == "x,y"

@@ -22,6 +22,7 @@ Usage:  python tools/make_degenerate_fixtures.py /tmp/degenerate
 """
 
 import os
+import shutil
 import sys
 
 import pyarrow as pa
@@ -375,7 +376,15 @@ def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
     float-combine order than the single-file layout. The 0-row part
     probes empty-split handling in both engines (Spark scan tasks and
     the DuckDB glob must both tolerate a schema-only file)."""
-    os.makedirs(table_dir, exist_ok=True)
+    # Clear any previous layout first (ADVICE r10): a single-file
+    # {t}.parquet from an earlier run raises FileExistsError on
+    # makedirs, and stale part files from a larger prior n_parts would
+    # silently remain in the dataset.
+    if os.path.isdir(table_dir):
+        shutil.rmtree(table_dir)
+    elif os.path.exists(table_dir):
+        os.remove(table_dir)
+    os.makedirs(table_dir)
     for k in range(n_parts):
         idx = [r for r in range(tbl.num_rows) if r % n_parts == k]
         pq.write_table(
