@@ -83,32 +83,19 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # (r9's 49 inert pins pruned: CORRECTNESS_r09.json proved all 50
-    # window entries green — every pin whose query got an r9 green row
-    # is inert; earlier rounds' pins pruned the same way. The 8 below
-    # are the r8 rewrites that SPILLED past BOTH the r8 and r9 50-slot
-    # windows — still unproven externally on the rewritten code (the
-    # r8 NULL-text / null-safe-key / NaN-measure boundary rewrites;
-    # locally re-proven in every sweep since), so they front r10's
-    # window. See the r8/r9 registry history for per-sweep rationale.)
-    # r10: the blanktext/negzero degenerate sweeps rewrote these five —
-    # CSV landing round-trip fidelity (\N sentinel + whitespace +
-    # multiLine) through both landing gates, the sessionizer's
-    # first-value left-fold (signed-zero), NULL features on empty
-    # payloads, and try_divide on zero-pretoken docs.
-    "events_stream_e2e_ingest_gate": 10,
-    "events_stream_crossrun_redelivery_gate": 10,
-    "events_stream_stateful_session_gate": 10,
-    "multimodal_feature_extract": 10,
-    "text_bpe_pretokenize": 10,
-    "events_histogram": 8,
-    "events_percentiles": 10,  # r10: 6-dp qround equalizer (8x probe ULP boundary)
-    "events_percentiles_approx": 8,
-    "events_session_window": 8,
-    "events_sliding_window": 8,
-    "events_tumbling_window": 8,
-    "source_jsonl_roundtrip": 8,
-    "source_orc_roundtrip": 8,
+    # (r10's 13 pins pruned: CORRECTNESS_r10.json proved all 50 window
+    # entries green, and every r8/r10 pin's query got an r10 green row
+    # — the whole set went inert; earlier rounds' pins were pruned the
+    # same way. See the r8-r10 registry history for per-sweep
+    # rationale.)
+    # r11: the exactly-once fault-injection work (VERDICT r10 #1) added
+    # the idempotent-sink branch to stream_landing_table's foreachBatch
+    # — the shared ingest path of the three landing gates, so their r10
+    # greens no longer cover the shipped code (default behavior is
+    # bit-identical, but the pin policy is about code, not belief).
+    "events_stream_e2e_ingest_gate": 11,
+    "events_stream_crossrun_redelivery_gate": 11,
+    "multimodal_stream_ingest_gate": 11,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -295,6 +295,7 @@ def stream_landing_table(
     available_now: bool = True,
     on_batch=None,
     transform=None,
+    idempotent: bool = False,
 ) -> IngestStream:
     """One (table, format) ingestion stream: landing glob → raw table
     append → record the batch's files for post-commit archival (see the
@@ -302,6 +303,18 @@ def stream_landing_table(
     query wrapped with its archival handle; with ``available_now`` it
     drains what exists and finishes (the test/poll mode, E3's
     ``trigger(availableNow=True)``).
+
+    ``idempotent=True`` is the exactly-once sink the module docstring
+    names: each batch lands in its own ``_ingest_batch=<id>`` partition
+    via dynamic partition overwrite, so a REPLAYED batch (crash anywhere
+    between the sink write and the checkpoint commit) overwrites its own
+    orphaned partition instead of double-appending — rows land exactly
+    once without any dedup state. The default (plain append) stays
+    at-least-once on replay, the trade the reference's BQ loads made.
+    Scale: one partition per micro-batch is metadata-cheap (a directory
+    per batch); queries that don't filter on ``_ingest_batch`` read all
+    partitions as one table, and ``compact_table`` folds the partition
+    column away if small files accumulate.
 
     ``on_batch(spark, batch_id)`` runs after each batch's append — the
     E3 "trigger downstream" hook (the reference POSTs the Airflow REST
@@ -354,7 +367,16 @@ def stream_landing_table(
                     r._src for r in batch.select("_src").distinct().collect()
                 ]
             local_files = [_local_path(f) for f in files]
-            sinks.append_table(batch.drop("_src"), target_table)
+            if idempotent:
+                sinks.overwrite_partitions(
+                    batch.drop("_src").withColumn(
+                        "_ingest_batch", F.lit(batch_id)
+                    ),
+                    target_table,
+                    ["_ingest_batch"],
+                )
+            else:
+                sinks.append_table(batch.drop("_src"), target_table)
             _record_pending(local_files, archive_dir, stream_id, batch_id)
             # foreachBatch runs in a cloned session: its append invalidates
             # the clone's relation cache only — refresh the outer session's

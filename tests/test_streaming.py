@@ -440,3 +440,120 @@ def test_local_path_uri_forms():
     assert _local_path("file:/x/y.csv") == "/x/y.csv"
     assert _local_path("file:///x/y.csv") == "/x/y.csv"
     assert _local_path("/x/y.csv") == "/x/y.csv"
+
+
+def test_crash_between_append_and_pending_record_is_exactly_once(
+    spark, stream_dirs, monkeypatch
+):
+    """Fault-injection of the OTHER kill window (VERDICT r10 #1): the
+    process dies AFTER the batch's sink write but BEFORE its pending-
+    archive record (and therefore before its checkpoint commit). The
+    batch replays on restart; with the idempotent partition-overwrite
+    sink the replay overwrites its own orphaned partition, so the table
+    holds every row EXACTLY once and every landing file is archived
+    exactly once — no duplicate, no loss, no stranded file."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_crash_campaigns")
+    dfs = [gen.gen_campaigns(spark, n=40, seed=20 + d) for d in range(3)]
+    for d, df in enumerate(dfs):
+        gen.write_landing_file(
+            df, stream_dirs["landing"], "campaigns", "csv", f"2023060{d + 1}"
+        )
+    landing_csv = f"{stream_dirs['landing']}/csv"
+    basenames = sorted(os.listdir(landing_csv))
+    assert len(basenames) == 3
+
+    # crash simulation: die once, mid-protocol, in batch 1
+    real_record = ingest._record_pending
+    armed = {"fail": True}
+
+    def dying_record(files, archive_dir, stream_id, batch_id):
+        if batch_id == 1 and armed["fail"]:
+            armed["fail"] = False
+            raise RuntimeError("simulated crash between append and record")
+        real_record(files, archive_dir, stream_id, batch_id)
+
+    monkeypatch.setattr(ingest, "_record_pending", dying_record)
+
+    def start():
+        return ingest.stream_landing_table(
+            spark, stream_dirs["landing"], "campaigns", "csv",
+            schemas.CAMPAIGNS, "raw_layer.r_crash_campaigns",
+            stream_dirs["archive"], stream_dirs["ckpt"],
+            max_files_per_trigger=1, idempotent=True,
+        )
+
+    q = start()
+    with pytest.raises(Exception):
+        q.awaitTermination()  # batch 1's foreachBatch raised → query dies
+    q.query.stop()
+
+    # mid-crash invariants: batch 0 committed and (at batch 1's start)
+    # archived; batch 1's write left an ORPHAN partition but no pending
+    # record, and its file is still in landing for the replay
+    table = spark.table("raw_layer.r_crash_campaigns")
+    assert table.count() == 80  # batch 0 + batch 1's orphan, no commit
+    still_landing = sorted(os.listdir(landing_csv))
+    assert basenames[1] in still_landing and basenames[2] in still_landing
+    pending = f"{stream_dirs['archive']}/_pending"
+    assert not os.path.exists(pending) or not os.listdir(pending)
+
+    # restart from the same checkpoint: batch 1 REPLAYS (offset log has
+    # it, commit log does not), overwrites its orphan partition, records,
+    # commits; batch 2 proceeds; drain archives the tail
+    ingest.drain(start())
+
+    out = spark.table("raw_layer.r_crash_campaigns")
+    assert out.count() == 120  # exactly once: no duplicate, no loss
+    got = {r.campaign_id for r in out.select("campaign_id").collect()}
+    want = {
+        r.campaign_id
+        for df in dfs
+        for r in df.select("campaign_id").collect()
+    }
+    assert got == want
+    # every landing file archived EXACTLY once
+    assert not os.listdir(landing_csv)
+    archived = sorted(
+        f for f in os.listdir(stream_dirs["archive"])
+        if f.startswith("campaigns_")
+    )
+    assert archived == basenames
+    assert not os.path.exists(pending) or not os.listdir(pending)
+    # one manifest per data batch
+    manifests = os.listdir(f"{stream_dirs['archive']}/_manifests")
+    assert len([m for m in manifests if m.startswith("batch_campaigns_csv")]) == 3
+
+
+def test_idempotent_replay_after_lost_commit_has_no_duplicates(
+    spark, stream_dirs
+):
+    """The commit-log kill window (the existing append-mode test allows
+    duplicates there — at-least-once); with ``idempotent=True`` the same
+    replay must land EXACTLY the original rows."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_idem_campaigns")
+    df = gen.gen_campaigns(spark, n=70, seed=31)
+    gen.write_landing_file(df, stream_dirs["landing"], "campaigns", "csv", "20230601")
+
+    def start():
+        return ingest.stream_landing_table(
+            spark, stream_dirs["landing"], "campaigns", "csv",
+            schemas.CAMPAIGNS, "raw_layer.r_idem_campaigns",
+            stream_dirs["archive"], stream_dirs["ckpt"], idempotent=True,
+        )
+
+    q = start()
+    q.awaitTermination()
+    q.query.stop()
+    # the batch ran to completion but its commit never became durable
+    os.remove(os.path.join(stream_dirs["ckpt"], "commits", "0"))
+    crc = os.path.join(stream_dirs["ckpt"], "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    ingest.drain(start())  # replay overwrites partition 0
+
+    out = spark.table("raw_layer.r_idem_campaigns")
+    assert out.count() == 70  # exactly once, not at-least-once
+    assert not os.listdir(f"{stream_dirs['landing']}/csv")
