@@ -2,12 +2,15 @@
 with typed metadata, processed by Arrow-batched pandas functions.
 
 The Spark-side plumbing is real and tested: schema, partitioning,
-``mapInPandas`` batch iteration, feature-vector output shape. The codec
-step is a deterministic stand-in (``numpy.frombuffer`` over the payload
-bytes) because no image/audio libraries ship in this environment — the
-integration point for a real decoder is ``register_decoder`` and the
-default raises ``NotImplementedError`` with instructions, per the
-repo's stub policy.
+``mapInPandas`` batch iteration, feature-vector output shape. The
+default codec is a deterministic stand-in (``numpy.frombuffer`` over
+the payload bytes) because no image/audio LIBRARIES ship in this
+environment; the real-decoder path is ``register_decoder`` +
+``extract_features(fake=False)``, and it is exercised end to end by
+the pure-stdlib codecs in ``functions/codecs.py`` (binary PPM images,
+PCM WAV audio — r11, closing the repo's last stub). ``fake=False``
+with no registered decoder for a payload's kind raises
+``NotImplementedError`` with instructions.
 
 Scale notes: payloads ride through scans as opaque bytes (parquet keeps
 them column-chunked; pruning a query that doesn't touch ``payload``
@@ -94,8 +97,10 @@ _DECODERS: dict[str, Callable] = {}
 def register_decoder(kind: str, fn: Callable) -> None:
     """Install a real codec for a modality: ``fn(payload: bytes) ->
     numpy.ndarray``. E.g. PIL/libvips for images, soundfile for audio,
-    PyAV frame sampling for video — none are available in this build
-    environment, so nothing is registered by default."""
+    PyAV frame sampling for video — none of those libraries ship in
+    this build environment, so nothing is registered by default; the
+    stdlib PPM/WAV codecs (``functions/codecs.py``) are the shipped
+    real decoders, registered explicitly by the caller."""
     _DECODERS[kind] = fn
 
 
@@ -118,17 +123,29 @@ def decode_payload(kind: str, payload: bytes, fake: bool = True):
     return np.frombuffer(payload, dtype=np.uint8)
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Payload → feature vectors via Arrow-batched mapInPandas.
 
     The worker is a nested, fully self-contained closure: cloudpickle
     then serializes it BY VALUE, so executors never need this package on
     their PYTHONPATH — the engine's entry points must work when the
     caller imported it by file path (module-level functions pickle by
-    reference and fail to import on the workers). Real registered
-    decoders (``register_decoder``) require the package installed on
-    executors; the deterministic fake path has no such dependency.
+    reference and fail to import on the workers).
+
+    ``fake=False`` routes every payload through the REAL decoders
+    installed with :func:`register_decoder` (each asset's ``kind`` must
+    have one — filter first). The repo's own pure-stdlib codecs
+    (``functions/codecs.py``: binary PPM images, PCM WAV audio) are
+    registered for by-value pickling at call time, so even the real
+    path needs no package install on executors; decoders from OTHER
+    modules follow standard pickling rules (their module must be
+    importable worker-side). Feature semantics over a decoded array:
+    ``byte_len`` = sample count, ``mean_byte``/``max_byte`` = sample
+    stats, ``feature`` = 8-bin histogram normalized over the sample
+    dtype's full domain (uint8 → [0,256), int16 → [-32768,32768)).
     """
+    if not fake:
+        return _extract_features_decoded(assets)
     feature_names = [f.name for f in FEATURE_SCHEMA.fields]
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,6 +185,78 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         "kind": kind,
                         "byte_len": int(buf.size),
                         "mean_byte": float(buf.mean()),
+                        "max_byte": int(buf.max()),
+                        "feature": (hist / buf.size).astype(float).tolist(),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=feature_names)
+
+    return assets.mapInPandas(worker, schema=FEATURE_SCHEMA)
+
+
+def _extract_features_decoded(assets: DataFrame) -> DataFrame:
+    """The ``fake=False`` arm of :func:`extract_features`: decode with
+    the REGISTERED codecs, then the same feature shape over decoded
+    samples. The decoder dict is snapshotted into the closure at call
+    time; the repo's own codecs module is registered for by-value
+    pickling so the worker processes never import this package."""
+    decoders = dict(_DECODERS)
+    if not decoders:
+        raise NotImplementedError(
+            "fake=False requires at least one register_decoder(kind, fn) "
+            "registration (see functions/codecs.py for the stdlib PPM/WAV "
+            "decoders)"
+        )
+    try:  # by-value pickling for the engine's own stdlib codecs
+        import cloudpickle
+
+        from datapipeline_gcp_spark.functions import codecs as _codecs
+
+        cloudpickle.register_pickle_by_value(_codecs)
+    except Exception:  # cloudpickle API drift — fall back to by-reference
+        pass
+    feature_names = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                if payload is None:  # absent/corrupt object: skip
+                    continue
+                if kind not in decoders:
+                    raise NotImplementedError(
+                        f"no real decoder registered for kind={kind!r}; "
+                        "filter assets to registered kinds or call "
+                        "register_decoder first"
+                    )
+                buf = _np.asarray(decoders[kind](bytes(payload))).reshape(-1)
+                if buf.size == 0:  # decoded-but-empty: NULL stats
+                    rows.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "kind": kind,
+                            "byte_len": 0,
+                            "mean_byte": None,
+                            "max_byte": None,
+                            "feature": None,
+                        }
+                    )
+                    continue
+                info = _np.iinfo(buf.dtype)
+                hist = _np.histogram(
+                    buf, bins=8, range=(info.min, info.max + 1)
+                )[0]
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "kind": kind,
+                        "byte_len": int(buf.size),
+                        "mean_byte": float(buf.astype(_np.float64).mean()),
                         "max_byte": int(buf.max()),
                         "feature": (hist / buf.size).astype(float).tolist(),
                     }

@@ -96,6 +96,10 @@ _RECHECK: dict[str, int] = {
     "events_stream_e2e_ingest_gate": 11,
     "events_stream_crossrun_redelivery_gate": 11,
     "multimodal_stream_ingest_gate": 11,
+    # r11: extract_features grew the fake=False real-decoder arm (the
+    # registered query still takes the fake path, but its entry
+    # function changed).
+    "multimodal_feature_extract": 11,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -1,0 +1,153 @@
+"""The real-decoder extension path (VERDICT r10 #4): the pure-stdlib
+PPM/WAV codecs in ``functions/codecs.py``, registered via
+``register_decoder`` and driven through ``extract_features(fake=False)``
+— proving the one formerly-documentation-only integration point by
+execution. Expected values are recomputed with numpy using the same
+arithmetic (integer-exact counts, one float64 mean), so comparisons are
+exact, not approximate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import types as T
+
+from datapipeline_gcp_spark.functions import codecs, multimodal
+
+
+# ---------------------------------------------------------------------------
+# Codec units: deterministic round-trips + malformed-input contracts
+# ---------------------------------------------------------------------------
+
+
+def _ppm_pixels(h: int, w: int) -> np.ndarray:
+    return (np.arange(h * w * 3, dtype=np.int64) * 7 % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+
+
+def test_ppm_roundtrip_is_identity():
+    img = _ppm_pixels(5, 9)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _ppm_pixels(2, 3)
+    raw = b"P6 # a comment\n# another\n 3\t2 # dims\n255\n" + img.tobytes()
+    assert np.array_equal(codecs.decode_ppm(raw), img)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"P5\n2 2\n255\n" + b"\x00" * 12,  # wrong magic (PGM)
+        b"P6\n2 2\n65535\n" + b"\x00" * 24,  # 2-byte samples unsupported
+        b"P6\n2 2\n255\n\x00\x01",  # truncated raster
+        b"P6\n2",  # truncated header
+        b"",  # empty
+    ],
+)
+def test_ppm_malformed_raises_valueerror(payload):
+    with pytest.raises(ValueError):
+        codecs.decode_ppm(payload)
+
+
+def test_wav_roundtrip_is_identity():
+    samples = (
+        (np.arange(400, dtype=np.int64) * 523 % 65536) - 32768
+    ).astype(np.int16).reshape(-1, 2)
+    got = codecs.decode_wav(codecs.encode_wav(samples))
+    assert got.dtype == np.int16 and np.array_equal(got, samples)
+
+
+def test_wav_malformed_raises_valueerror():
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFgarbage-not-a-wav")
+
+
+# ---------------------------------------------------------------------------
+# The fake=False path through extract_features (Arrow-batched worker,
+# by-value-pickled codecs — no package install on workers)
+# ---------------------------------------------------------------------------
+
+
+def _assets_df(spark, rows):
+    return spark.createDataFrame(rows, schema=multimodal.ASSET_SCHEMA)
+
+
+@pytest.fixture()
+def registered_codecs():
+    multimodal.register_decoder("image", codecs.decode_ppm)
+    multimodal.register_decoder("audio", codecs.decode_wav)
+    yield
+    multimodal._DECODERS.pop("image", None)
+    multimodal._DECODERS.pop("audio", None)
+
+
+def _expected(buf: np.ndarray) -> dict:
+    info = np.iinfo(buf.dtype)
+    flat = buf.reshape(-1)
+    hist = np.histogram(flat, bins=8, range=(info.min, info.max + 1))[0]
+    return {
+        "byte_len": flat.size,
+        "mean_byte": float(flat.astype(np.float64).mean()),
+        "max_byte": int(flat.max()),
+        "feature": (hist / flat.size).tolist(),
+    }
+
+
+def test_extract_features_decodes_real_payloads(spark, registered_codecs):
+    img1, img2 = _ppm_pixels(4, 6), _ppm_pixels(3, 3)
+    wav = ((np.arange(300, dtype=np.int64) * 911 % 65536) - 32768).astype(
+        np.int16
+    )
+    rows = [
+        (1, "image", bytearray(codecs.encode_ppm(img1)), ("s", 1, None)),
+        (2, "image", bytearray(codecs.encode_ppm(img2)), ("s", 2, None)),
+        (3, "audio", bytearray(codecs.encode_wav(wav)), ("s", 3, None)),
+        (4, "image", None, ("s", 4, None)),  # absent object: skipped
+    ]
+    got = {
+        r.asset_id: r
+        for r in multimodal.extract_features(
+            _assets_df(spark, rows), fake=False
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for aid, buf in ((1, img1), (2, img2), (3, wav)):
+        want = _expected(buf)
+        assert got[aid].byte_len == want["byte_len"], aid
+        assert got[aid].mean_byte == want["mean_byte"], aid
+        assert got[aid].max_byte == want["max_byte"], aid
+        assert got[aid].feature == want["feature"], aid
+    # decoded samples, not payload bytes: the PPM header is NOT counted
+    assert got[1].byte_len == 4 * 6 * 3 < len(codecs.encode_ppm(img1))
+    # int16 domain histogram really used the int16 range
+    assert got[3].max_byte > 255 or got[3].mean_byte < 0
+
+
+def test_fake_false_without_decoder_raises(spark, registered_codecs):
+    rows = [(9, "video", bytearray(b"\x00" * 64), ("s", 9, None))]
+    with pytest.raises(Exception, match="no real decoder registered"):
+        multimodal.extract_features(
+            _assets_df(spark, rows), fake=False
+        ).collect()
+
+
+def test_fake_false_with_empty_registry_raises(spark):
+    assert "image" not in multimodal._DECODERS
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        multimodal.extract_features(
+            _assets_df(spark, []), fake=False
+        )
+
+
+def test_decode_payload_routes_through_registry(registered_codecs):
+    img = _ppm_pixels(2, 2)
+    out = multimodal.decode_payload(
+        "image", codecs.encode_ppm(img), fake=False
+    )
+    assert np.array_equal(out, img)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload("video", b"x", fake=False)
