@@ -394,10 +394,51 @@ def _write_manyfiles(tbl: pa.Table, table_dir: str, n_parts: int = 16) -> None:
     pq.write_table(tbl.slice(0, 0), os.path.join(table_dir, "part-empty.parquet"))
 
 
+def _unique_key(tbl: pa.Table, col: str, prefix: str | None = None,
+                offset: int = 10_000_000) -> pa.Table:
+    """`unikeys` variant: EVERY row gets a DISTINCT value in ``col`` —
+    the opposite pole from hotkey, and the one group-count shape no
+    prior variant probes (VERDICT r10 #5): millions of distinct keys
+    at scale (unique user per event, unique lang per doc), which
+    stresses partial-aggregation hash tables (no map-side combine
+    wins), sessionizer/first-seen state-store ROW counts (one state
+    row per key — the opposite end from the per-key cap), category
+    collects that assumed metadata cardinality, and window/pivot
+    rollups that assumed grouping collapses the data. String keys get
+    ``{prefix}{row}``, integer keys ``offset + row`` (disjoint from
+    every real id so accidental collisions with planted fixtures are
+    impossible). NULLs stay NULL — null-key semantics are nullkeys'
+    job."""
+    i = tbl.schema.get_field_index(col)
+    typ = tbl.column(i).type
+    vals = tbl.column(i).to_pylist()
+    for r in range(len(vals)):
+        if vals[r] is None:
+            continue
+        vals[r] = f"{prefix}{r}" if prefix is not None else offset + r
+    return tbl.set_column(i, tbl.schema.field(i), pa.array(vals, type=typ))
+
+
+#: (table, column, string-prefix-or-None) tuples made all-distinct in
+#: the unikeys variant: the stream/session/state key, the event
+#: category, the corpus grouping key, and two relational grouping keys
+#: (priority drift's month×priority rollup, q1's returnflag groups).
+#: FK JOIN keys are deliberately excluded — breaking referential
+#: integrity just empties joins, and the `empty` variant owns that.
+UNIKEY_COLS = (
+    ("events", "user_id", None),
+    ("events", "event_type", "et"),
+    ("documents", "lang", "lg"),
+    ("orders", "o_orderpriority", "pr"),
+    ("lineitem", "l_returnflag", "rf"),
+)
+
+
 VARIANTS = (
     "empty", "nulltext", "nullkeys", "nanvalues", "extremes",
     "dupkeys", "unicode", "controls", "hugedoc", "hotkey",
     "nulldup", "dst", "manyfiles", "blanktext", "negzero", "nulbyte",
+    "unikeys", "hotmany",
 )
 
 
@@ -458,6 +499,24 @@ def main(out_root: str) -> None:
                 if t == "documents":
                     tbl = _huge_text(tbl)
             elif variant == "manyfiles":  # small-files layout (rows untouched)
+                _write_manyfiles(tbl, f"{d}/{t}.parquet")
+                continue
+            elif variant == "unikeys":  # every key distinct (group explosion)
+                for tt, col, prefix in UNIKEY_COLS:
+                    if tt == t:
+                        tbl = _unique_key(tbl, col, prefix)
+            elif variant == "hotmany":  # COMPOSED: hotkey × manyfiles.
+                # Skew over a fragmented lake (VERDICT r10 #8): the
+                # dominant key's rows are SPREAD across every tiny part
+                # file (round-robin dealing), so per-split partial aggs
+                # each meet the hot key, streams list many small files
+                # whose rows all hit one state partition, and
+                # float-combine order differs from both parents — the
+                # two parent variants passed 180/180 separately; this
+                # probes their interaction.
+                for tt, col in HOTKEY_COLS:
+                    if tt == t:
+                        tbl = _hot_key(tbl, col)
                 _write_manyfiles(tbl, f"{d}/{t}.parquet")
                 continue
             elif variant == "blanktext":  # empty/whitespace-only strings
