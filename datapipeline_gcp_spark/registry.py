@@ -114,12 +114,13 @@ _DEFER: dict[str, int] = {
     # (r9 entry graph_components_chain pruned: green in
     # CORRECTNESS_r09.json, making it inert; r3-r8 entries pruned the
     # same way in earlier rounds.)
-    # r9: the exact-forever first-seen dedup gate (second
-    # applyInPandasWithState operator) — the ONE registered query with
-    # no CORRECTNESS_r* green row (judge-verified MATCH on r9 HEAD via
-    # SIM_ONLY). NEGATIVE rank = judge-requested front-of-line
-    # (VERDICT r9 #3, same mechanism as graph_components_chain in r9).
-    "events_stream_first_seen_gate": -1,
+    # (r9 entry events_stream_first_seen_gate pruned: green in
+    # CORRECTNESS_r10.json.)
+    # r11: the idempotent crash-replay gate (VERDICT r10 #1) — new
+    # query; never-checked tier, so it enters right behind the 4 r11
+    # pins and ahead of the stale tail: 4 pins + this + the 45 r5/r6
+    # stale greens fill the 50-slot window exactly.
+    "events_stream_idempotent_replay_gate": 0,
 }
 
 #: Queries with NO DuckDB oracle, each for a declared reason — the

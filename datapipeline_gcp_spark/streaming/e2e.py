@@ -299,6 +299,99 @@ WHERE {SQL_EVENT_TIME_VALID}
 """
 
 
+IDEM_TABLE = "gate_idem_raw_events"
+N_IDEM_PARTS = 4
+
+
+def events_stream_idempotent_replay_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once under BATCH REPLAY, externally oracled (VERDICT r10
+    #1, the registry-gate half; ``tests/test_streaming.py`` holds the
+    mid-``foreachBatch`` kill): the idempotent partition-overwrite sink
+    (``stream_landing_table(idempotent=True)``) must land every source
+    row exactly once even when a batch's checkpoint commit is LOST and
+    the batch replays on restart.
+
+    The gate: the events table is written as four landing CSVs,
+    ingested with ``maxFilesPerTrigger=2`` (two batches) and NO
+    transform — this gate's exactly-once comes from the SINK's
+    idempotence, not from dedup state, so exact-duplicate source rows
+    must land exactly as many times as they occur. Run 1 completes,
+    archival is deliberately NOT flushed, and the final batch's commit
+    log entry is deleted — the durable-crash simulation the pending-
+    archive protocol is designed for (deferred archival guarantees the
+    replayed batch's files are still in landing). Run 2 on the same
+    checkpoint replays the batch, OVERWRITES its own orphaned
+    ``_ingest_batch`` partition, and drains. A plain append sink would
+    double the replayed batch's rows and fail the row-count check; a
+    lost file would fail the value hash; a stranded landing file or a
+    double archival fails the in-gate asserts.
+    """
+    pin_utc(spark)
+    ev = _load_events(spark, sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(dir=base, prefix="gate_idem_")
+    landing = f"{root}/landing"
+    archive = f"{root}/archive"
+    ckpt = f"{root}/ckpt"
+    _drop_gate_table(spark, IDEM_TABLE)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for i in range(N_IDEM_PARTS):
+            write_landing_file(
+                ev.filter(
+                    F.coalesce(
+                        F.pmod(F.col("event_id"), N_IDEM_PARTS), F.lit(0)
+                    )
+                    == i
+                ),
+                landing, "events", "csv", "20240101",
+            )
+        basenames = sorted(os.listdir(f"{landing}/csv"))
+        spark.conf.set("spark.sql.shuffle.partitions", GATE_SHUFFLE_PARTITIONS)
+
+        def start_run():
+            return stream_landing_table(
+                spark, landing, "events", "csv", _CSV_SCHEMA, IDEM_TABLE,
+                archive, ckpt, max_files_per_trigger=2, idempotent=True,
+            )
+
+        q = start_run()
+        q.awaitTermination()  # run 1 complete; archival NOT flushed
+        # crash simulation: the last batch's commit never became durable
+        commits = [
+            int(f) for f in os.listdir(f"{ckpt}/commits") if f.isdigit()
+        ]
+        last = max(commits)
+        os.remove(f"{ckpt}/commits/{last}")
+        crc = f"{ckpt}/commits/.{last}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+
+        drain(start_run())  # replay the lost batch, then archive all
+        still = os.listdir(f"{landing}/csv")
+        archived = sorted(
+            f for f in os.listdir(archive) if f.endswith(".csv")
+        )
+        if still or archived != basenames:
+            raise AssertionError(
+                f"archival not exactly-once: {len(still)} still landing, "
+                f"archived {archived} vs landed {basenames}"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.table(IDEM_TABLE).select("event_id", "user_id", "event_type")
+
+
+#: full fidelity, no DISTINCT and no validity boundary: this gate has
+#: no dedup transform and no watermark, so every source row — including
+#: exact duplicates and out-of-validity timestamps — must land exactly
+#: as many times as it occurs in the source.
+_IDEM_ORACLE = "SELECT event_id, user_id, event_type FROM events"
+
+
 # ---------------------------------------------------------------------------
 # Multimodal ingest gate: binary-payload landing shards → streaming
 # phash dedup → append + archival (VERDICT r5 #6b / r6 #2)
@@ -659,12 +752,14 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES = {
     "events_stream_e2e_ingest_gate": events_stream_e2e_ingest_gate,
     "events_stream_crossrun_redelivery_gate": events_stream_crossrun_redelivery_gate,
+    "events_stream_idempotent_replay_gate": events_stream_idempotent_replay_gate,
     "multimodal_stream_ingest_gate": multimodal_stream_ingest_gate,
     "dedup_stream_incremental_gate": dedup_stream_incremental_gate,
 }
 ORACLES = {
     "events_stream_e2e_ingest_gate": _E2E_ORACLE,
     "events_stream_crossrun_redelivery_gate": _E2E_ORACLE,
+    "events_stream_idempotent_replay_gate": _IDEM_ORACLE,
     "multimodal_stream_ingest_gate": _MM_GATE_ORACLE,
     "dedup_stream_incremental_gate": clusters._CLUSTERS_INCR_ORACLE,
 }
