@@ -154,3 +154,79 @@ def test_late_data_drops_match_watermark_contract(spark, tmp_path):
         _D(2024, 1, 1, 12): (3, 44.0),
         _D(2024, 1, 1, 13): (1, 64.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Property form: the simulator must match Spark on RANDOM batch shapes,
+# not just the one pinned fixture. Timestamps carry a fixed :17 second
+# offset so max_ts - DELAY can never EQUAL an hour-aligned window end —
+# the emit-at-exact-boundary tie is deliberately out of scope (both
+# engines' behavior at strict inequality is what the contract pins).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_MINUTES = st.integers(min_value=0, max_value=600)
+_BATCHES_STRATEGY = st.lists(
+    st.lists(_MINUTES, min_size=1, max_size=5), min_size=2, max_size=5
+)
+
+
+def _run_stream(spark, root, batches):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = root / "ev"
+    os.makedirs(src)
+    now = time.time()
+    for i, batch in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e for e, _, _ in batch], pa.int64()),
+                "ts": pa.array(
+                    [ts for _, ts, _ in batch], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([100 + e for e, _, _ in batch], pa.int64()),
+                "event_type": pa.array(["click"] * len(batch), pa.string()),
+                "value": pa.array([v for _, _, v in batch], pa.float64()),
+            }
+        )
+        part = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, part)
+        os.utime(part, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+    )
+    name = f"late_prop_{os.path.basename(root)}"
+    run_to_memory_sink(
+        spark, tumbling_agg(stream), name, str(root / "ckpt")
+    )
+    return {
+        r.window_start.replace(tzinfo=None): (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+
+
+@given(minute_batches=_BATCHES_STRATEGY)
+@settings(max_examples=4, deadline=None)
+def test_late_data_contract_holds_on_random_batches(
+    spark, tmp_path_factory, minute_batches
+):
+    base = _D(2024, 3, 1, 8, 0, 17)  # :17 — never on a wm/end boundary
+    eid = 0
+    batches = []
+    for mb in minute_batches:
+        batch = []
+        for m in mb:
+            eid += 1
+            batch.append((eid, base + dt.timedelta(minutes=m), float(eid)))
+        batches.append(batch)
+    got = _run_stream(spark, tmp_path_factory.mktemp("latep"), batches)
+    want = {
+        ws: (len(evs), float(sum(v for _, v in evs)))
+        for ws, evs in _simulate(batches).items()
+    }
+    assert got == want
