@@ -557,3 +557,43 @@ def test_idempotent_replay_after_lost_commit_has_no_duplicates(
     out = spark.table("raw_layer.r_idem_campaigns")
     assert out.count() == 70  # exactly once, not at-least-once
     assert not os.listdir(f"{stream_dirs['landing']}/csv")
+
+
+def test_flush_pending_replay_after_partial_archival(tmp_path):
+    """The archival-side crash window: flush_pending dies AFTER moving
+    some (or all) files but BEFORE removing the batch's pending record.
+    The restart re-runs flush over the surviving record — already-moved
+    files must be skipped (not duplicated, not FileNotFoundError), the
+    manifest rewritten, and the record removed exactly once."""
+    landing = tmp_path / "landing"
+    archive = tmp_path / "archive"
+    os.makedirs(landing)
+    files = []
+    for i in range(3):
+        p = landing / f"campaigns_2024010{i}_aa.csv"
+        p.write_text(f"data{i}")
+        files.append(str(p))
+    ingest._record_pending(files, str(archive), "campaigns_csv", 0)
+
+    moved = ingest.flush_pending(str(archive), "campaigns_csv", upto_exclusive=1)
+    assert sorted(os.path.basename(f) for f in moved) == sorted(
+        os.path.basename(f) for f in files
+    )
+    # crash simulation: archival completed but the record removal never
+    # became durable — the record reappears on restart
+    ingest._record_pending(files, str(archive), "campaigns_csv", 0)
+    pending = archive / "_pending"
+    assert os.listdir(pending)
+
+    moved2 = ingest.flush_pending(str(archive), "campaigns_csv", upto_exclusive=1)
+    assert moved2 == []  # every file already archived → skipped
+    assert not os.listdir(pending)  # record removed this time
+    archived = sorted(
+        f for f in os.listdir(archive) if f.startswith("campaigns_")
+    )
+    assert archived == sorted(os.path.basename(f) for f in files)
+    for f in archived:  # content survived the move exactly once
+        assert (archive / f).read_text().startswith("data")
+    # manifest rewritten idempotently (one per batch, not per attempt)
+    manifests = os.listdir(archive / "_manifests")
+    assert manifests == ["batch_campaigns_csv_0.json"]
