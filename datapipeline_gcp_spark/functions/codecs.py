@@ -117,6 +117,17 @@ def decode_wav(payload: bytes) -> np.ndarray:
         dtype = np.dtype("u1")
     else:
         raise ValueError(f"unsupported WAV sample width {width * 8} bits")
+    # ADVICE r11: a malformed header can report 0 channels (reshape would
+    # die on a numpy internals error) or a frame byte count that is not a
+    # whole number of frames (truncated payload past the header) — both
+    # must raise the same descriptive ValueError as header-parse failures.
+    if channels < 1:
+        raise ValueError(f"not a PCM WAV payload: {channels} channels")
+    if len(frames) % (width * channels) != 0:
+        raise ValueError(
+            f"not a PCM WAV payload: {len(frames)} frame bytes is not a "
+            f"multiple of frame size {width * channels}"
+        )
     samples = np.frombuffer(frames, dtype=dtype)
     return samples.reshape(-1, channels).copy()
 

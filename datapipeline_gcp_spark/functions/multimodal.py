@@ -247,10 +247,29 @@ def _extract_features_decoded(assets: DataFrame) -> DataFrame:
                         }
                     )
                     continue
-                info = _np.iinfo(buf.dtype)
-                hist = _np.histogram(
-                    buf, bins=8, range=(info.min, info.max + 1)
-                )[0]
+                if _np.issubdtype(buf.dtype, _np.integer):
+                    # integer samples (image rasters, PCM audio): the
+                    # histogram spans the full dtype range so identical
+                    # content yields identical features across batches
+                    info = _np.iinfo(buf.dtype)
+                    lo, hi = float(info.min), float(info.max) + 1.0
+                elif _np.issubdtype(buf.dtype, _np.floating):
+                    # float-returning decoders (ADVICE r11: soundfile
+                    # yields float64 by default) — np.iinfo would raise;
+                    # bin over the observed range instead. Constant
+                    # buffers get a degenerate range widened by epsilon
+                    # so histogram() doesn't divide by zero width.
+                    lo = float(buf.min())
+                    hi = float(buf.max())
+                    if not (lo < hi):
+                        hi = lo + 1.0
+                else:
+                    raise ValueError(
+                        f"decoder for kind={kind!r} returned unsupported "
+                        f"dtype {buf.dtype}; register_decoder functions "
+                        "must return integer or float numpy arrays"
+                    )
+                hist = _np.histogram(buf, bins=8, range=(lo, hi))[0]
                 rows.append(
                     {
                         "asset_id": int(asset_id),

@@ -53,6 +53,15 @@ TEXT_READ_OPTS: dict[str, str] = {
     "multiLine": "true",
 }
 
+#: Options for reading files from FOREIGN writers (``external=True``).
+#: Only the \\N/"" sentinel conventions conflict with other writers;
+#: ``multiLine`` does not — standard writers (Python's ``csv.writer``,
+#: RFC 4180) legitimately quote embedded newlines, and without it Spark
+#: shears such records mid-field (ADVICE r11).
+EXTERNAL_TEXT_READ_OPTS: dict[str, str] = {
+    "multiLine": "true",
+}
+
 
 def with_text_options(rw, opts: dict[str, str]):
     """Apply an option dict to a DataFrameReader/Writer/StreamReader —

@@ -88,18 +88,30 @@ _RECHECK: dict[str, int] = {
     # — the whole set went inert; earlier rounds' pins were pruned the
     # same way. See the r8-r10 registry history for per-sweep
     # rationale.)
-    # r11: the exactly-once fault-injection work (VERDICT r10 #1) added
-    # the idempotent-sink branch to stream_landing_table's foreachBatch
-    # — the shared ingest path of the three landing gates, so their r10
-    # greens no longer cover the shipped code (default behavior is
-    # bit-identical, but the pin policy is about code, not belief).
-    "events_stream_e2e_ingest_gate": 11,
-    "events_stream_crossrun_redelivery_gate": 11,
-    "multimodal_stream_ingest_gate": 11,
-    # r11: extract_features grew the fake=False real-decoder arm (the
-    # registered query still takes the fake path, but its entry
-    # function changed).
-    "multimodal_feature_extract": 11,
+    # (r11's 4 pins pruned: all green in CORRECTNESS_r11.json → inert.)
+    # r12: stream_landing_table's idempotent sink is now namespaced by
+    # stream id (VERDICT r11 #7 — two streams feeding one table collide
+    # on per-checkpoint batch ids) — the shared ingest path of all five
+    # landing gates; non-idempotent gates execute bit-identical code,
+    # but the pin policy is about code, not belief.
+    "events_stream_e2e_ingest_gate": 12,
+    "events_stream_crossrun_redelivery_gate": 12,
+    "events_stream_idempotent_replay_gate": 12,
+    "multimodal_stream_ingest_gate": 12,
+    "dedup_stream_incremental_gate": 12,
+    # r12: events_stream's layout detection moved from os.path.isdir to
+    # path_is_directory (Hadoop FS on URIs — VERDICT r11 #3), the
+    # shared source of the six event-time gates.
+    "events_stream_tumbling_gate": 12,
+    "events_stream_session_gate": 12,
+    "events_stream_dedup_gate": 12,
+    "events_stream_stateful_session_gate": 12,
+    "events_stream_first_seen_gate": 12,
+    "events_stream_interval_join_gate": 12,
+    # r12: the fake=False decoded arm grew float-dtype support (ADVICE
+    # r11 medium); the registered query takes the fake path, but the
+    # module's worker changed.
+    "multimodal_feature_extract": 12,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from datapipeline_gcp_spark.landing_format import (
+    EXTERNAL_TEXT_READ_OPTS,
     TEXT_READ_OPTS,
     with_text_options,
 )
@@ -71,10 +72,13 @@ def read_csv(
     field): the sentinel options are skipped, so an empty field is NULL
     for every type — the standard CSV reading (ADVICE r10: under the
     default convention such files would ingest NULL string fields as
-    ``""`` and could FAILFAST on empty typed fields)."""
+    ``""`` and could FAILFAST on empty typed fields). ``multiLine`` is
+    KEPT in external mode (ADVICE r11): RFC-4180 writers quote embedded
+    newlines, and without it Spark shears such records mid-field."""
     reader = _reader(spark, schema, permissive)
-    if not external:
-        reader = with_text_options(reader, TEXT_READ_OPTS)
+    reader = with_text_options(
+        reader, TEXT_READ_OPTS if not external else EXTERNAL_TEXT_READ_OPTS
+    )
     return (
         reader.option("header", header)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
@@ -90,10 +94,12 @@ def read_tsv(
     external: bool = False,
 ) -> DataFrame:
     """S2 — tab-separated, headerless landing files (TEXT_READ_OPTS and
-    the ``external`` opt-out for foreign writers: see :func:`read_csv`)."""
+    the ``external`` opt-out for foreign writers: see :func:`read_csv`;
+    external mode still keeps ``multiLine`` for quoted newlines)."""
     reader = _reader(spark, schema, permissive)
-    if not external:
-        reader = with_text_options(reader, TEXT_READ_OPTS)
+    reader = with_text_options(
+        reader, TEXT_READ_OPTS if not external else EXTERNAL_TEXT_READ_OPTS
+    )
     return (
         reader.option("sep", "\t")
         .option("header", False)

@@ -305,16 +305,25 @@ def stream_landing_table(
     ``trigger(availableNow=True)``).
 
     ``idempotent=True`` is the exactly-once sink the module docstring
-    names: each batch lands in its own ``_ingest_batch=<id>`` partition
-    via dynamic partition overwrite, so a REPLAYED batch (crash anywhere
-    between the sink write and the checkpoint commit) overwrites its own
-    orphaned partition instead of double-appending — rows land exactly
-    once without any dedup state. The default (plain append) stays
-    at-least-once on replay, the trade the reference's BQ loads made.
+    names: each batch lands in its own
+    ``_ingest_stream=<id>/_ingest_batch=<id>`` partition via dynamic
+    partition overwrite, so a REPLAYED batch (crash anywhere between the
+    sink write and the checkpoint commit) overwrites its own orphaned
+    partition instead of double-appending — rows land exactly once
+    without any dedup state. The stream id is part of the partition key
+    because batch ids are PER-CHECKPOINT: two streams feeding one table
+    (the reference lands ``r_campaigns`` from both a CSV and a TXT path)
+    each number their batches from 0, and without the namespace one
+    stream's batch-3 overwrite would silently erase the other's
+    (VERDICT r11 #7). The default (plain append) stays at-least-once on
+    replay, the trade the reference's BQ loads made.
     Scale: one partition per micro-batch is metadata-cheap (a directory
-    per batch); queries that don't filter on ``_ingest_batch`` read all
-    partitions as one table, and ``compact_table`` folds the partition
-    column away if small files accumulate.
+    per batch); queries that don't filter on the ingest columns read all
+    partitions as one table, and ``compact_ingest_table`` folds
+    committed batches into one partition when small files accumulate
+    (plain ``compact_table`` is for APPEND-mode tables only — it
+    rewrites the table unpartitioned, which would turn the next replay's
+    partition overwrite into a whole-table truncate).
 
     ``on_batch(spark, batch_id)`` runs after each batch's append — the
     E3 "trigger downstream" hook (the reference POSTs the Airflow REST
@@ -369,11 +378,11 @@ def stream_landing_table(
             local_files = [_local_path(f) for f in files]
             if idempotent:
                 sinks.overwrite_partitions(
-                    batch.drop("_src").withColumn(
-                        "_ingest_batch", F.lit(batch_id)
-                    ),
+                    batch.drop("_src")
+                    .withColumn("_ingest_stream", F.lit(stream_id))
+                    .withColumn("_ingest_batch", F.lit(batch_id)),
                     target_table,
-                    ["_ingest_batch"],
+                    ["_ingest_stream", "_ingest_batch"],
                 )
             else:
                 sinks.append_table(batch.drop("_src"), target_table)
@@ -433,14 +442,89 @@ def drain(queries) -> None:
             q.flush_archive()
 
 
+#: Reserved ``_ingest_batch`` value for compacted history. Spark batch
+#: ids start at 0 and only grow, so a replayed batch can never target
+#: this partition.
+COMPACTED_BATCH = -1
+
+
+def compact_ingest_table(
+    spark: SparkSession,
+    table: str,
+    checkpoints: dict[str, str],
+    target_file_rows: int = 1_000_000,
+) -> None:
+    """Small-file compaction for IDEMPOTENT ingest tables (partitioned
+    by ``_ingest_stream``/``_ingest_batch``) — the companion to
+    ``stream_landing_table(idempotent=True)`` (VERDICT r11 #4).
+
+    Two invariants the plain ``compact_table`` would break:
+
+    - **The table stays partitioned.** ``overwrite_partitions`` on an
+      UNPARTITIONED table is a whole-table truncate — a replayed batch
+      after a naive compaction would erase all compacted history.
+    - **Only durably COMMITTED batches are folded.** A batch whose sink
+      write survived but whose checkpoint commit didn't ("orphan") WILL
+      replay on restart; folding its rows into the compacted partition
+      and then replaying it would double them. Each stream's committed
+      frontier is read from its own checkpoint (``checkpoints`` maps
+      ``stream_id`` → checkpoint dir — per-stream because batch ids are
+      per-checkpoint); orphans and unlisted streams keep their own
+      partitions, which the replay then overwrites exactly as before.
+
+    Committed rows fold into the per-stream reserved partition
+    ``_ingest_batch = COMPACTED_BATCH`` (= -1, below any real batch id),
+    coalesced to ~``target_file_rows`` rows per file. Repeated
+    compactions re-fold the reserved partition with newer committed
+    batches. Scale: the rewrite is one scan + one write of the table —
+    run it at the same cadence as any lakehouse OPTIMIZE; between runs
+    the per-batch directories are metadata-cheap.
+    """
+    df = spark.table(table)
+    batch_t = df.schema["_ingest_batch"].dataType
+    fold = F.lit(False)
+    for stream_id, ckpt in checkpoints.items():
+        latest = _latest_committed_batch(ckpt)
+        upto = COMPACTED_BATCH if latest is None else latest
+        fold = fold | (
+            (F.col("_ingest_stream") == stream_id)
+            & (F.col("_ingest_batch") <= F.lit(upto))
+        )
+    df = df.cache()
+    try:
+        folded = df.filter(fold).withColumn(
+            "_ingest_batch", F.lit(COMPACTED_BATCH).cast(batch_t)
+        )
+        n = folded.count()
+        parts = max(1, n // target_file_rows)
+        out = folded.coalesce(parts).unionByName(df.filter(~fold))
+        tmp = f"{table}__compact_tmp"
+        out.write.mode("overwrite").partitionBy(
+            "_ingest_stream", "_ingest_batch"
+        ).format("parquet").saveAsTable(tmp)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        # RENAME moves a managed table's directory but the catalog's
+        # per-PARTITION locations still point at the old path — without
+        # recovery the renamed table reads zero rows. (Unpartitioned
+        # compact_table has no partition entries, so only this path
+        # needs it.)
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+        spark.catalog.refreshTable(table)
+    finally:
+        df.unpersist()
+
+
 def compact_table(
     spark: SparkSession, table: str, target_file_rows: int = 1_000_000
 ) -> None:
-    """Small-file compaction for streaming-append tables: rewrite the
+    """Small-file compaction for streaming-APPEND tables: rewrite the
     table coalesced to ~``target_file_rows`` rows per file. Streaming
     micro-batches write a few small files each; at scale this periodic
     rewrite keeps scan task counts sane (SURVEY.md §4 "small-file
-    compaction")."""
+    compaction"). For idempotent (partition-overwrite) ingest tables use
+    ``compact_ingest_table`` — this rewrite drops the partitioning that
+    sink's exactly-once replay depends on."""
     df = spark.table(table).cache()
     try:
         n = df.count()

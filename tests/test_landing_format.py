@@ -148,3 +148,26 @@ def test_external_csv_reads_plain_writer_output(spark, tmp_path):
     assert got.loc[2, "s"] is None or got.loc[2, "s"] != got.loc[2, "s"]
     assert got.loc[2, "n"] != got.loc[2, "n"] or got.loc[2, "n"] is None
     assert got.loc[3, "s"] == "x,y"
+
+
+def test_external_csv_quoted_embedded_newline(spark, tmp_path):
+    """ADVICE r11: RFC-4180 writers quote embedded newlines; external
+    mode must keep multiLine so such records aren't sheared mid-field."""
+    import csv
+
+    path = tmp_path / "ext_nl.csv"
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "s", "n"])
+        w.writerow([1, "line one\nline two", 5])
+        w.writerow([2, "plain", 6])
+    got = (
+        read_csv(spark, str(path), _EXT_SCHEMA, external=True)
+        .toPandas()
+        .set_index("id")
+    )
+    assert len(got) == 2
+    assert _canon_newlines(got.loc[1, "s"]) == _canon_newlines(
+        "line one\nline two"
+    )
+    assert got.loc[1, "n"] == 5 and got.loc[2, "s"] == "plain"

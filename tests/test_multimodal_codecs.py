@@ -151,3 +151,103 @@ def test_decode_payload_routes_through_registry(registered_codecs):
     assert np.array_equal(out, img)
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload("video", b"x", fake=False)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 hardening: float-returning decoders (soundfile-style) and
+# malformed-WAV frame geometry
+# ---------------------------------------------------------------------------
+
+
+def test_wav_truncated_midframe_raises_descriptive_valueerror():
+    """A stereo int16 payload chopped mid-frame must raise the same
+    descriptive ValueError as header-parse failures, not a bare numpy
+    reshape error."""
+    samples = (
+        (np.arange(64, dtype=np.int64) * 37 % 65536) - 32768
+    ).astype(np.int16).reshape(-1, 2)
+    raw = codecs.encode_wav(samples)
+    with pytest.raises(ValueError, match="not a PCM WAV"):
+        codecs.decode_wav(raw[:-3])  # 3 bytes short: not frame-aligned
+
+
+def test_wav_zero_channels_raises_valueerror():
+    """A handcrafted fmt chunk reporting 0 channels must surface as the
+    documented ValueError (whether the stdlib wave module or our guard
+    catches it first)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 16_000, 0, 0, 16)  # nchannels=0
+    data = b"\x00\x00" * 8
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError):
+        codecs.decode_wav(raw)
+
+
+def test_extract_features_float_decoder(spark):
+    """ADVICE r11 (medium): a float-returning decoder (soundfile yields
+    float64 by default) must not crash on np.iinfo — the histogram bins
+    over the observed min/max instead."""
+    arr = np.linspace(-1.0, 1.0, 400, dtype=np.float64)
+
+    def decode_float(payload: bytes) -> np.ndarray:
+        return np.frombuffer(payload, dtype=np.float64)
+
+    multimodal.register_decoder("fsig", decode_float)
+    try:
+        rows = [(1, "fsig", bytearray(arr.tobytes()), ("s", 1, None))]
+        got = multimodal.extract_features(
+            _assets_df(spark, rows), fake=False
+        ).collect()
+    finally:
+        multimodal._DECODERS.pop("fsig", None)
+    assert len(got) == 1
+    r = got[0]
+    assert r.byte_len == 400
+    assert abs(r.mean_byte - float(arr.mean())) < 1e-12
+    assert r.max_byte == int(arr.max())
+    # observed-range histogram: linspace is uniform → 8 equal bins
+    assert len(r.feature) == 8
+    assert abs(sum(r.feature) - 1.0) < 1e-12
+    assert all(abs(f - 0.125) < 0.01 for f in r.feature)
+
+
+def test_extract_features_constant_float_buffer(spark):
+    """Degenerate constant float buffer: observed range has zero width —
+    the epsilon widening must keep histogram() finite (all mass in the
+    first bin), not divide by zero."""
+
+    def decode_const(payload: bytes) -> np.ndarray:
+        return np.full(16, 0.5, dtype=np.float32)
+
+    multimodal.register_decoder("fconst", decode_const)
+    try:
+        rows = [(1, "fconst", bytearray(b"\x01"), ("s", 1, None))]
+        got = multimodal.extract_features(
+            _assets_df(spark, rows), fake=False
+        ).collect()
+    finally:
+        multimodal._DECODERS.pop("fconst", None)
+    assert got[0].feature[0] == 1.0 and sum(got[0].feature) == 1.0
+
+
+def test_extract_features_nonnumeric_decoder_raises(spark):
+    """A decoder returning a non-numeric dtype must raise the documented
+    ValueError naming the dtype, not a confusing downstream error."""
+
+    def decode_str(payload: bytes) -> np.ndarray:
+        return np.array(["a", "b"])
+
+    multimodal.register_decoder("sstr", decode_str)
+    try:
+        rows = [(1, "sstr", bytearray(b"\x01"), ("s", 1, None))]
+        with pytest.raises(Exception, match="unsupported\\s+dtype"):
+            multimodal.extract_features(
+                _assets_df(spark, rows), fake=False
+            ).collect()
+    finally:
+        multimodal._DECODERS.pop("sstr", None)

@@ -191,3 +191,45 @@ def test_neardup_fixture_guards_plant_floor(spark):
     bad = spark.createDataFrame([(500_000, "t")], "doc_id long, text string")
     with pytest.raises(AssertionError, match="exact-plant offset"):
         _assert_fixture_ids_below_plant_floor(spark, "_floor_bad", bad)
+
+
+def test_scale_fixture_key_collision_guard(tmp_path):
+    """ADVICE r11: per-copy key offsets must be validated against KOFF —
+    a source whose keys reach the offset would silently collide copy k's
+    high keys with copy k+1's low keys, corrupting preserved fan-out."""
+    import importlib.util
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "make_scale_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "make_scale_fixture.py"),
+    )
+    msf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(msf)
+
+    # sane keys: remap succeeds and preserves per-copy disjointness
+    ok = tmp_path / "ok.parquet"
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+                  "o_custkey": pa.array([7, 8, 9], type=pa.int64())}),
+        ok,
+    )
+    out = tmp_path / "out.parquet"
+    n = msf.scale_table(str(ok), str(out), "orders", 3)
+    assert n == 9
+    got = pq.read_table(out).column("o_orderkey").to_pylist()
+    assert len(set(got)) == 9  # offsets kept all copies disjoint
+
+    # colliding keys: max >= KOFF must fail loudly, not wrap/collide
+    bad = tmp_path / "bad.parquet"
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1, msf.KOFF + 5], type=pa.int64()),
+                  "o_custkey": pa.array([7, 8], type=pa.int64())}),
+        bad,
+    )
+    with _pytest.raises(SystemExit, match="KOFF"):
+        msf.scale_table(str(bad), str(tmp_path / "x.parquet"), "orders", 2)

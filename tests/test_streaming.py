@@ -597,3 +597,47 @@ def test_flush_pending_replay_after_partial_archival(tmp_path):
     # manifest rewritten idempotently (one per batch, not per attempt)
     manifests = os.listdir(archive / "_manifests")
     assert manifests == ["batch_campaigns_csv_0.json"]
+
+
+def test_path_is_directory_hadoop_fs_via_file_uri(spark, tmp_path):
+    """VERDICT r11 #3: layout detection must work on Hadoop-visible URIs,
+    not just local paths — the file:// scheme forces the Hadoop
+    FileSystem branch (os.path.isdir is always False on URIs)."""
+    from datapipeline_gcp_spark.streaming.harness import path_is_directory
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"x")
+    # Hadoop branch (URI scheme present)
+    assert path_is_directory(spark, f"file://{d}") is True
+    assert path_is_directory(spark, f"file://{f}") is False
+    assert path_is_directory(spark, f"file://{tmp_path}/absent") is False
+    # local fast path (scheme-less)
+    assert path_is_directory(spark, str(d)) is True
+    assert path_is_directory(spark, str(f)) is False
+
+
+def test_events_stream_directory_layout_on_file_uri(spark, tmp_path):
+    """The regression the detection exists to prevent: a directory-layout
+    events.parquet reached via URI previously took the single-file
+    pathGlobFilter branch and streamed ZERO files. Build a two-part-file
+    directory layout, address it via file://, and assert the stream sees
+    every row."""
+    from datapipeline_gcp_spark.streaming.harness import (
+        events_stream,
+        run_to_memory_sink,
+    )
+
+    src = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    n = src.count()
+    out = tmp_path / "sf" / "events.parquet"
+    src.repartition(2).write.parquet(str(out))
+    assert len([p for p in os.listdir(out) if p.endswith(".parquet")]) >= 2
+
+    stream = events_stream(spark, f"file://{tmp_path}/sf")
+    run_to_memory_sink(
+        spark, stream, "dirlayout_uri_gate", str(tmp_path / "ckpt")
+    )
+    got = spark.table("dirlayout_uri_gate").count()
+    assert got == n and n > 0

@@ -58,6 +58,20 @@ SINGLE_COPY = ("nation", "region")
 def scale_table(src_path: str, out_path: str, table: str, factor: int) -> int:
     tbl = pq.read_table(src_path)
     keys = KEY_COLS.get(table, ())
+    # ADVICE r11: with a larger --src (sf100 l_orderkey reaches ~600M)
+    # a fixed offset silently collides copy k's high keys with copy
+    # k+1's low keys, corrupting the preserved-fan-out property this
+    # tool exists to guarantee. Validate every remapped column against
+    # KOFF before writing, and use checked addition so int overflow at
+    # high factors fails loudly instead of wrapping.
+    for col in keys:
+        mx = pc.max(tbl.column(col)).as_py()
+        if mx is not None and mx >= KOFF:
+            raise SystemExit(
+                f"{table}.{col}: max key {mx} >= KOFF {KOFF}; per-copy "
+                "offsets would collide across copies — raise KOFF above "
+                "the max source key"
+            )
     writer = pq.ParquetWriter(out_path, tbl.schema)
     total = 0
     try:
@@ -65,7 +79,10 @@ def scale_table(src_path: str, out_path: str, table: str, factor: int) -> int:
             copy = tbl
             for col in keys:
                 i = copy.schema.get_field_index(col)
-                shifted = pc.add(copy.column(i), pa.scalar(k * KOFF, type=copy.column(i).type))
+                shifted = pc.add_checked(
+                    copy.column(i),
+                    pa.scalar(k * KOFF, type=copy.column(i).type),
+                )
                 copy = copy.set_column(i, copy.schema.field(i), shifted)
             writer.write_table(copy)
             total += copy.num_rows
