@@ -22,11 +22,12 @@ order- and partitioning-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.determinism import (
     davg,
+    dec,
     dsum,
     dsum_diff,
     sql_davg,
@@ -34,6 +35,7 @@ from datapipeline_gcp_spark.determinism import (
     sql_dsum_diff,
 )
 from datapipeline_gcp_spark.operators.master import MASTER_ORACLE, master_from_testdata
+from datapipeline_gcp_spark.schemas import load_testdata
 
 def _country_date() -> list:
     # Built lazily — Column construction needs an active SparkContext.
@@ -149,6 +151,177 @@ def _retention_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Order-grain fast path (VERDICT r11 #1 — the bench floor).
+#
+# b_sales_kpi / b_performance_metrics / b_customer_retention aggregate
+# ONLY order-level attributes (income, campaign_cost, country, customer,
+# date); the lineitem leg of the master join contributes nothing but row
+# MULTIPLICITY. So instead of fanning 600k master rows into the hash
+# aggregate (and a 3-key distinct rewrite over them), pre-count lineitems
+# per order key (map-side partial over one int column) and aggregate at
+# order grain with multiplicity-weighted measures — ~4x fewer rows into
+# every aggregate and no lineitem-grain decimal arithmetic. At 100 TB the
+# same rewrite turns the dominant shuffle (master fan-out rows) into a
+# count-shuffle of one bigint per order.
+#
+# EXACTNESS (holds for ARBITRARY data, proven against the unchanged
+# master oracle every round incl. the degenerate sweeps):
+# - decimal aggregation is integer arithmetic on unscaled values, so
+#   SUM(dec(x)) over n identical copies == SUM(dec(x) * n): bit-equal.
+# - COUNT(x) over master == SUM(n for rows with x non-null) (x is
+#   order-level, so all n copies are null together).
+# - COUNT(DISTINCT k) is unchanged: a key value exists at order grain
+#   iff it exists in the master (n >= 1 by the inner count-join).
+# - duplicate orderkeys (dupkeys variant) fan out identically on both
+#   paths; NULL join keys drop identically (inner equi-joins); orders
+#   with zero lineitems drop identically (inner join with the count).
+# ---------------------------------------------------------------------------
+
+
+def _order_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master-equivalent order-grain relation: one row per
+    orders-row x customer match having >=1 lineitem, with ``_n`` = the
+    lineitem multiplicity of that row's order key. Same column names as
+    the master for the order-level attributes."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem"))
+    li_n = t["lineitem"].groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        t["orders"]
+        .join(li_n, t["orders"].o_orderkey == li_n.l_orderkey, "inner")
+        .join(
+            t["customer"],
+            t["orders"].o_custkey == t["customer"].c_custkey,
+            "inner",
+        )
+        .select(
+            F.col("o_orderkey").alias("transaction_id"),
+            F.col("o_totalprice").alias("income"),
+            F.col("c_acctbal").alias("campaign_cost"),
+            F.col("c_mktsegment").alias("transaction_country"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("transaction_datetime"),
+            F.col("_n"),
+        )
+    )
+
+
+#: _n as DECIMAL(10,0): decimal x decimal keeps the product exact within
+#: precision 38 (18+10+1 = 29 at scale 4); a raw bigint operand would
+#: push Spark past precision 38 and trigger rounding.
+def _nd() -> Column:
+    return F.col("_n").cast("decimal(10,0)")
+
+
+def _wsum(c: str) -> Column:
+    """Weighted twin of determinism.dsum: SUM(dec(c) * _n) as double."""
+    return F.sum(dec(c) * _nd()).cast("double")
+
+
+def _wcount(c: str) -> Column:
+    """Weighted twin of COUNT(c): total multiplicity of non-null c."""
+    return F.sum(F.when(F.col(c).isNotNull(), F.col("_n")).otherwise(0))
+
+
+def _wsum_diff(left: str, right: str) -> Column:
+    """Weighted twin of determinism.dsum_diff."""
+    return F.sum((dec(left) - dec(right)) * _nd()).cast("double")
+
+
+def _b_sales_kpi_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _order_grain(spark, sf_dir)
+    return g.groupBy(*_country_date()).agg(
+        F.countDistinct("transaction_id").alias("transaction_count"),
+        _wsum("income").alias("total_income"),
+        (_wsum("income") / _wcount("income")).alias("average_income"),
+        _wsum_diff("income", "campaign_cost").alias("total_profit"),
+    )
+
+
+def _b_performance_metrics_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _order_grain(spark, sf_dir)
+    return g.groupBy(*_country_date()).agg(
+        F.countDistinct("transaction_id").alias("transaction_count"),
+        _wsum("income").alias("total_income"),
+        _wsum("campaign_cost").alias("total_campaign_cost"),
+        (_wsum("income") / _wcount("income")).alias("average_income"),
+        (_wsum("campaign_cost") / _wcount("campaign_cost")).alias(
+            "average_campaign_cost"
+        ),
+        _wsum_diff("income", "campaign_cost").alias("total_profit"),
+        (_wsum("income") / F.countDistinct("transaction_id")).alias(
+            "average_transaction_value"
+        ),
+    )
+
+
+def _order_grain_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-free variant for queries whose aggregates are ALL
+    COUNT(DISTINCT ...): distinct counting is invariant under fan-out,
+    so the lineitem leg degrades to an existence check — a left-semi
+    join, which needs neither the fan-out rows nor the count
+    aggregation."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+            "left_semi",
+        )
+        .join(
+            t["customer"],
+            t["orders"].o_custkey == t["customer"].c_custkey,
+            "inner",
+        )
+        .select(
+            F.col("o_orderkey").alias("transaction_id"),
+            F.col("o_totalprice").alias("income"),
+            F.col("c_mktsegment").alias("transaction_country"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("transaction_datetime"),
+        )
+    )
+
+
+def _b_customer_retention_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fixture income remap keys on transaction_id — order-level, so
+    # it commutes with the grain change; the retention aggregates are
+    # all COUNT(DISTINCT ...), which need no multiplicity at all.
+    g = _order_grain_semi(spark, sf_dir).withColumn(
+        "income",
+        F.when(F.col("transaction_id") % 7 == 0, F.lit(0.0)).otherwise(
+            F.col("income")
+        ),
+    )
+    # Three conditional COUNT(DISTINCT)s force Catalyst's Expand-x3
+    # distinct rewrite; a two-phase plan avoids it: collapse to one row
+    # per (group, customer) carrying ANY-row flags, then plain counts.
+    # Exactness: COUNT(DISTINCT CASE WHEN p THEN k END) counts distinct
+    # non-NULL k having at least one p-true row in the group — exactly
+    # count(when(max(p), k)) over the collapsed rows. max(bool) is
+    # NULL-skipping like the CASE (all-NULL predicate -> NULL -> not
+    # counted); NULL k stays a group key here but count(k) skips it.
+    country, date = _country_date()
+    per_customer = g.groupBy(
+        country, date, F.col("customer_id")
+    ).agg(
+        F.max(F.col("income") > 0).alias("_paying"),
+        F.max(F.col("income") == 0).alias("_non_paying"),
+    )
+    return per_customer.groupBy("country", "date").agg(
+        F.count("customer_id").alias("unique_customers"),
+        F.count(F.when(F.col("_paying"), F.col("customer_id"))).alias(
+            "paying_customers"
+        ),
+        F.count(
+            F.when(F.col("_non_paying"), F.col("customer_id"))
+        ).alias("non_paying_customers"),
+    )
+
+
 _RETENTION_MASTER_SQL = f"""
 SELECT * REPLACE (
   CASE WHEN transaction_id % 7 = 0 THEN 0.0 ELSE income END AS income
@@ -164,9 +337,14 @@ def _q(builder, master_fn):
 
 
 QUERIES = {
-    "b_sales_kpi": _q(b_sales_kpi, master_from_testdata),
-    "b_performance_metrics": _q(b_performance_metrics, master_from_testdata),
-    "b_customer_retention": _q(b_customer_retention, _retention_master),
+    # A1-A3 run the order-grain fast path (identical results, proven
+    # against the unchanged master oracle); the reference-shaped
+    # BUILDERS above stay the pipeline's master-layer implementation.
+    "b_sales_kpi": _b_sales_kpi_fast,
+    "b_performance_metrics": _b_performance_metrics_fast,
+    "b_customer_retention": _b_customer_retention_fast,
+    # A4/A5 group on lineitem-grain attributes (product_id, quantity) —
+    # the fan-out join is semantically load-bearing there.
     "b_profitability_kpi": _q(b_profitability_kpi, master_from_testdata),
     "b_product_performance": _q(b_product_performance, master_from_testdata),
 }
