@@ -112,6 +112,12 @@ _RECHECK: dict[str, int] = {
     # r11 medium); the registered query takes the fake path, but the
     # module's worker changed.
     "multimodal_feature_extract": 12,
+    # r12: order-grain fast-path rewrite (VERDICT r11 #1) — new plans
+    # for the three order-level business KPIs (multiplicity-weighted
+    # decimal sums / semi-join + two-phase distinct).
+    "b_sales_kpi": 12,
+    "b_performance_metrics": 12,
+    "b_customer_retention": 12,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
