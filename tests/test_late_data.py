@@ -230,3 +230,398 @@ def test_late_data_contract_holds_on_random_batches(
         for ws, evs in _simulate(batches).items()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SESSION WINDOWS (VERDICT r11 #6): the same two-lag watermark contract,
+# with session-specific late semantics established by probing Spark
+# 4.1.2 (fixtures below are the probe scenarios):
+#
+# - the late filter uses the row's PRE-MERGE session end: a row is
+#   dropped iff ts + gap <= wm_late (shifted, like tumbling's
+#   window-end predicate — NOT the raw ts the join operator uses);
+# - state sessions merge on strict half-open interval overlap of
+#   [ts, ts+gap) (a row at exactly session_end starts a new session);
+# - eviction at end of batch emits sessions with end <= wm_in_force;
+# - a late row that passes the filter but lands in the time range of an
+#   ALREADY-EMITTED session cannot re-open it (the state is gone): it
+#   forms a NEW session, so append-mode output may contain OVERLAPPING
+#   session rows for one key. Downstream consumers must key sessions by
+#   (user, start, end), not by time-range containment.
+# ---------------------------------------------------------------------------
+
+from datapipeline_gcp_spark.streaming.windows import session_agg  # noqa: E402
+
+GAP = dt.timedelta(minutes=10)
+
+
+def _simulate_session(batches, gap=GAP, delay=DELAY):
+    """Independent fold of the empirical session-window contract.
+    ``batches``: list of list of (eid, ts, value, user). Returns
+    {(user, start, end): [(eid, value), ...]} for EMITTED sessions."""
+    floor_min = dt.datetime.min
+    wm_in_force = floor_min
+    wm_late = floor_min
+    state: dict[int, list] = {}  # user -> [[start, end, rows], ...]
+    emitted: dict[tuple, list] = {}
+    max_ts = None
+    for batch in batches + [[]]:
+        for eid, ts, val, user in batch:
+            if ts + gap <= wm_late:
+                continue  # pre-merge session end below the lagged wm
+            sessions = state.setdefault(user, [])
+            merged = [ts, ts + gap, [(eid, val)]]
+            keep = []
+            for s in sessions:
+                # strict half-open overlap: touching endpoints don't merge
+                if merged[0] < s[1] and merged[1] > s[0]:
+                    merged[0] = min(merged[0], s[0])
+                    merged[1] = max(merged[1], s[1])
+                    merged[2].extend(s[2])
+                else:
+                    keep.append(s)
+            keep.append(merged)
+            state[user] = keep
+        for user, sessions in state.items():
+            still = []
+            for s in sessions:
+                if s[1] <= wm_in_force:
+                    emitted[(user, s[0], s[1])] = s[2]
+                else:
+                    still.append(s)
+            state[user] = still
+        for _, ts, _, _ in batch:
+            max_ts = ts if max_ts is None else max(max_ts, ts)
+        wm_late = wm_in_force
+        if max_ts is not None:
+            wm_in_force = max(wm_in_force, max_ts - delay)
+    return emitted
+
+
+def _run_session_stream(spark, root, batches, watermark="30 minutes"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = root / "ev"
+    os.makedirs(src)
+    now = time.time()
+    for i, batch in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e for e, _, _, _ in batch], pa.int64()),
+                "ts": pa.array(
+                    [ts for _, ts, _, _ in batch], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([u for _, _, _, u in batch], pa.int64()),
+                "event_type": pa.array(["click"] * len(batch), pa.string()),
+                "value": pa.array([v for _, _, v, _ in batch], pa.float64()),
+            }
+        )
+        part = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, part)
+        os.utime(part, (now + i, now + i))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", watermark)
+    )
+    name = f"late_sess_{os.path.basename(root)}"
+    run_to_memory_sink(
+        spark, session_agg(stream, "10 minutes"), name, str(root / "ckpt")
+    )
+    return {
+        (
+            r.user_id,
+            r.session_start.replace(tzinfo=None),
+            r.session_end.replace(tzinfo=None),
+        ): (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+
+
+#: probe scenarios, re-asserted pinned: (batches, expected emissions)
+_SESSION_FIXTURE = [
+    # late row merges an open session but NOT a non-overlapping later one
+    [(1, _D(2024, 1, 1, 10, 0), 1.0, 1), (2, _D(2024, 1, 1, 10, 5), 2.0, 1)],
+    [(3, _D(2024, 1, 1, 10, 20), 4.0, 1)],
+    [(4, _D(2024, 1, 1, 10, 7), 8.0, 1)],
+    [(5, _D(2024, 1, 1, 12, 0), 16.0, 1)],
+]
+
+_SESSION_REOPEN_FIXTURE = [
+    # a late row overlapping an EMITTED session forms a NEW overlapping
+    # session (state is gone; append-mode cannot retract)
+    [(1, _D(2024, 1, 1, 10, 0), 1.0, 1)],
+    [(2, _D(2024, 1, 1, 10, 40), 2.0, 1)],
+    [(3, _D(2024, 1, 1, 10, 41), 4.0, 1)],  # evicts+emits [10:00,10:10)
+    [(4, _D(2024, 1, 1, 10, 5), 8.0, 1)],  # 10:15 > wm_late 10:10: admitted
+    [(5, _D(2024, 1, 1, 12, 0), 16.0, 1)],
+]
+
+
+def test_session_late_merge_matches_contract(spark, tmp_path):
+    got = _run_session_stream(spark, tmp_path, _SESSION_FIXTURE)
+    want = {
+        k: (len(evs), float(sum(v for _, v in evs)))
+        for k, evs in _simulate_session(_SESSION_FIXTURE).items()
+    }
+    assert got == want
+    assert want == {
+        (1, _D(2024, 1, 1, 10, 0), _D(2024, 1, 1, 10, 17)): (3, 11.0),
+        (1, _D(2024, 1, 1, 10, 20), _D(2024, 1, 1, 10, 30)): (1, 4.0),
+    }
+
+
+def test_session_late_row_cannot_reopen_emitted_session(spark, tmp_path):
+    got = _run_session_stream(spark, tmp_path, _SESSION_REOPEN_FIXTURE)
+    want = {
+        k: (len(evs), float(sum(v for _, v in evs)))
+        for k, evs in _simulate_session(_SESSION_REOPEN_FIXTURE).items()
+    }
+    assert got == want
+    # the pinned hazard: TWO overlapping emitted sessions for user 1
+    assert (1, _D(2024, 1, 1, 10, 0), _D(2024, 1, 1, 10, 10)) in want
+    assert (1, _D(2024, 1, 1, 10, 5), _D(2024, 1, 1, 10, 15)) in want
+
+
+@given(minute_batches=_BATCHES_STRATEGY)
+@settings(max_examples=3, deadline=None)
+def test_session_late_contract_holds_on_random_batches(
+    spark, tmp_path_factory, minute_batches
+):
+    base = _D(2024, 3, 1, 8, 0, 17)
+    eid = 0
+    batches = []
+    for mb in minute_batches:
+        batch = []
+        for m in mb:
+            eid += 1
+            batch.append(
+                (eid, base + dt.timedelta(minutes=m), float(eid), 1 + eid % 2)
+            )
+        batches.append(batch)
+    got = _run_session_stream(
+        spark, tmp_path_factory.mktemp("sessp"), batches,
+        # 30m11s: wm carries :06 seconds vs the rows' :17, so eviction
+        # and late-filter comparisons can never TIE — the boundary
+        # convention (<= vs <) is deliberately out of contract scope
+        watermark="1811 seconds",
+    )
+    want = {
+        k: (len(evs), float(sum(v for _, v in evs)))
+        for k, evs in _simulate_session(
+            batches, delay=dt.timedelta(seconds=1811)
+        ).items()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STREAM INTERVAL JOIN (VERDICT r11 #6): late-data contract of
+# the attribution join (clicks in [p_ts - 1h, p_ts]), established by
+# probing Spark 4.1.2:
+#
+# - the global watermark is the MIN over both sides of
+#   (max side event time - delay) — a side that has seen no rows holds
+#   the global watermark at the floor (state grows unboundedly until
+#   BOTH sides advance: monitor per-side watermarks in production);
+# - the in-force/late lag structure is identical to the agg operators:
+#   eviction during batch N uses events through N-1; the late-INPUT
+#   filter lags one batch further;
+# - the late-input filter uses the RAW row timestamp per side
+#   (ts < wm_late drops), NOT the interval-shifted eviction predicate —
+#   a click whose join window still overlaps live purchases is dropped
+#   anyway once its own ts falls below the lagged watermark;
+# - state EVICTION is interval-shifted: purchases evict at
+#   p_ts < wm_in_force; clicks survive while c_ts + interval >=
+#   wm_in_force (so a timely purchase can still match a click whose raw
+#   ts the watermark has passed — probe S8);
+# - within a batch the JOIN runs before eviction (join-then-evict), so
+#   a row arriving in the very batch whose watermark evicts its partner
+#   still emits the pair; new rows also match other new rows of the
+#   same batch.
+# ---------------------------------------------------------------------------
+
+from datapipeline_gcp_spark.streaming.joins import (  # noqa: E402
+    streaming_interval_join,
+)
+
+_JOIN_INTERVAL = dt.timedelta(hours=1)
+
+
+def _simulate_interval_join(batches, interval=_JOIN_INTERVAL, delay=DELAY):
+    """Independent fold of the empirical join contract. ``batches``:
+    list of list of (eid, ts, kind, user) with kind in
+    {'purchase', 'click'}. Returns the set of emitted (p_eid, c_eid)."""
+    floor_min = dt.datetime.min
+    wm_in_force = floor_min
+    wm_late = floor_min
+    left: list = []  # purchases [(eid, ts, user)]
+    right: list = []  # clicks
+    pairs: set = set()
+    max_l = None
+    max_r = None
+
+    def match(p, c):
+        return p[2] == c[2] and p[1] - interval <= c[1] <= p[1]
+
+    for batch in batches + [[]]:
+        new_l = [
+            (e, ts, u)
+            for e, ts, k, u in batch
+            if k == "purchase" and not ts < wm_late
+        ]
+        new_r = [
+            (e, ts, u)
+            for e, ts, k, u in batch
+            if k == "click" and not ts < wm_late
+        ]
+        for p in new_l:
+            for c in right + new_r:
+                if match(p, c):
+                    pairs.add((p[0], c[0]))
+        for c in new_r:
+            for p in left:
+                if match(p, c):
+                    pairs.add((p[0], c[0]))
+        left.extend(new_l)
+        right.extend(new_r)
+        left = [p for p in left if not p[1] < wm_in_force]
+        right = [c for c in right if not c[1] + interval < wm_in_force]
+        for e, ts, k, u in batch:
+            if k == "purchase":
+                max_l = ts if max_l is None else max(max_l, ts)
+            else:
+                max_r = ts if max_r is None else max(max_r, ts)
+        wm_late = wm_in_force
+        if max_l is not None and max_r is not None:
+            wm_in_force = max(wm_in_force, min(max_l, max_r) - delay)
+    return pairs
+
+
+def _run_join_stream(spark, root, batches, watermark="30 minutes"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    src = root / "ev"
+    os.makedirs(src)
+    now = time.time()
+    for i, batch in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e for e, _, _, _ in batch], pa.int64()),
+                "ts": pa.array(
+                    [ts for _, ts, _, _ in batch], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([u for _, _, _, u in batch], pa.int64()),
+                "event_type": pa.array(
+                    [k for _, _, k, _ in batch], pa.string()
+                ),
+                "value": pa.array([1.0] * len(batch), pa.float64()),
+            }
+        )
+        part = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, part)
+        os.utime(part, (now + i, now + i))
+
+    def side(kind):
+        return (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .filter(F.col("event_type") == kind)
+        )
+
+    out = streaming_interval_join(
+        side("purchase"), side("click"), "1 HOUR", watermark
+    )
+    name = f"late_join_{os.path.basename(root)}"
+    run_to_memory_sink(spark, out, name, str(root / "ckpt"))
+    return {
+        (r.purchase_id, r.click_id) for r in spark.table(name).collect()
+    }
+
+
+_P, _C = "purchase", "click"
+
+#: probe S1/S2 composed: C2 in the eviction batch still pairs
+#: (join-then-evict + filter lag); C3 one batch later is lost.
+_JOIN_FIXTURE = [
+    [(1, _D(2024, 1, 1, 10, 0), _P, 1), (50, _D(2024, 1, 1, 10, 0), _C, 3)],
+    [(9, _D(2024, 1, 1, 12, 0), _P, 2), (51, _D(2024, 1, 1, 12, 0), _C, 3)],
+    [(2, _D(2024, 1, 1, 9, 50), _C, 1)],  # same batch as P1's eviction
+    [(8, _D(2024, 1, 1, 12, 5), _P, 2), (52, _D(2024, 1, 1, 12, 5), _C, 3)],
+    [(3, _D(2024, 1, 1, 9, 55), _C, 1)],  # one batch later: dropped
+    [(7, _D(2024, 1, 1, 13, 0), _P, 2), (53, _D(2024, 1, 1, 13, 0), _C, 3)],
+]
+
+#: probe S8: the click outlives its raw ts (shifted eviction) and pairs
+#: with a timely purchase after the watermark passed c_ts.
+_JOIN_SHIFTED_FIXTURE = [
+    [(2, _D(2024, 1, 1, 10, 0), _C, 1), (60, _D(2024, 1, 1, 10, 0), _P, 3)],
+    [(9, _D(2024, 1, 1, 11, 10), _P, 2), (51, _D(2024, 1, 1, 11, 10), _C, 3)],
+    [(8, _D(2024, 1, 1, 11, 12), _P, 2), (52, _D(2024, 1, 1, 11, 12), _C, 3)],
+    [(1, _D(2024, 1, 1, 10, 50), _P, 1)],  # wm passed c_ts=10:00; pair lives
+    [(7, _D(2024, 1, 1, 13, 0), _P, 2), (53, _D(2024, 1, 1, 13, 0), _C, 3)],
+]
+
+
+def test_interval_join_late_click_contract(spark, tmp_path):
+    got = _run_join_stream(spark, tmp_path, _JOIN_FIXTURE)
+    want = _simulate_interval_join(_JOIN_FIXTURE)
+    assert got == want
+    assert (1, 2) in want  # same-batch-as-eviction click still pairs
+    assert not any(c == 3 for _, c in want)  # one batch later: lost
+
+
+def test_interval_join_shifted_click_eviction(spark, tmp_path):
+    got = _run_join_stream(spark, tmp_path, _JOIN_SHIFTED_FIXTURE)
+    want = _simulate_interval_join(_JOIN_SHIFTED_FIXTURE)
+    assert got == want
+    assert (1, 2) in want  # click alive while c_ts + interval >= wm
+
+
+_JOIN_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=240),  # minutes
+        st.booleans(),  # purchase?
+        st.integers(min_value=1, max_value=2),  # user
+    ),
+    min_size=1,
+    max_size=4,
+)
+_JOIN_BATCHES = st.lists(_JOIN_ROWS, min_size=2, max_size=5)
+
+
+@given(shape=_JOIN_BATCHES)
+@settings(max_examples=3, deadline=None)
+def test_interval_join_late_contract_holds_on_random_batches(
+    spark, tmp_path_factory, shape
+):
+    base = _D(2024, 3, 1, 8, 0, 17)
+    eid = 0
+    batches = []
+    for rows in shape:
+        batch = []
+        for m, is_p, u in rows:
+            eid += 1
+            batch.append(
+                (
+                    eid,
+                    base + dt.timedelta(minutes=m),
+                    _P if is_p else _C,
+                    u,
+                )
+            )
+        batches.append(batch)
+    got = _run_join_stream(
+        spark, tmp_path_factory.mktemp("joinp"), batches,
+        watermark="1811 seconds",  # :06 vs :17 — no boundary ties
+    )
+    want = _simulate_interval_join(
+        batches, delay=dt.timedelta(seconds=1811)
+    )
+    assert got == want
