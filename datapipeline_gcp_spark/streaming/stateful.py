@@ -131,7 +131,12 @@ def streaming_sessionize_stateful(
         first_pending_end = None
         for lo, hi in sessions:
             end_ms = ts_ms[hi - 1] + gap_ms
-            if end_ms < wm:  # final: watermark passed the session end
+            # INCLUSIVE closure (end <= wm), matching the built-in
+            # session_window's append-mode convention exactly: the r12
+            # unikeys x late-data probe caught the strict form
+            # withholding a session whose end TIES the terminal
+            # watermark while the built-in emits it.
+            if end_ms <= wm:  # final: watermark reached the session end
                 rows.append(
                     (
                         key[0],
@@ -157,9 +162,13 @@ def streaming_sessionize_stateful(
             # wake this key as soon as the EARLIEST pending session could
             # become final, even if no further rows ever arrive — waking
             # on the latest would starve earlier closed-but-unemitted
-            # sessions. (Timeouts must sit strictly beyond the current
-            # watermark.)
-            state.setTimeoutTimestamp(max(first_pending_end, wm + 1))
+            # sessions. The timeout fires once the watermark EXCEEDS the
+            # set timestamp, so end-1ms wakes the key exactly when
+            # wm >= end (the inclusive-closure tie included). Timeouts
+            # must sit strictly beyond the current watermark; when the
+            # floor binds (end == wm + 1ms), the wake is one ms late —
+            # harmless at second-granularity event time.
+            state.setTimeoutTimestamp(max(first_pending_end - 1, wm + 1))
         else:
             state.remove()
         if rows:
@@ -289,9 +298,10 @@ def events_stream_stateful_session_gate(spark, sf_dir: str) -> DataFrame:
        ``epoch_us // 1000`` identically — events carry µs precision, so
        an oracle on raw timestamps would split sessions differently);
     2. append-mode closure: a session emits iff the terminal watermark
-       ``(max_ts_ms − delay)`` strictly passed its end (the operator's
-       ``end_ms < wm``), including QUIET keys woken by event-time
-       timeout — the path a naive implementation starves;
+       ``(max_ts_ms − delay)`` reached its end (the operator's
+       ``end_ms <= wm`` — INCLUSIVE, the built-in session_window
+       convention; r12 probe), including QUIET keys woken by
+       event-time timeout — the path a naive implementation starves;
     3. exact aggregates: ``total_value`` is a sequential left-fold over
        (ts_ms, value)-sorted floats in BOTH engines (Python ``sum`` ≡
        DuckDB ``list_reduce`` over an ordered ``list()`` — same IEEE
@@ -365,7 +375,7 @@ SELECT user_id,
        n_events,
        total_value
 FROM sess, wm
-WHERE end_ms < wm_ms
+WHERE end_ms <= wm_ms
 """
 
 

@@ -625,3 +625,133 @@ def test_interval_join_late_contract_holds_on_random_batches(
         batches, delay=dt.timedelta(seconds=1811)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# COMPOSED unikeys x late-data (VERDICT r11 #8): every key distinct (one
+# state row per key — the opposite pole from the capped-hotkey case) with
+# out-of-order arrival beyond the watermark. This probe caught a real
+# divergence: the custom applyInPandasWithState sessionizer used STRICT
+# closure (end < wm) while the built-in session_window emits INCLUSIVE
+# (end <= wm) — a session whose end ties the terminal watermark was
+# withheld by one and emitted by the other. Fixed in stateful.py (r12);
+# this test pins the built-in against the simulator AND the custom
+# operator against the built-in on the composed shape.
+# ---------------------------------------------------------------------------
+
+
+def _unikeys_batches():
+    eid = 0
+
+    def rows(users, t0):
+        nonlocal eid
+        out = []
+        for i, u in enumerate(users):
+            eid += 1
+            out.append((eid, t0 + dt.timedelta(minutes=i), float(u), u))
+        return out
+
+    return [
+        rows(range(1, 41), _D(2024, 1, 1, 10, 0)),
+        # user 70's session ends 12:39 — exactly the terminal watermark
+        # (13:09 - 30m): the inclusive-closure tie the probe caught
+        rows(range(41, 81), _D(2024, 1, 1, 12, 0)),
+        (
+            rows(range(81, 101), _D(2024, 1, 1, 11, 50))
+            # ts+gap in (10:10..10:19] > wm_late 10:09: admitted late
+            + rows(range(101, 106), _D(2024, 1, 1, 10, 10))
+            # ts+gap in (9:40..9:49] <= 10:09: dropped
+            + rows(range(106, 111), _D(2024, 1, 1, 9, 30))
+        ),
+        rows(range(111, 121), _D(2024, 1, 1, 13, 0)),
+    ]
+
+
+def test_unikeys_late_data_builtin_matches_simulator(spark, tmp_path):
+    batches = _unikeys_batches()
+    got = _run_session_stream(spark, tmp_path, batches)
+    want = {
+        k: (len(evs), float(sum(v for _, v in evs)))
+        for k, evs in _simulate_session(batches).items()
+    }
+    assert got == want
+    users = {u for u, _, _ in want}
+    assert all(n == 1 for n, _ in want.values())  # unikeys: no merges
+    assert set(range(101, 106)) <= users  # late-but-admitted rows landed
+    assert not (set(range(106, 111)) & users)  # beyond-late rows dropped
+    # the boundary tie: user 70's session end == terminal watermark
+    assert (70, _D(2024, 1, 1, 12, 29), _D(2024, 1, 1, 12, 39)) in want
+
+
+def test_unikeys_late_data_custom_sessionizer_matches_builtin(
+    spark, tmp_path
+):
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datapipeline_gcp_spark.streaming.stateful import (
+        streaming_sessionize_stateful,
+    )
+
+    batches = _unikeys_batches()
+    got_builtin = _run_session_stream(spark, tmp_path / "bi", batches)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "cu" / "ev"
+    os.makedirs(src)
+    now = time.time()
+    for i, batch in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e for e, _, _, _ in batch], pa.int64()),
+                "ts": pa.array(
+                    [ts for _, ts, _, _ in batch], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([u for _, _, _, u in batch], pa.int64()),
+                "event_type": pa.array(["click"] * len(batch), pa.string()),
+                "value": pa.array([v for _, _, v, _ in batch], pa.float64()),
+            }
+        )
+        part = str(src / f"b{i}.parquet")
+        pq.write_table(tbl, part)
+        os.utime(part, (now + i, now + i))
+    emissions = []
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", "ts", "value")
+    )
+    q = (
+        streaming_sessionize_stateful(
+            stream, gap="10 minutes", watermark="30 minutes"
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: emissions.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "cu" / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        pd.concat([e for e in emissions if len(e)])
+        if any(len(e) for e in emissions)
+        else pd.DataFrame(
+            columns=[
+                "user_id", "session_start", "session_end", "n_events",
+                "total_value",
+            ]
+        )
+    )
+    got_custom = {
+        (
+            r.user_id,
+            r.session_start.to_pydatetime(),
+            r.session_end.to_pydatetime(),
+        ): (r.n_events, r.total_value)
+        for r in out.itertuples(index=False)
+    }
+    assert got_custom == got_builtin  # incl. the end==wm tie (user 70)
