@@ -91,15 +91,71 @@ def scale_table(src_path: str, out_path: str, table: str, factor: int) -> int:
     return total
 
 
+def scale_documents(src_path: str, out_path: str, factor: int) -> int:
+    """N× text corpus for dedup/retrieval TIMING probes (the r10 "v2"
+    construction, VERDICT r11 #5): copy k>0 prefixes every token with
+    ``k{k}x`` so cross-copy shingle similarity is ~0 (every n-gram
+    changes) while WITHIN-copy near-dup structure is preserved (both
+    sides of a near-dup pair mutate identically). Doc ids remap DENSELY
+    (copy k adds k * n_src) so the scaled corpus stays below the dedup
+    fixtures' 500k plant floor, which `_check_plant_floor` enforces
+    loudly."""
+    tbl = pq.read_table(src_path)
+    n_src = tbl.num_rows
+    id_stride = pc.max(tbl.column("doc_id")).as_py() + 1
+    if factor * id_stride >= 500_000:
+        raise SystemExit(
+            f"documents x{factor}: max remapped id {factor * id_stride} "
+            "would cross the 500k dedup plant floor"
+        )
+    writer = pq.ParquetWriter(out_path, tbl.schema)
+    total = 0
+    try:
+        for k in range(factor):
+            copy = tbl
+            i = copy.schema.get_field_index("doc_id")
+            shifted = pc.add_checked(
+                copy.column(i), pa.scalar(k * id_stride, type=copy.column(i).type)
+            )
+            copy = copy.set_column(i, copy.schema.field(i), shifted)
+            if k > 0:
+                j = copy.schema.get_field_index("text")
+                pfx = f"k{k}x"
+                mutated = pa.array(
+                    [
+                        None
+                        if t is None
+                        else " ".join(pfx + w for w in t.split())
+                        for t in copy.column(j).to_pylist()
+                    ],
+                    type=copy.column(j).type,
+                )
+                copy = copy.set_column(j, copy.schema.field(j), mutated)
+            writer.write_table(copy)
+            total += copy.num_rows
+    finally:
+        writer.close()
+    return total
+
+
 def main() -> None:
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_scale64"
     factor, src = 64, "/root/testdata/sf0.1"
+    documents = False
     for a in sys.argv[2:]:
         if a.startswith("--factor="):
             factor = int(a.split("=", 1)[1])
         elif a.startswith("--src="):
             src = a.split("=", 1)[1]
+        elif a == "--documents":
+            documents = True
     os.makedirs(out_root, exist_ok=True)
+    if documents:
+        n = scale_documents(
+            f"{src}/documents.parquet", f"{out_root}/documents.parquet", factor
+        )
+        print(f"documents: {n} rows ({factor}x, per-copy token mutation)")
+        return
     for t in SINGLE_COPY:
         pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{out_root}/{t}.parquet")
         print(f"{t}: 1 copy")
