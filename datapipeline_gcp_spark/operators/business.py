@@ -286,6 +286,78 @@ def _order_grain_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orderpart_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(orders-row x part) grain for the product-keyed KPIs (A4/A5):
+    lineitem pre-aggregated by (l_orderkey, l_partkey) into ``_n`` (row
+    multiplicity) and ``_q`` (exact decimal quantity sum), then joined
+    to orders and customer. The pre-agg shuffles 2 longs + a decimal +
+    a count instead of the 11-column partial-aggregate state the
+    master-grain plan exchanges, and collapses the lineitem grain
+    BEFORE the joins.
+
+    EXACTNESS (same argument as _order_grain): quantity is the only
+    lineitem-grain measure these KPIs touch and it pre-sums exactly in
+    decimal; all other measures are order-level and weight by ``_n``.
+    transaction_count must REMAIN a COUNT(DISTINCT o_orderkey) here —
+    two identical-keyed orders rows (dupkeys variant has 150) land in
+    the same group as two grain rows, and only distinct-counting
+    collapses them the way the master-grain plan does."""
+    t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem"))
+    li = t["lineitem"].groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("l_quantity")).alias("_q"),
+    )
+    return (
+        t["orders"]
+        .join(li, t["orders"].o_orderkey == li.l_orderkey, "inner")
+        .join(
+            t["customer"],
+            t["orders"].o_custkey == t["customer"].c_custkey,
+            "inner",
+        )
+        .select(
+            F.col("l_partkey").alias("product_id"),
+            F.col("o_orderkey").alias("transaction_id"),
+            F.col("o_totalprice").alias("income"),
+            F.col("c_acctbal").alias("campaign_cost"),
+            F.col("c_mktsegment").alias("transaction_country"),
+            F.col("o_orderdate").alias("transaction_datetime"),
+            F.col("_n"),
+            F.col("_q"),
+        )
+    )
+
+
+def _b_profitability_kpi_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _orderpart_grain(spark, sf_dir)
+    return g.groupBy(
+        "product_id", F.col("transaction_country").alias("country")
+    ).agg(
+        F.sum(F.col("_q")).cast("double").alias("total_quantity"),
+        _wsum("income").alias("total_income"),
+        (_wsum("income") / _wcount("income")).alias("average_income"),
+        _wsum_diff("income", "campaign_cost").alias("total_profit"),
+    )
+
+
+def _b_product_performance_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _orderpart_grain(spark, sf_dir)
+    return g.groupBy(
+        "product_id",
+        F.col("transaction_country").alias("country"),
+        F.to_date("transaction_datetime").alias("date"),
+    ).agg(
+        F.countDistinct("transaction_id").alias("transaction_count"),
+        F.sum(F.col("_q")).cast("double").alias("total_quantity"),
+        _wsum("income").alias("total_income"),
+        (_wsum("income") / _wcount("income")).alias("average_income"),
+        _wsum_diff("income", "campaign_cost").alias("total_profit"),
+        (_wsum("income") / F.countDistinct("transaction_id")).alias(
+            "average_transaction_value"
+        ),
+    )
+
+
 def _b_customer_retention_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture income remap keys on transaction_id — order-level, so
     # it commutes with the grain change; the retention aggregates are
@@ -343,10 +415,11 @@ QUERIES = {
     "b_sales_kpi": _b_sales_kpi_fast,
     "b_performance_metrics": _b_performance_metrics_fast,
     "b_customer_retention": _b_customer_retention_fast,
-    # A4/A5 group on lineitem-grain attributes (product_id, quantity) —
-    # the fan-out join is semantically load-bearing there.
-    "b_profitability_kpi": _q(b_profitability_kpi, master_from_testdata),
-    "b_product_performance": _q(b_product_performance, master_from_testdata),
+    # A4/A5 group on product_id, so they keep the lineitem dimension —
+    # but quantity is the only lineitem-grain measure, so the
+    # (orders-row x part) pre-aggregated grain is exact for them too.
+    "b_profitability_kpi": _b_profitability_kpi_fast,
+    "b_product_performance": _b_product_performance_fast,
 }
 
 #: Oracle SQL per business table, templated on the master relation —

@@ -114,10 +114,13 @@ _RECHECK: dict[str, int] = {
     "multimodal_feature_extract": 12,
     # r12: order-grain fast-path rewrite (VERDICT r11 #1) — new plans
     # for the three order-level business KPIs (multiplicity-weighted
-    # decimal sums / semi-join + two-phase distinct).
+    # decimal sums / semi-join + two-phase distinct), then the
+    # (orders-row x part) pre-aggregated grain for the product KPIs.
     "b_sales_kpi": 12,
     "b_performance_metrics": 12,
     "b_customer_retention": 12,
+    "b_profitability_kpi": 12,
+    "b_product_performance": 12,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
