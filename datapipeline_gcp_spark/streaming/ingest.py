@@ -524,8 +524,18 @@ def compact_table(
     rewrite keeps scan task counts sane (SURVEY.md §4 "small-file
     compaction"). For idempotent (partition-overwrite) ingest tables use
     ``compact_ingest_table`` — this rewrite drops the partitioning that
-    sink's exactly-once replay depends on."""
-    df = spark.table(table).cache()
+    sink's exactly-once replay depends on (the replay's partition
+    overwrite against an unpartitioned table truncates it), so it
+    refuses such tables loudly."""
+    df = spark.table(table)
+    if "_ingest_stream" in df.columns:
+        raise ValueError(
+            f"{table} is an idempotent ingest table (_ingest_stream "
+            "partition column); use compact_ingest_table — an "
+            "unpartitioned rewrite would turn the next replayed batch's "
+            "partition overwrite into a whole-table truncate"
+        )
+    df = df.cache()
     try:
         n = df.count()
         parts = max(1, n // target_file_rows)

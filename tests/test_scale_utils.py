@@ -233,3 +233,93 @@ def test_scale_fixture_key_collision_guard(tmp_path):
     )
     with _pytest.raises(SystemExit, match="KOFF"):
         msf.scale_table(str(bad), str(tmp_path / "x.parquet"), "orders", 2)
+
+
+def test_compact_table_refuses_idempotent_ingest_tables(spark):
+    """compact_table's unpartitioned rewrite would let a replayed
+    batch's partition overwrite truncate the whole table — it must
+    refuse and point at compact_ingest_table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS t_idem_guard")
+    (
+        spark.range(10)
+        .withColumn("_ingest_stream", F.lit("s"))
+        .withColumn("_ingest_batch", F.lit(0))
+        .write.partitionBy("_ingest_stream", "_ingest_batch")
+        .saveAsTable("t_idem_guard")
+    )
+    try:
+        with _pytest.raises(ValueError, match="compact_ingest_table"):
+            compact_table(spark, "t_idem_guard")
+        assert spark.table("t_idem_guard").count() == 10  # untouched
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idem_guard")
+
+
+def test_compact_ingest_table_multi_stream_and_refold(spark, tmp_path):
+    """Two streams' committed frontiers read independently; a second
+    compaction re-folds the reserved partition with newer batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.streaming.ingest import (
+        COMPACTED_BATCH,
+        compact_ingest_table,
+    )
+
+    def fake_ckpt(root, upto):
+        c = os.path.join(root, "commits")
+        os.makedirs(c, exist_ok=True)
+        for i in range(upto + 1):
+            with open(os.path.join(c, str(i)), "w") as fh:
+                fh.write("v1\n{}")
+        return root
+
+    ck_a = fake_ckpt(str(tmp_path / "a"), 1)  # stream a: 0,1 committed
+    ck_b = fake_ckpt(str(tmp_path / "b"), 0)  # stream b: only 0
+    spark.sql("DROP TABLE IF EXISTS t_idem_multi")
+    rows = []
+    for s, batches in (("a", [0, 1, 2]), ("b", [0, 1])):
+        for b in batches:
+            rows.append((f"{s}{b}", s, b))
+    df = spark.createDataFrame(rows, "v string, _ingest_stream string, _ingest_batch int")
+    df.write.partitionBy("_ingest_stream", "_ingest_batch").saveAsTable(
+        "t_idem_multi"
+    )
+    try:
+        compact_ingest_table(
+            spark, "t_idem_multi", {"a": ck_a, "b": ck_b}
+        )
+        out = spark.table("t_idem_multi")
+        assert out.count() == 5
+        parts = {
+            (r._ingest_stream, r._ingest_batch)
+            for r in out.select("_ingest_stream", "_ingest_batch").distinct().collect()
+        }
+        # a: 0,1 folded; 2 orphan. b: 0 folded; 1 orphan.
+        assert parts == {
+            ("a", COMPACTED_BATCH), ("a", 2),
+            ("b", COMPACTED_BATCH), ("b", 1),
+        }
+        # stream b's batch 1 commits later; re-fold merges it into the
+        # reserved partition alongside the already-folded history
+        fake_ckpt(ck_b, 1)
+        compact_ingest_table(
+            spark, "t_idem_multi", {"a": ck_a, "b": ck_b}
+        )
+        out = spark.table("t_idem_multi")
+        assert out.count() == 5
+        parts = {
+            (r._ingest_stream, r._ingest_batch)
+            for r in out.select("_ingest_stream", "_ingest_batch").distinct().collect()
+        }
+        assert parts == {
+            ("a", COMPACTED_BATCH), ("a", 2), ("b", COMPACTED_BATCH),
+        }
+        vals = {r.v for r in out.select("v").collect()}
+        assert vals == {"a0", "a1", "a2", "b0", "b1"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idem_multi")
