@@ -256,9 +256,25 @@ def _extract_features_decoded(assets: DataFrame) -> DataFrame:
                 elif _np.issubdtype(buf.dtype, _np.floating):
                     # float-returning decoders (ADVICE r11: soundfile
                     # yields float64 by default) — np.iinfo would raise;
-                    # bin over the observed range instead. Constant
-                    # buffers get a degenerate range widened by epsilon
+                    # bin over the observed FINITE range instead (a
+                    # corrupt asset's NaN/inf samples must not kill the
+                    # whole query — same convention as payload None /
+                    # empty buffer: drop to NULL stats, keep going).
+                    # Constant buffers get a degenerate range widened
                     # so histogram() doesn't divide by zero width.
+                    buf = buf[_np.isfinite(buf)]
+                    if buf.size == 0:  # all-non-finite: NULL stats
+                        rows.append(
+                            {
+                                "asset_id": int(asset_id),
+                                "kind": kind,
+                                "byte_len": 0,
+                                "mean_byte": None,
+                                "max_byte": None,
+                                "feature": None,
+                            }
+                        )
+                        continue
                     lo = float(buf.min())
                     hi = float(buf.max())
                     if not (lo < hi):

@@ -57,6 +57,7 @@ def read_csv(
     header: bool = True,
     permissive: bool = False,
     external: bool = False,
+    external_multiline: bool = True,
 ) -> DataFrame:
     """S1 — CSV landing files with a header row and declared schema.
 
@@ -74,11 +75,16 @@ def read_csv(
     default convention such files would ingest NULL string fields as
     ``""`` and could FAILFAST on empty typed fields). ``multiLine`` is
     KEPT in external mode (ADVICE r11): RFC-4180 writers quote embedded
-    newlines, and without it Spark shears such records mid-field."""
+    newlines, and without it Spark shears such records mid-field — but
+    multiLine parsing is NOT SPLITTABLE (one parse task per file), so
+    for bulk external files KNOWN to be newline-free pass
+    ``external_multiline=False`` to restore intra-file parallelism;
+    correctness-by-default, splittability as the declared opt-in."""
     reader = _reader(spark, schema, permissive)
-    reader = with_text_options(
-        reader, TEXT_READ_OPTS if not external else EXTERNAL_TEXT_READ_OPTS
-    )
+    if not external:
+        reader = with_text_options(reader, TEXT_READ_OPTS)
+    elif external_multiline:
+        reader = with_text_options(reader, EXTERNAL_TEXT_READ_OPTS)
     return (
         reader.option("header", header)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
@@ -92,14 +98,17 @@ def read_tsv(
     schema: T.StructType,
     permissive: bool = False,
     external: bool = False,
+    external_multiline: bool = True,
 ) -> DataFrame:
     """S2 — tab-separated, headerless landing files (TEXT_READ_OPTS and
     the ``external`` opt-out for foreign writers: see :func:`read_csv`;
-    external mode still keeps ``multiLine`` for quoted newlines)."""
+    external mode keeps ``multiLine`` for quoted newlines unless
+    ``external_multiline=False`` opts back into splittable parsing)."""
     reader = _reader(spark, schema, permissive)
-    reader = with_text_options(
-        reader, TEXT_READ_OPTS if not external else EXTERNAL_TEXT_READ_OPTS
-    )
+    if not external:
+        reader = with_text_options(reader, TEXT_READ_OPTS)
+    elif external_multiline:
+        reader = with_text_options(reader, EXTERNAL_TEXT_READ_OPTS)
     return (
         reader.option("sep", "\t")
         .option("header", False)

@@ -114,8 +114,18 @@ def path_is_directory(spark: SparkSession, path: str) -> bool:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
         return bool(fs.getFileStatus(hpath).isDirectory())
-    except Exception:  # java FileNotFoundException via Py4J
-        return False
+    except Exception as ex:
+        # ONLY a java FileNotFoundException means "not a directory";
+        # transient auth/network errors must propagate — swallowing
+        # them would reroute a directory-layout prefix to the
+        # single-file branch, which lists zero files (the silent-empty
+        # failure this function exists to eliminate).
+        java_exc = getattr(ex, "java_exception", None)
+        if java_exc is not None and "FileNotFoundException" in (
+            java_exc.getClass().getName()
+        ):
+            return False
+        raise
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,10 +239,33 @@ def _local_path(uri: str) -> str:
     return local
 
 
-def _latest_committed_batch(checkpoint_dir: str) -> int | None:
+def _latest_committed_batch(
+    checkpoint_dir: str, spark: SparkSession | None = None
+) -> int | None:
     """Highest epoch id in the streaming checkpoint's commit log — the
-    last batch whose commit is durable on disk. None if nothing has
-    committed yet."""
+    last batch whose commit is durable. None if nothing has committed
+    yet. Local paths list via os; URI paths (``hdfs://``, ``file://``,
+    object stores with a connector) list via the Hadoop FileSystem API
+    when a session is supplied — ``os.listdir`` on a remote URI would
+    silently report "no commits" and (in the compaction caller) turn
+    every run into a full-rewrite no-op that folds nothing."""
+    if "://" in checkpoint_dir:
+        if spark is None:
+            raise ValueError(
+                f"listing a URI checkpoint ({checkpoint_dir}) needs the "
+                "SparkSession for Hadoop FileSystem access"
+            )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "commits")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        ids = [
+            int(st.getPath().getName())
+            for st in fs.listStatus(hpath)
+            if st.getPath().getName().isdigit()
+        ]
+        return max(ids) if ids else None
     cdir = os.path.join(checkpoint_dir, "commits")
     if not os.path.isdir(cdir):
         return None
@@ -479,12 +502,22 @@ def compact_ingest_table(
     batches. Scale: the rewrite is one scan + one write of the table —
     run it at the same cadence as any lakehouse OPTIMIZE; between runs
     the per-batch directories are metadata-cheap.
+
+    CONCURRENCY: the rewrite holds the same per-table lock the sinks
+    take, so an IN-PROCESS stream's ``foreachBatch`` write cannot land
+    between the snapshot and the DROP (a batch committed in that window
+    would live only in the dropped directory — silent loss, because its
+    durable commit means it never replays). The lock is process-local:
+    writers in OTHER processes must be stopped for the compaction
+    window, exactly as for any non-transactional table format; a
+    multi-writer deployment wants a lakehouse table format (Delta/
+    Iceberg) where OPTIMIZE is transactional.
     """
     df = spark.table(table)
     batch_t = df.schema["_ingest_batch"].dataType
     fold = F.lit(False)
     for stream_id, ckpt in checkpoints.items():
-        latest = _latest_committed_batch(ckpt)
+        latest = _latest_committed_batch(ckpt, spark)
         upto = COMPACTED_BATCH if latest is None else latest
         fold = fold | (
             (F.col("_ingest_stream") == stream_id)
@@ -492,25 +525,26 @@ def compact_ingest_table(
         )
     df = df.cache()
     try:
-        folded = df.filter(fold).withColumn(
-            "_ingest_batch", F.lit(COMPACTED_BATCH).cast(batch_t)
-        )
-        n = folded.count()
-        parts = max(1, n // target_file_rows)
-        out = folded.coalesce(parts).unionByName(df.filter(~fold))
-        tmp = f"{table}__compact_tmp"
-        out.write.mode("overwrite").partitionBy(
-            "_ingest_stream", "_ingest_batch"
-        ).format("parquet").saveAsTable(tmp)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-        # RENAME moves a managed table's directory but the catalog's
-        # per-PARTITION locations still point at the old path — without
-        # recovery the renamed table reads zero rows. (Unpartitioned
-        # compact_table has no partition entries, so only this path
-        # needs it.)
-        spark.sql(f"MSCK REPAIR TABLE {table}")
-        spark.catalog.refreshTable(table)
+        with sinks._table_lock(table):
+            folded = df.filter(fold).withColumn(
+                "_ingest_batch", F.lit(COMPACTED_BATCH).cast(batch_t)
+            )
+            n = folded.count()
+            parts = max(1, n // target_file_rows)
+            out = folded.coalesce(parts).unionByName(df.filter(~fold))
+            tmp = f"{table}__compact_tmp"
+            out.write.mode("overwrite").partitionBy(
+                "_ingest_stream", "_ingest_batch"
+            ).format("parquet").saveAsTable(tmp)
+            spark.sql(f"DROP TABLE {table}")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            # RENAME moves a managed table's directory but the catalog's
+            # per-PARTITION locations still point at the old path —
+            # without recovery the renamed table reads zero rows.
+            # (Unpartitioned compact_table has no partition entries, so
+            # only this path needs it.)
+            spark.sql(f"MSCK REPAIR TABLE {table}")
+            spark.catalog.refreshTable(table)
     finally:
         df.unpersist()
 
@@ -528,9 +562,11 @@ def compact_table(
     overwrite against an unpartitioned table truncates it), so it
     refuses such tables loudly."""
     df = spark.table(table)
-    if "_ingest_stream" in df.columns:
+    # _ingest_batch alone also matches tables written by the older
+    # single-stream sink format — the truncate hazard is identical
+    if "_ingest_batch" in df.columns:
         raise ValueError(
-            f"{table} is an idempotent ingest table (_ingest_stream "
+            f"{table} is an idempotent ingest table (_ingest_batch "
             "partition column); use compact_ingest_table — an "
             "unpartitioned rewrite would turn the next replayed batch's "
             "partition overwrite into a whole-table truncate"

@@ -166,8 +166,14 @@ def streaming_sessionize_stateful(
             # set timestamp, so end-1ms wakes the key exactly when
             # wm >= end (the inclusive-closure tie included). Timeouts
             # must sit strictly beyond the current watermark; when the
-            # floor binds (end == wm + 1ms), the wake is one ms late —
-            # harmless at second-granularity event time.
+            # floor binds (only possible when end == wm + 1ms exactly),
+            # the wake needs wm to pass end — a TERMINAL watermark
+            # landing exactly on such an end would miss the session.
+            # This is a known 1-ms-measure-zero deviation from the
+            # inclusive-closure oracle, unreachable at the
+            # second-granularity event time of every fixture and gate;
+            # ms-granularity deployments should size the watermark
+            # delay off the ms grid.
             state.setTimeoutTimestamp(max(first_pending_end - 1, wm + 1))
         else:
             state.remove()

@@ -171,3 +171,28 @@ def test_external_csv_quoted_embedded_newline(spark, tmp_path):
         "line one\nline two"
     )
     assert got.loc[1, "n"] == 5 and got.loc[2, "s"] == "plain"
+
+
+def test_external_csv_splittable_optout(spark, tmp_path):
+    """external_multiline=False restores splittable parsing for bulk
+    newline-free foreign files (multiLine costs one parse task per
+    file); plain rows must read identically either way."""
+    import csv
+
+    path = tmp_path / "ext_bulk.csv"
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["id", "s", "n"])
+        for i in range(5):
+            w.writerow([i, f"w{i}", i * 10])
+    got = (
+        read_csv(
+            spark, str(path), _EXT_SCHEMA, external=True,
+            external_multiline=False,
+        )
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert list(got["s"]) == [f"w{i}" for i in range(5)]
+    assert list(got["n"]) == [i * 10 for i in range(5)]

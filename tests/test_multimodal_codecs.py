@@ -251,3 +251,37 @@ def test_extract_features_nonnumeric_decoder_raises(spark):
             ).collect()
     finally:
         multimodal._DECODERS.pop("sstr", None)
+
+
+def test_extract_features_nonfinite_float_samples_survive(spark):
+    """Code-review r12: a corrupt asset decoding to NaN/inf samples must
+    not kill the query — finite samples are binned, an all-non-finite
+    buffer degrades to NULL stats like an empty one."""
+
+    def decode_mixed(payload: bytes) -> np.ndarray:
+        return np.array([0.0, 1.0, np.nan, np.inf, 0.5], dtype=np.float64)
+
+    def decode_allbad(payload: bytes) -> np.ndarray:
+        return np.array([np.nan, np.inf, -np.inf], dtype=np.float64)
+
+    multimodal.register_decoder("fmix", decode_mixed)
+    multimodal.register_decoder("fbad", decode_allbad)
+    try:
+        rows = [
+            (1, "fmix", bytearray(b"\x01"), ("s", 1, None)),
+            (2, "fbad", bytearray(b"\x02"), ("s", 2, None)),
+        ]
+        got = {
+            r.asset_id: r
+            for r in multimodal.extract_features(
+                _assets_df(spark, rows), fake=False
+            ).collect()
+        }
+    finally:
+        multimodal._DECODERS.pop("fmix", None)
+        multimodal._DECODERS.pop("fbad", None)
+    assert got[1].byte_len == 3  # the finite samples only
+    assert abs(got[1].mean_byte - (0.0 + 1.0 + 0.5) / 3) < 1e-12
+    assert abs(sum(got[1].feature) - 1.0) < 1e-12
+    assert got[2].byte_len == 0 and got[2].mean_byte is None
+    assert got[2].feature is None

@@ -323,3 +323,50 @@ def test_compact_ingest_table_multi_stream_and_refold(spark, tmp_path):
         assert vals == {"a0", "a1", "a2", "b0", "b1"}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_idem_multi")
+
+
+def test_compact_table_guard_covers_batch_only_tables(spark):
+    """Code-review r12: tables written by the pre-r12 single-stream
+    idempotent sink carry only _ingest_batch — the truncate hazard is
+    identical, so the guard must catch them too."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS t_idem_guard_r11")
+    (
+        spark.range(5)
+        .withColumn("_ingest_batch", F.lit(0))
+        .write.partitionBy("_ingest_batch")
+        .saveAsTable("t_idem_guard_r11")
+    )
+    try:
+        with _pytest.raises(ValueError, match="compact_ingest_table"):
+            compact_table(spark, "t_idem_guard_r11")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idem_guard_r11")
+
+
+def test_latest_committed_batch_on_file_uri(spark, tmp_path):
+    """Code-review r12: a URI checkpoint must list commits via the
+    Hadoop FS (os.listdir on a URI silently reports none, turning
+    compaction into a fold-nothing no-op); file:// forces that path."""
+    import os
+
+    from datapipeline_gcp_spark.streaming.ingest import (
+        _latest_committed_batch,
+    )
+
+    c = tmp_path / "ckpt" / "commits"
+    os.makedirs(c)
+    for i in (0, 1, 2):
+        (c / str(i)).write_text("v1\n{}")
+    local = str(tmp_path / "ckpt")
+    assert _latest_committed_batch(local) == 2
+    assert _latest_committed_batch(f"file://{local}", spark) == 2
+    assert (
+        _latest_committed_batch(f"file://{tmp_path}/absent", spark) is None
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SparkSession"):
+        _latest_committed_batch(f"file://{local}")

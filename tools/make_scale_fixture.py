@@ -96,12 +96,11 @@ def scale_documents(src_path: str, out_path: str, factor: int) -> int:
     construction, VERDICT r11 #5): copy k>0 prefixes every token with
     ``k{k}x`` so cross-copy shingle similarity is ~0 (every n-gram
     changes) while WITHIN-copy near-dup structure is preserved (both
-    sides of a near-dup pair mutate identically). Doc ids remap DENSELY
-    (copy k adds k * n_src) so the scaled corpus stays below the dedup
-    fixtures' 500k plant floor, which `_check_plant_floor` enforces
-    loudly."""
+    sides of a near-dup pair mutate identically). Doc ids remap densely
+    — copy k adds ``k * (max(doc_id) + 1)`` — so the scaled corpus
+    stays below the dedup fixtures' 500k plant floor, enforced loudly
+    below."""
     tbl = pq.read_table(src_path)
-    n_src = tbl.num_rows
     id_stride = pc.max(tbl.column("doc_id")).as_py() + 1
     if factor * id_stride >= 500_000:
         raise SystemExit(
