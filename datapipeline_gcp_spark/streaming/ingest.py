@@ -471,6 +471,41 @@ def drain(queries) -> None:
 COMPACTED_BATCH = -1
 
 
+def _recover_interrupted_swap(spark: SparkSession, table: str) -> None:
+    """Complete or discard a compaction swap that crashed mid-flight
+    (ADVICE r12: the DROP TABLE → RENAME pair is not atomic).
+
+    Both compactors write the rewritten table as ``{table}__compact_tmp``
+    and then swap it in with DROP + RENAME. A crash leaves exactly one of
+    two states, each recoverable without loss because the tmp table is
+    only ever written by ``mode("overwrite")`` saveAsTable — it either
+    exists complete (the write committed) or does not exist at all:
+
+    - **tmp and base both exist** — the crash hit before (or during) the
+      DROP; the base table was never touched, so the tmp copy is
+      redundant (possibly stale): drop the tmp and recompact from the
+      live base.
+    - **tmp exists, base is gone** — the crash hit between DROP and
+      RENAME; the tmp IS the table (the write committed before the DROP
+      ran): finish the interrupted swap — rename it back, repair
+      partition locations if partitioned, refresh.
+
+    Called at the top of every compaction under the table lock, so an
+    interrupted swap heals on the next compaction attempt; callers that
+    only READ can invoke it directly after a crash to restore the name.
+    """
+    tmp = f"{table}__compact_tmp"
+    if not spark.catalog.tableExists(tmp):
+        return
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {tmp}")
+        return
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    if any(c.isPartition for c in spark.catalog.listColumns(table)):
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.catalog.refreshTable(table)
+
+
 def compact_ingest_table(
     spark: SparkSession,
     table: str,
@@ -512,7 +547,18 @@ def compact_ingest_table(
     window, exactly as for any non-transactional table format; a
     multi-writer deployment wants a lakehouse table format (Delta/
     Iceberg) where OPTIMIZE is transactional.
+
+    CRASH SAFETY: the DROP → RENAME swap is not atomic; a crash between
+    the two statements leaves the rows only under ``{table}__compact_tmp``
+    and the original name dangling. Every compaction entry first runs
+    :func:`_recover_interrupted_swap` (under the table lock) to finish or
+    discard a previous run's interrupted swap, so the window self-heals
+    on the next attempt; NULL partition values (out-of-band writes into
+    ``__HIVE_DEFAULT_PARTITION__``) are kept, not dropped (null-safe
+    complement — ADVICE r12).
     """
+    with sinks._table_lock(table):
+        _recover_interrupted_swap(spark, table)
     df = spark.table(table)
     batch_t = df.schema["_ingest_batch"].dataType
     fold = F.lit(False)
@@ -523,6 +569,11 @@ def compact_ingest_table(
             (F.col("_ingest_stream") == stream_id)
             & (F.col("_ingest_batch") <= F.lit(upto))
         )
+    # NULL partition values (__HIVE_DEFAULT_PARTITION__ from an
+    # out-of-band write) make `fold` NULL, which BOTH filter(fold) and
+    # filter(~fold) exclude — the rewrite would silently drop the row
+    # (ADVICE r12). Null-safe complement keeps such rows unfolded.
+    fold = F.coalesce(fold, F.lit(False))
     df = df.cache()
     try:
         with sinks._table_lock(table):
@@ -561,6 +612,8 @@ def compact_table(
     sink's exactly-once replay depends on (the replay's partition
     overwrite against an unpartitioned table truncates it), so it
     refuses such tables loudly."""
+    with sinks._table_lock(table):
+        _recover_interrupted_swap(spark, table)
     df = spark.table(table)
     # _ingest_batch alone also matches tables written by the older
     # single-stream sink format — the truncate hazard is identical
@@ -576,8 +629,9 @@ def compact_table(
         n = df.count()
         parts = max(1, n // target_file_rows)
         tmp = f"{table}__compact_tmp"
-        df.coalesce(parts).write.mode("overwrite").saveAsTable(tmp)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        with sinks._table_lock(table):
+            df.coalesce(parts).write.mode("overwrite").saveAsTable(tmp)
+            spark.sql(f"DROP TABLE {table}")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     finally:
         df.unpersist()

@@ -370,3 +370,118 @@ def test_latest_committed_batch_on_file_uri(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="SparkSession"):
         _latest_committed_batch(f"file://{local}")
+
+
+def _fake_ckpt(root: str, upto: int) -> str:
+    c = os.path.join(root, "commits")
+    os.makedirs(c, exist_ok=True)
+    for i in range(upto + 1):
+        with open(os.path.join(c, str(i)), "w") as fh:
+            fh.write("v1\n{}")
+    return root
+
+
+def test_compact_ingest_table_keeps_null_partition_rows(spark, tmp_path):
+    """ADVICE r12: a row whose _ingest_stream/_ingest_batch is NULL
+    (__HIVE_DEFAULT_PARTITION__ from an out-of-band write) makes the
+    fold predicate NULL — both filter(fold) and filter(~fold) would
+    exclude it, silently losing the row. The null-safe complement must
+    keep it, unfolded."""
+    from datapipeline_gcp_spark.streaming.ingest import (
+        COMPACTED_BATCH,
+        compact_ingest_table,
+    )
+
+    ck = _fake_ckpt(str(tmp_path / "ck"), 0)
+    spark.sql("DROP TABLE IF EXISTS t_idem_nullpart")
+    rows = [("a0", "a", 0), ("a1", "a", 1), ("oob", None, None)]
+    df = spark.createDataFrame(
+        rows, "v string, _ingest_stream string, _ingest_batch int"
+    )
+    df.write.partitionBy("_ingest_stream", "_ingest_batch").saveAsTable(
+        "t_idem_nullpart"
+    )
+    try:
+        compact_ingest_table(spark, "t_idem_nullpart", {"a": ck})
+        out = spark.table("t_idem_nullpart")
+        assert out.count() == 3  # nothing lost
+        got = {
+            (r.v, r._ingest_stream, r._ingest_batch)
+            for r in out.collect()
+        }
+        # a0 committed -> folded; a1 orphan -> kept; NULL row -> kept
+        assert got == {
+            ("a0", "a", COMPACTED_BATCH),
+            ("a1", "a", 1),
+            ("oob", None, None),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idem_nullpart")
+
+
+def test_compact_swap_recovery_completes_interrupted_rename(spark, tmp_path):
+    """ADVICE r12: a crash between DROP TABLE and RENAME leaves the rows
+    only under {table}__compact_tmp and nothing under the original name.
+    The next compaction entry must finish the swap (rename back + MSCK
+    for partitioned tables) before compacting — zero rows lost."""
+    from datapipeline_gcp_spark.streaming.ingest import (
+        COMPACTED_BATCH,
+        compact_ingest_table,
+    )
+
+    ck = _fake_ckpt(str(tmp_path / "ck"), 1)
+    spark.sql("DROP TABLE IF EXISTS t_idem_crash")
+    spark.sql("DROP TABLE IF EXISTS t_idem_crash__compact_tmp")
+    rows = [("a0", "a", 0), ("a1", "a", 1), ("a2", "a", 2)]
+    df = spark.createDataFrame(
+        rows, "v string, _ingest_stream string, _ingest_batch int"
+    )
+    # simulate the crash window: the rewritten table committed as tmp,
+    # the original name already dropped, rename never ran
+    df.write.partitionBy("_ingest_stream", "_ingest_batch").saveAsTable(
+        "t_idem_crash__compact_tmp"
+    )
+    try:
+        assert not spark.catalog.tableExists("t_idem_crash")
+        compact_ingest_table(spark, "t_idem_crash", {"a": ck})
+        out = spark.table("t_idem_crash")
+        assert out.count() == 3
+        got = {
+            (r.v, r._ingest_stream, r._ingest_batch) for r in out.collect()
+        }
+        assert got == {
+            ("a0", "a", COMPACTED_BATCH),
+            ("a1", "a", COMPACTED_BATCH),
+            ("a2", "a", 2),
+        }
+        assert not spark.catalog.tableExists("t_idem_crash__compact_tmp")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_idem_crash")
+        spark.sql("DROP TABLE IF EXISTS t_idem_crash__compact_tmp")
+
+
+def test_compact_swap_recovery_discards_stale_tmp(spark, tmp_path):
+    """ADVICE r12, the other crash window: a failure BEFORE the DROP
+    leaves base + tmp both present (base authoritative, tmp possibly
+    stale). Recovery must drop the tmp and compact from the live base;
+    compact_table (unpartitioned) heals the rename window the same way."""
+    from datapipeline_gcp_spark.streaming.ingest import compact_table
+
+    spark.sql("DROP TABLE IF EXISTS t_flat_crash")
+    spark.sql("DROP TABLE IF EXISTS t_flat_crash__compact_tmp")
+    spark.range(10).write.saveAsTable("t_flat_crash")
+    # stale tmp from an interrupted earlier run (different content)
+    spark.range(3).write.saveAsTable("t_flat_crash__compact_tmp")
+    try:
+        compact_table(spark, "t_flat_crash", target_file_rows=100)
+        assert spark.table("t_flat_crash").count() == 10  # base wins
+        assert not spark.catalog.tableExists("t_flat_crash__compact_tmp")
+        # and the rename window for the unpartitioned path
+        spark.sql(
+            "ALTER TABLE t_flat_crash RENAME TO t_flat_crash__compact_tmp"
+        )
+        compact_table(spark, "t_flat_crash", target_file_rows=100)
+        assert spark.table("t_flat_crash").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_flat_crash")
+        spark.sql("DROP TABLE IF EXISTS t_flat_crash__compact_tmp")
