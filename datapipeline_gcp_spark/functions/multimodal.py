@@ -54,6 +54,16 @@ ASSET_SCHEMA = T.StructType(
     ]
 )
 
+#: Feature-row contract (shared by the fake and decoded arms):
+#: ``byte_len`` = DECODED sample count (for float decoders this counts
+#: every decoded sample, including non-finite ones the stats exclude);
+#: ``mean_byte`` = mean over the samples the stats cover (finite samples
+#: for float decoders); ``max_byte`` = max sample for integer-dtype
+#: buffers, NULL for float decoders (a byte-scaled int of audio in
+#: [-1, 1] truncates to a meaningless 0 — ADVICE r12); ``feature`` =
+#: 8-bin normalized histogram (full dtype domain for ints, observed
+#: finite range for floats). NULL stats mean "nothing to aggregate"
+#: (empty or all-non-finite buffer), never fabricated zeros.
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -247,12 +257,19 @@ def _extract_features_decoded(assets: DataFrame) -> DataFrame:
                         }
                     )
                     continue
+                # byte_len is ALWAYS the decoded sample count, before
+                # any non-finite filtering — the float arm's stats may
+                # cover fewer samples (ADVICE r12 convention, documented
+                # at FEATURE_SCHEMA).
+                n_decoded = int(buf.size)
                 if _np.issubdtype(buf.dtype, _np.integer):
                     # integer samples (image rasters, PCM audio): the
                     # histogram spans the full dtype range so identical
-                    # content yields identical features across batches
+                    # content yields identical features across batches;
+                    # max_byte is the literal max sample
                     info = _np.iinfo(buf.dtype)
                     lo, hi = float(info.min), float(info.max) + 1.0
+                    max_stat = int(buf.max())
                 elif _np.issubdtype(buf.dtype, _np.floating):
                     # float-returning decoders (ADVICE r11: soundfile
                     # yields float64 by default) — np.iinfo would raise;
@@ -262,13 +279,17 @@ def _extract_features_decoded(assets: DataFrame) -> DataFrame:
                     # empty buffer: drop to NULL stats, keep going).
                     # Constant buffers get a degenerate range widened
                     # so histogram() doesn't divide by zero width.
+                    # max_byte is NULL: int(max) of audio in [-1, 1]
+                    # truncates to a meaningless 0 (ADVICE r12) and the
+                    # column is byte-scaled by contract — float sample
+                    # extrema live in `feature`'s observed-range bins.
                     buf = buf[_np.isfinite(buf)]
                     if buf.size == 0:  # all-non-finite: NULL stats
                         rows.append(
                             {
                                 "asset_id": int(asset_id),
                                 "kind": kind,
-                                "byte_len": 0,
+                                "byte_len": n_decoded,
                                 "mean_byte": None,
                                 "max_byte": None,
                                 "feature": None,
@@ -279,6 +300,7 @@ def _extract_features_decoded(assets: DataFrame) -> DataFrame:
                     hi = float(buf.max())
                     if not (lo < hi):
                         hi = lo + 1.0
+                    max_stat = None
                 else:
                     raise ValueError(
                         f"decoder for kind={kind!r} returned unsupported "
@@ -290,9 +312,9 @@ def _extract_features_decoded(assets: DataFrame) -> DataFrame:
                     {
                         "asset_id": int(asset_id),
                         "kind": kind,
-                        "byte_len": int(buf.size),
+                        "byte_len": n_decoded,
                         "mean_byte": float(buf.astype(_np.float64).mean()),
-                        "max_byte": int(buf.max()),
+                        "max_byte": max_stat,
                         "feature": (hist / buf.size).astype(float).tolist(),
                     }
                 )

@@ -209,7 +209,9 @@ def test_extract_features_float_decoder(spark):
     r = got[0]
     assert r.byte_len == 400
     assert abs(r.mean_byte - float(arr.mean())) < 1e-12
-    assert r.max_byte == int(arr.max())
+    # ADVICE r12: max_byte is NULL for float decoders — int(max) of
+    # audio in [-1, 1] truncated to a meaningless 0
+    assert r.max_byte is None
     # observed-range histogram: linspace is uniform → 8 equal bins
     assert len(r.feature) == 8
     assert abs(sum(r.feature) - 1.0) < 1e-12
@@ -280,8 +282,13 @@ def test_extract_features_nonfinite_float_samples_survive(spark):
     finally:
         multimodal._DECODERS.pop("fmix", None)
         multimodal._DECODERS.pop("fbad", None)
-    assert got[1].byte_len == 3  # the finite samples only
+    # ADVICE r12 convention: byte_len counts every DECODED sample
+    # (including the non-finite ones the stats exclude); the stats
+    # cover the finite subset; max_byte is NULL for float decoders
+    assert got[1].byte_len == 5
     assert abs(got[1].mean_byte - (0.0 + 1.0 + 0.5) / 3) < 1e-12
+    assert got[1].max_byte is None
     assert abs(sum(got[1].feature) - 1.0) < 1e-12
-    assert got[2].byte_len == 0 and got[2].mean_byte is None
+    assert got[2].byte_len == 3 and got[2].mean_byte is None
+    assert got[2].max_byte is None
     assert got[2].feature is None
