@@ -76,6 +76,7 @@ def streaming_sessionize_stateful(
     the sorted union, so an in-horizon straggler can split or bridge
     sessions just as the built-in does."""
     gap_ms = _duration_ms(gap)
+    _warn_if_ms_grid(gap, watermark, gap_ms)
     out_schema = T.StructType(
         [
             T.StructField(key_col, T.LongType()),
@@ -202,11 +203,41 @@ def streaming_sessionize_stateful(
 def _duration_ms(spec: str) -> int:
     qty, unit = spec.split()
     scale = {
+        "millisecond": 1, "milliseconds": 1,
         "second": 1_000, "seconds": 1_000,
         "minute": 60_000, "minutes": 60_000,
         "hour": 3_600_000, "hours": 3_600_000,
     }[unit]
     return int(qty) * scale
+
+
+def _warn_if_ms_grid(gap: str, watermark: str, gap_ms: int) -> None:
+    """Make the sessionizer's documented 1-ms timeout-floor corner
+    unmissable (VERDICT r12 #6): the event-time timeout must sit
+    strictly beyond the current watermark, so a session whose end lands
+    EXACTLY at ``wm + 1ms`` can be missed by a terminal watermark — a
+    measure-zero deviation from the inclusive-closure oracle that is
+    unreachable when gap and watermark delay are whole seconds (every
+    fixture and gate) but real for ms-grid configs. Warn once per
+    config instead of letting such a deployment hit it silently."""
+    import warnings
+
+    try:
+        delay_ms = _duration_ms(watermark)
+    except (KeyError, ValueError):
+        delay_ms = 0  # unknown spelling: Spark validates downstream
+    if gap_ms % 1000 or delay_ms % 1000:
+        warnings.warn(
+            f"streaming_sessionize_stateful: gap={gap!r} / "
+            f"watermark={watermark!r} are not whole seconds — the "
+            "event-time timeout floor deviates from inclusive session "
+            "closure when a session end lands exactly 1 ms past the "
+            "terminal watermark (see the closure notes in "
+            "streaming/stateful.py); size gap and watermark delay in "
+            "whole seconds to keep that corner unreachable",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 #: Loud per-key ceiling on the exact-forever seen-id state (VERDICT r9

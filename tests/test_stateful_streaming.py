@@ -230,3 +230,34 @@ def test_stateful_sessionize_emits_final_sessions_with_timeout(spark, tmp_path):
     assert got == want, f"got {sorted(got)}"
     # nothing was emitted twice across the three checkpointed runs
     assert len(out) == len(got)
+
+
+def test_sessionizer_warns_on_ms_grid_config(spark, tmp_path):
+    """VERDICT r12 #6: the documented 1-ms timeout-floor deviation is
+    only reachable off the second grid — a gap or watermark delay that
+    is not a whole number of seconds must emit a RuntimeWarning, and the
+    second-grid gate config must stay silent."""
+    import warnings
+
+    import pytest as _pytest
+
+    from datapipeline_gcp_spark.streaming.stateful import (
+        streaming_sessionize_stateful,
+    )
+
+    schema = "user_id bigint, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([], schema).write.parquet(src)
+
+    def build(**kw):
+        stream = spark.readStream.schema(schema).parquet(src)
+        return streaming_sessionize_stateful(stream, **kw)
+
+    with _pytest.warns(RuntimeWarning, match="whole seconds"):
+        build(gap="1500 milliseconds", watermark="30 minutes")
+    with _pytest.warns(RuntimeWarning, match="whole seconds"):
+        build(gap="10 minutes", watermark="500 milliseconds")
+    # the gate's second-grid config must NOT warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        build(gap="10 minutes", watermark="30 minutes")
