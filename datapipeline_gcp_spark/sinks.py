@@ -24,9 +24,11 @@ from __future__ import annotations
 import glob as globlib
 import json
 import os
+import re
 import shutil
 import threading
 from collections import defaultdict
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,13 +39,66 @@ from pyspark.sql import DataFrame, SparkSession
 # metastore-touching write itself; Spark still parallelizes each job's
 # tasks, so this costs nothing at scale — different tables still load
 # fully concurrently.
+#
+# TWO layers (VERDICT r12 #7): a per-table threading.Lock serializes
+# writers INSIDE this driver, and — when the warehouse lives on a local
+# filesystem — an advisory flock on ``<warehouse>/_locks/<table>.lock``
+# serializes writers across SEPARATE driver processes sharing the
+# warehouse, closing the documented cross-process gap. Non-local
+# warehouses (hdfs://, s3a://, gs://) cannot flock; there the contract
+# stays one-writer-process-per-table — a multi-writer deployment wants
+# a lakehouse table format whose commits are transactional (SCALE.md).
 _TABLE_LOCKS: defaultdict[str, threading.Lock] = defaultdict(threading.Lock)
 _LOCKS_GUARD = threading.Lock()
 
 
-def _table_lock(table: str) -> threading.Lock:
+def _thread_lock(table: str) -> threading.Lock:
     with _LOCKS_GUARD:
         return _TABLE_LOCKS[table]
+
+
+def _warehouse_lock_dir() -> str | None:
+    """Directory for cross-process table lock files: ``_locks/`` under
+    the active session's warehouse when that is a local path (bare or
+    ``file:`` URI) — None when no session is active or the warehouse is
+    on a filesystem that cannot flock."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+    except Exception:
+        return None
+    if not wh:
+        return None
+    if "://" in wh and not wh.startswith("file:"):
+        return None  # remote FS: advisory file locks don't apply
+    return os.path.join(re.sub(r"^file:(//)?", "", wh), "_locks")
+
+
+@contextmanager
+def _table_lock(table: str):
+    """Hold the per-table write lock: thread lock always, plus an
+    exclusive ``fcntl.flock`` on the warehouse lock file when the
+    warehouse is local — two processes appending the same table then
+    serialize instead of racing saveAsTable's create-if-needed."""
+    with _thread_lock(table):
+        lock_dir = _warehouse_lock_dir()
+        if lock_dir is None:
+            yield
+            return
+        import fcntl
+
+        os.makedirs(lock_dir, exist_ok=True)
+        # "db.t" and "db_t" may collide after sanitizing — over-locking
+        # is safe (coarser serialization, never a missed lock)
+        fname = re.sub(r"[^A-Za-z0-9_.]", "_", table) + ".lock"
+        with open(os.path.join(lock_dir, fname), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
 
 
 def ensure_layers(spark: SparkSession) -> None:
