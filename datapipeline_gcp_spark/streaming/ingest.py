@@ -319,13 +319,18 @@ def stream_landing_table(
     on_batch=None,
     transform=None,
     idempotent: bool = False,
+    trigger_interval: str | None = None,
 ) -> IngestStream:
     """One (table, format) ingestion stream: landing glob → raw table
     append → record the batch's files for post-commit archival (see the
     module docstring for the crash-safety argument). Returns the started
     query wrapped with its archival handle; with ``available_now`` it
     drains what exists and finishes (the test/poll mode, E3's
-    ``trigger(availableNow=True)``).
+    ``trigger(availableNow=True)``); with ``available_now=False`` the
+    stream runs live — continuously by default, or on a fixed
+    ``trigger_interval`` (``processingTime``) cadence, files landing
+    between triggers picked up by the next one (the deployment shape;
+    soak-tested in ``tests/test_streaming_e2e.py``).
 
     ``idempotent=True`` is the exactly-once sink the module docstring
     names: each batch lands in its own
@@ -424,6 +429,10 @@ def stream_landing_table(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval is not None:
+        # live mode (the deployment shape): fire every interval and
+        # pick up whatever landed since — the soak test's async path
+        writer = writer.trigger(processingTime=trigger_interval)
     return IngestStream(writer.start(), archive_dir, stream_id, checkpoint_dir)
 
 

@@ -295,3 +295,104 @@ def test_dual_stream_idempotent_batch_id_namespaces(spark, tmp_path):
     assert got == want
     ingest.drain(start("csv"))  # archival tail for the csv leg
     assert not os.listdir(f"{landing}/csv") and not os.listdir(f"{landing}/txt")
+
+
+def test_processing_time_soak_live_concurrent_drops(spark, tmp_path):
+    """VERDICT r12 #3: every gate runs availableNow (deterministic,
+    oracle-friendly), so live async timing was exercised nowhere. This
+    soak runs TWO processingTime-triggered streams (csv + txt) into one
+    idempotent table while a writer thread drops files CONCURRENTLY —
+    files land during micro-batches, archival races the next trigger,
+    the two streams interleave in real time. Contract: every row exactly
+    once, every file archived, landing empty after the final flush.
+
+    Timing contract discovered and relied on here: a continuous stream's
+    LAST batch's files stay pending until the next batch or the
+    post-stop ``flush_archive`` — archival completeness is asserted only
+    after the explicit flush, never mid-run."""
+    import os
+    import threading
+    import time
+
+    from datapipeline_gcp_spark import schemas
+    from datapipeline_gcp_spark.sources import generators as gen
+    from datapipeline_gcp_spark.streaming import ingest
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw_layer")
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_soak_campaigns")
+    landing = str(tmp_path / "landing")
+    archive = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+
+    files_per_fmt, per_file = 12, 4
+    total = 2 * files_per_fmt * per_file
+    # pre-generate the frames on the main thread (Spark actions from the
+    # writer thread would serialize against the streams' own jobs and
+    # slow the soak without adding coverage); the writer thread does
+    # pure filesystem drops on its own clock
+    frames = {}
+    for fmt_i, fmt in enumerate(("csv", "txt")):
+        for i in range(files_per_fmt):
+            df = gen.gen_campaigns(spark, n=per_file, seed=900 + fmt_i * 100 + i)
+            frames[(fmt, i)] = df
+
+    queries = []
+    for fmt in ("csv", "txt"):
+        queries.append(
+            ingest.stream_landing_table(
+                spark, landing, "campaigns", fmt, schemas.CAMPAIGNS,
+                "raw_layer.r_soak_campaigns", archive, f"{ckpt}/{fmt}",
+                available_now=False, trigger_interval="1 second",
+                idempotent=True,
+            )
+        )
+
+    stop_writing = threading.Event()
+
+    def writer():
+        # interleave formats, ~6 files/second — several files land
+        # inside every 1s trigger window, some mid-batch
+        for i in range(files_per_fmt):
+            for fmt in ("csv", "txt"):
+                gen.write_landing_file(
+                    frames[(fmt, i)], landing, "campaigns", fmt, f"soak{i:02d}"
+                )
+                time.sleep(0.08)
+        stop_writing.set()
+
+    t = threading.Thread(target=writer, daemon=True)
+    t.start()
+    try:
+        deadline = time.monotonic() + 180
+        count = 0
+        while time.monotonic() < deadline:
+            if stop_writing.is_set():
+                count = spark.table("raw_layer.r_soak_campaigns").count()
+                if count == total:
+                    break
+            time.sleep(0.5)
+        assert count == total, f"soak timed out: {count}/{total} rows landed"
+    finally:
+        t.join(timeout=30)
+        for q in queries:
+            q.query.stop()
+        for q in queries:
+            q.query.awaitTermination(60)
+    # post-stop flush archives each stream's tail batch
+    for q in queries:
+        q.flush_archive()
+
+    out = spark.table("raw_layer.r_soak_campaigns")
+    assert out.count() == total  # no dup (idempotent sink), no loss
+    got = sorted(r.campaign_id for r in out.select("campaign_id").collect())
+    want = sorted(
+        r.campaign_id
+        for df in frames.values()
+        for r in df.select("campaign_id").collect()
+    )
+    assert got == want
+    assert not os.listdir(f"{landing}/csv") and not os.listdir(f"{landing}/txt")
+    archived = [f for f in os.listdir(archive) if f.startswith("campaigns_")]
+    assert len([f for f in archived if f.endswith(".csv")]) == files_per_fmt
+    assert len([f for f in archived if f.endswith(".txt")]) == files_per_fmt
+    spark.sql("DROP TABLE IF EXISTS raw_layer.r_soak_campaigns")
