@@ -755,3 +755,120 @@ def test_unikeys_late_data_custom_sessionizer_matches_builtin(
         for r in out.itertuples(index=False)
     }
     assert got_custom == got_builtin  # incl. the end==wm tie (user 70)
+
+# ---------------------------------------------------------------------------
+# dst × late-data composition (VERDICT r12 #8): late rows arriving ACROSS
+# a DST transition while the SESSION renders timestamps in the DST zone.
+# The engine's watermark/window arithmetic must be EVENT-TIME (epoch),
+# never wall-clock: around fall-back, wall-clock differences understate
+# physical time by an hour (the 01:00-02:00 local hour repeats), so a
+# wall-clock implementation would mis-drop/mis-keep rows near the horizon
+# and mis-close the windows spanning the repeated hour. Comparison is in
+# epoch seconds on both sides — rendering differences are out of scope.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "base",
+    [
+        # fall-back: America/New_York repeats 01:00-02:00 local on
+        # 2024-11-03 (transition instant 06:00 UTC) — pattern spans
+        # 03:10..08:30 UTC, late rows cross the repeated hour
+        _D(2024, 11, 3, 3, 0, 17),
+        # spring-forward: 02:00-03:00 local skipped on 2024-03-10
+        # (transition 07:00 UTC) — pattern spans 04:10..09:30 UTC
+        _D(2024, 3, 10, 4, 0, 17),
+    ],
+    ids=["fall_back", "spring_forward"],
+)
+def test_late_data_across_dst_transition_epoch_semantics(
+    spark, tmp_path, base
+):
+    """Same contract shape as the pinned tumbling fixture, shifted onto
+    a DST transition and run with the session timezone set to the DST
+    zone itself: emitted windows must equal the epoch-arithmetic
+    simulator exactly (late row absorbed in its eviction batch, evicted
+    window never re-emits, final flush closes what the terminal
+    watermark passed) — on the SAME instants, an engine doing any
+    wall-clock arithmetic diverges by the transition hour."""
+    minute_pattern = [
+        [(1, 10, 1.0), (2, 50, 2.0)],
+        [(3, 130, 4.0), (4, 170, 8.0)],
+        [(5, 30, 16.0), (6, 135, 32.0)],  # same-batch-as-eviction late
+        [(7, 220, 64.0)],
+        [(8, 35, 100.0)],                 # already-evicted -> dropped
+        [(9, 330, 200.0)],                # terminal watermark advance
+    ]
+    batches = [
+        [(eid, base + dt.timedelta(minutes=m), v) for eid, m, v in b]
+        for b in minute_pattern
+    ]
+    tz_key = "spark.sql.session.timeZone"
+    saved = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        src = tmp_path / "ev"
+        os.makedirs(src)
+        now = time.time()
+        for i, batch in enumerate(batches):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([e for e, _, _ in batch], pa.int64()),
+                    "ts": pa.array(
+                        [ts for _, ts, _ in batch],
+                        pa.timestamp("us", tz="UTC"),
+                    ),
+                    "user_id": pa.array(
+                        [100 + e for e, _, _ in batch], pa.int64()
+                    ),
+                    "event_type": pa.array(["click"] * len(batch), pa.string()),
+                    "value": pa.array([v for _, _, v in batch], pa.float64()),
+                }
+            )
+            part = str(src / f"b{i}.parquet")
+            pq.write_table(tbl, part)
+            os.utime(part, (now + i, now + i))
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "30 minutes")
+        )
+        name = f"late_dst_{base:%m%d}"
+        run_to_memory_sink(
+            spark, tumbling_agg(stream), name, str(tmp_path / "ckpt")
+        )
+        rows = (
+            spark.table(name)
+            .select(
+                F.col("window_start").cast("long").alias("ws_epoch"),
+                "n_events",
+                "total_value",
+            )
+            .collect()
+        )
+    finally:
+        spark.conf.set(tz_key, saved)
+    got = {r.ws_epoch: (r.n_events, r.total_value) for r in rows}
+    assert len(rows) == len(got)  # append-mode: no window emitted twice
+    want = {
+        int(ws.replace(tzinfo=dt.timezone.utc).timestamp()): (
+            len(evs),
+            float(sum(v for _, v in evs)),
+        )
+        for ws, evs in _simulate(batches).items()
+    }
+    assert got == want
+    # the simulator must predict the SAME shape as the non-DST pinned
+    # fixture (instants shifted, arithmetic identical): three windows,
+    # late row 5 absorbed, row 8 dropped, terminal flush closes +3h
+    assert sorted((n, t) for n, t in want.values()) == [
+        (1, 64.0), (3, 19.0), (3, 44.0),
+    ]
