@@ -83,44 +83,29 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: a round >= that value records the query green again, so the set is
 #: self-cleaning: stale pins cost nothing and can be pruned lazily.
 _RECHECK: dict[str, int] = {
-    # (r10's 13 pins pruned: CORRECTNESS_r10.json proved all 50 window
-    # entries green, and every r8/r10 pin's query got an r10 green row
-    # — the whole set went inert; earlier rounds' pins were pruned the
-    # same way. See the r8-r10 registry history for per-sweep
-    # rationale.)
-    # (r11's 4 pins pruned: all green in CORRECTNESS_r11.json → inert.)
-    # r12: stream_landing_table's idempotent sink is now namespaced by
-    # stream id (VERDICT r11 #7 — two streams feeding one table collide
-    # on per-checkpoint batch ids) — the shared ingest path of all five
-    # landing gates; non-idempotent gates execute bit-identical code,
-    # but the pin policy is about code, not belief.
-    "events_stream_e2e_ingest_gate": 12,
-    "events_stream_crossrun_redelivery_gate": 12,
-    "events_stream_idempotent_replay_gate": 12,
-    "multimodal_stream_ingest_gate": 12,
-    "dedup_stream_incremental_gate": 12,
-    # r12: events_stream's layout detection moved from os.path.isdir to
-    # path_is_directory (Hadoop FS on URIs — VERDICT r11 #3), the
-    # shared source of the six event-time gates.
-    "events_stream_tumbling_gate": 12,
-    "events_stream_session_gate": 12,
-    "events_stream_dedup_gate": 12,
-    "events_stream_stateful_session_gate": 12,
-    "events_stream_first_seen_gate": 12,
-    "events_stream_interval_join_gate": 12,
-    # r12: the fake=False decoded arm grew float-dtype support (ADVICE
-    # r11 medium); the registered query takes the fake path, but the
-    # module's worker changed.
-    "multimodal_feature_extract": 12,
-    # r12: order-grain fast-path rewrite (VERDICT r11 #1) — new plans
-    # for the three order-level business KPIs (multiplicity-weighted
-    # decimal sums / semi-join + two-phase distinct), then the
-    # (orders-row x part) pre-aggregated grain for the product KPIs.
-    "b_sales_kpi": 12,
-    "b_performance_metrics": 12,
-    "b_customer_retention": 12,
-    "b_profitability_kpi": 12,
-    "b_product_performance": 12,
+    # (r12's 17 pins pruned: CORRECTNESS_r12.json proved all 50 window
+    # entries green, covering every pinned query — the whole set went
+    # inert. Earlier rounds' pins were pruned the same way; see the
+    # r8-r12 registry history for per-sweep rationale. r13 is the
+    # pin-light window VERDICT r12 #2 asks for: only genuinely
+    # rewritten code paths below, so the r8-stale tail rotates in.)
+    # r13: sinks._table_lock gained a cross-process warehouse flock
+    # (VERDICT r12 #7) and stream_landing_table a trigger_interval
+    # mode — the shared write/ingest path of all five landing gates
+    # (dedup_stream_incremental_gate also writes its bucketed index
+    # through the locked sink). Pin policy is code, not belief.
+    "events_stream_e2e_ingest_gate": 13,
+    "events_stream_crossrun_redelivery_gate": 13,
+    "events_stream_idempotent_replay_gate": 13,
+    "multimodal_stream_ingest_gate": 13,
+    "dedup_stream_incremental_gate": 13,
+    # r13: the sessionizer's entry now parses gap/watermark for the
+    # ms-grid warning (VERDICT r12 #6) — same module + call path.
+    "events_stream_stateful_session_gate": 13,
+    # r13: the fake=False decoded arm's float conventions changed
+    # (ADVICE r12: NULL max_byte, decoded-count byte_len); the
+    # registered query takes the fake path, but the module changed.
+    "multimodal_feature_extract": 13,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
