@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 import sys
 
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -55,7 +56,7 @@ def main() -> None:
         even = pc.equal(pc.bit_wise_and(tbl.column(sel_key), 1), 0)
         field = tbl.schema.field(col)
         newcol = pc.if_else(
-            even, pc.cast(pc.scalar(hot_val), field.type), tbl.column(col)
+            even, pa.scalar(hot_val, type=field.type), tbl.column(col)
         )
         tbl = tbl.set_column(tbl.schema.get_field_index(col), field, newcol)
         pq.write_table(tbl, f"{out_dir}/{table}.parquet")

@@ -8,10 +8,13 @@ customer, ~50% of lineitem on one part) and record
   (``skew=true`` on the sort-merge join / ``AQEShuffleRead`` skewed
   readers), straight from the executed plan of the measured run.
 
-The execution is driven by a 1-row global count over the query's own
-DataFrame so the captured QueryExecution IS the run that was timed
-(a separate writer action would plan its own execution and report
-``isFinalPlan=false``).
+The execution is driven by a 1-row xxhash64-sum over EVERY column of
+the query's output, so (a) the captured QueryExecution IS the run that
+was timed (a separate writer action would plan its own execution and
+report ``isFinalPlan=false``) and (b) Catalyst cannot prune the
+query's own aggregate expressions — a bare ``groupBy().count()``
+consumer lets the optimizer drop the aggregate FUNCTIONS (only group
+existence is needed) and silently measures a cheaper query.
 
 Usage:
     python tools/probe_skew_aqe.py [--uniform=/tmp/sf_scale64]
@@ -55,19 +58,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
 
+    from pyspark.sql import functions as F
+
+    def consume_all(df):
+        # reference every output column so no aggregate expression can
+        # be pruned; count rides along for the row count
+        h = F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+        return df.select(h.alias("h"), F.count(F.lit(1)).alias("n"))
+
     def run_once(fn, sf):
-        agg = fn(spark, sf).groupBy().count()
+        agg = consume_all(fn(spark, sf))
         t0 = time.monotonic()
-        n = agg.collect()[0][0]
+        n = agg.collect()[0]["n"]
         wall = time.monotonic() - t0
         plan = agg._jdf.queryExecution().executedPlan().toString()
         return n, wall, plan
 
-    print("| query | fixture | rows | wall s | skew joins | skewed reads |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "| query | fixture | rows | wall s | skew joins | skewed reads "
+        "| join strategies |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for name in names:
         fn = queries[name]
-        fn(spark, "/root/testdata/sf0.01").groupBy().count().collect()  # warm
+        consume_all(fn(spark, "/root/testdata/sf0.01")).collect()  # warm
         for label, sf in (("uniform64x", uniform), ("hotkey64x", hot)):
             best, rows, plan = float("inf"), None, ""
             for _ in range(2):
@@ -76,9 +90,19 @@ def main() -> None:
                     best, rows, plan = wall, n, p
             skew_joins = len(re.findall(r"skew=true", plan))
             skew_reads = len(re.findall(r"AQEShuffleRead.*skewed", plan))
+            joins = sorted(
+                {
+                    m.group(0)
+                    for m in re.finditer(
+                        r"(BroadcastHashJoin|SortMergeJoin\S*|"
+                        r"ShuffledHashJoin|BroadcastNestedLoopJoin)",
+                        plan,
+                    )
+                }
+            )
             print(
                 f"| {name} | {label} | {rows:,} | {best:.2f} | "
-                f"{skew_joins} | {skew_reads} |"
+                f"{skew_joins} | {skew_reads} | {'+'.join(joins)} |"
             )
             sys.stdout.flush()
     spark.stop()
