@@ -62,8 +62,12 @@ def main() -> None:
 
     def consume_all(df):
         # reference every output column so no aggregate expression can
-        # be pruned; count rides along for the row count
-        h = F.sum(F.xxhash64(*[F.col(c) for c in df.columns]))
+        # be pruned; count rides along for the row count. decimal(38,0)
+        # sum — a raw bigint hash sum overflows under ANSI (the same
+        # gotcha the sketch oracles hit, SCALE.md).
+        h = F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        )
         return df.select(h.alias("h"), F.count(F.lit(1)).alias("n"))
 
     def run_once(fn, sf):
