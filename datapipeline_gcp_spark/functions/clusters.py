@@ -81,6 +81,14 @@ def connected_components(
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .unionAll(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
+        # Partition the EDGE table by the per-round join key ONCE (guide
+        # §2.4: two operations keyed the same way share one exchange).
+        # Every round joins sym on ``nbr``; without this the distinct's
+        # (node, nbr) partitioning forces a re-exchange of the edge list
+        # per round — the one table that is fact-scale at 100 TB. The
+        # checkpoint preserves the partitioning, so each round exchanges
+        # only the (node-scale) label table.
+        .repartition("nbr")
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -92,19 +100,16 @@ def connected_components(
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         lab = labels.select(F.col("node").alias("lnode"), "label")
-        nbr_min = (
-            sym.join(lab, sym.nbr == lab.lnode)
-            .groupBy("node")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # One aggregation per round instead of groupBy-min + left-join
+        # (guide §2.4): min(own label ∪ neighbor labels) expressed as a
+        # union into a single min-agg — same fixpoint values, one join
+        # and one shuffle fewer per round.
         labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            sym.join(lab, sym.nbr == lab.lnode)
+            .select("node", "label")
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]

@@ -31,10 +31,13 @@ exploded-integer join — (vec, d, qx) rows against a BROADCAST (d,
 cent, qc) table (K·D rows — KB-scale), one codegen hash aggregation on
 (vec, cent), one window argmin per vec; the update is one (cluster, d)
 aggregation. Nothing shuffles the raw vectors; per-iteration cost is
-linear scans. The exploded (vec, d, qx) relation is recomputed per
-consumer here to stay a pure lazy plan for the oracle gate; the
-production loop `persist()`s it once (noted because 5 scans vs 1 is the
-only local/cluster divergence).
+linear scans. The exploded (vec, d, qx) relation and each iteration's
+assign/update state are ``localCheckpoint``-ed (same lineage-truncation
+policy as ``clusters.pagerank``/``connected_components``): without the
+checkpoints the final plan re-derives every earlier iteration once per
+consumer — the subtree DOUBLES per iteration (assign_i feeds both the
+cluster roll-up and cents_i) — so a 2-iteration run scanned the
+embeddings five times and planning cost grew with 2^iters.
 
 Seeding: the first K corpus vectors by vec_id — deterministic and
 engine-independent (k-means++ needs sequential sampling; at 100 TB the
@@ -111,15 +114,15 @@ def kmeans_clusters(
     integer checksum of the post-iteration centroid, making the whole
     centroid state oracle-comparable without 64 columns.
     """
-    ex = _exploded_q(emb)
+    ex = _exploded_q(emb).localCheckpoint()
     # seed "qc" is just the quantized coordinate
     cents = ex.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), "d", F.col("qx").alias("qc")
     )
     assign = None
     for _ in range(n_iter):
-        assign = _assign(ex, cents)
-        cents = _update(ex, assign)
+        assign = _assign(ex, cents).localCheckpoint()
+        cents = _update(ex, assign).localCheckpoint()
     inertia_term = F.floor(
         (F.col("dist").cast("double") / F.lit(float(QUANT) ** 2)) * 1e9
         + F.lit(0.5)

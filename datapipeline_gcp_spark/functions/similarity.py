@@ -229,12 +229,18 @@ def _topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _prep(spark, sf_dir, with_bucket=False)
+def _bruteforce_topk_from(vecs: DataFrame) -> DataFrame:
+    """Exact top-k from a prepped corpus (builder shared with
+    :func:`ann_recall_eval`, which feeds both arms one checkpointed
+    prep instead of re-deriving the corpus per arm)."""
     return _topk(_scored_pairs(vecs.filter(F.col("vec_id") < N_QUERIES), vecs))
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bruteforce_topk_from(_prep(spark, sf_dir, with_bucket=False))
+
+
+def _lsh_topk_from(vecs_with_bucket: DataFrame) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing any
     LSH band with the query. Recall < 1 by design; determinism is exact.
 
@@ -243,7 +249,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     band self-join would evaluate the whole prep plan per side. The
     cross-band DISTINCT runs on the slim scored projection.
     """
-    vecs = banded(_prep(spark, sf_dir, with_bucket=True))
+    vecs = banded(vecs_with_bucket)
     pairs = within_block_pairs(vecs, ["band_idx", "band_val"], ["vec_id", "vd", "vnorm"])
     # Query-relevance filter BEFORE the both-orientation explode: only
     # ~N_QUERIES/corpus of block-local pairs touch a query vector, so
@@ -269,6 +275,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return _topk(scored.distinct())
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_topk_from(_prep(spark, sf_dir, with_bucket=True))
 
 
 N_CENTROIDS = 32
@@ -301,8 +311,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: assignment is the standard O(N·C·D) IVF build cost;
     inverted lists are co-partitioned by cell so the probe join
     shuffles only the (tiny) probe table.
+
+    The prepped corpus is ``localCheckpoint``-ed before its
+    five-consumer fan-out (cents, ex_v, lists, qside — same audit/fix
+    as ``ann_ivf_cell_stats``/``dedup_semantic``: without it every
+    consumer replays the scan+finite-filter+norm subtree and the plan
+    balloons), and ``ranked`` before its two consumers (assign and
+    probes both filter the same window output — checkpointing computes
+    the O(N·C) assignment scoring once).
     """
-    vecs = _prep(spark, sf_dir, with_bucket=False)
+    vecs = _prep(spark, sf_dir, with_bucket=False).localCheckpoint()
     cents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("vd").alias("cd"),
@@ -335,7 +353,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).desc(),
         F.col("cent_id")
     )
-    ranked = qdots.withColumn("crank", F.row_number().over(w))
+    ranked = qdots.withColumn("crank", F.row_number().over(w)).localCheckpoint()
     assign = ranked.filter(F.col("crank") == 1).select("vec_id", "cent_id")
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= N_PROBE)
@@ -704,10 +722,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ground truth is the already-bounded O(Q·N) broadcast
     scan; the join is per-(query, neighbor) — Q·k rows, metadata-scale.
     At 100 TB you'd compute ground truth on a SAMPLE of queries — the
-    eval is O(sample), never O(corpus²)."""
-    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    eval is O(sample), never O(corpus²).
+
+    Both arms are fed ONE checkpointed prep (the bucketed variant — the
+    extra bucket column is inert for the brute-force arm): previously
+    each arm re-derived the corpus scan + finite filter + norms, so the
+    eval paid the prep subtree twice and the plan carried both copies."""
+    vecs = _prep(spark, sf_dir, with_bucket=True).localCheckpoint()
+    bf = _bruteforce_topk_from(vecs).select("query_id", "vec_id")
     approx = (
-        ann_lsh_topk(spark, sf_dir)
+        _lsh_topk_from(vecs)
         .select("query_id", "vec_id")
         .withColumn("hit", F.lit(1))
     )

@@ -17,6 +17,7 @@ self-contained closures (no executor package install).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -43,15 +44,16 @@ def with_nfkc_normalized(
 
     @F.pandas_udf("string")
     def nfkc(s: pd.Series) -> pd.Series:
-        import re
-        import unicodedata
-
-        ws = re.compile(r"\s+")
-        return s.map(
-            lambda t: ws.sub(" ", unicodedata.normalize("NFKC", t)).strip()
-            if t is not None
-            else None
-        )
+        # Vectorized pandas .str pipeline (guide §4.2: hand whole batches
+        # to native-loop string kernels, never a Python lambda per row):
+        # .str.normalize is unicodedata.normalize applied in pandas' C
+        # map loop; replace/strip use the same `re` \s semantics (Unicode
+        # whitespace) and argument-free strip as the previous per-row
+        # body. None propagates as missing through every .str op and
+        # crosses Arrow back as NULL.
+        return s.str.normalize("NFKC").str.replace(
+            r"\s+", " ", regex=True
+        ).str.strip()
 
     return df.withColumn(out_col, nfkc(F.col(text_col)))
 
@@ -87,9 +89,16 @@ def robust_zscore_per_group(
         mad = (v - med).abs().median()
         scale = 1.4826 * mad
         scores = pd.Series(0.0, index=pdf.index) if scale == 0 else ((v - med) / scale)
-        pdf[out_col] = pd.array(
-            [None if m else float(s) for m, s in zip(mask, scores)],
-            dtype="Float64",
+        # Vectorized NULL masking (guide §4.2): build the nullable
+        # Float64 block straight from the score buffer + NULL bitmap —
+        # same values the previous per-row list comprehension produced,
+        # minus the Python loop over every row of the group (the loop is
+        # the part that cannot survive million-row groups; the
+        # FloatingArray constructor is also the lowest-overhead option
+        # for the many-tiny-groups regime, measured vs where()+astype).
+        pdf[out_col] = pd.arrays.FloatingArray(
+            np.ascontiguousarray(scores.to_numpy(dtype="float64")),
+            mask.to_numpy(),
         )
         return pdf
 

@@ -570,21 +570,24 @@ INCR_COMP_BASE = "gate_incr_components_base"
 #: gate-scale bucket count, matched to GATE_SHUFFLE_PARTITIONS (a real
 #: deployment sizes buckets to corpus volume — sinks.write_bucketed)
 INCR_N_BUCKETS = 8
-#: (applicationId, sf_dir) whose day-0 base tables are already on disk
-_INCR_BASE_BUILT: dict[tuple[str, str], bool] = {}
+#: (applicationId, sf_dir) whose day-0 base tables are already on disk,
+#: mapped to the base index's banded-row count (``idx0`` — counted once
+#: at build instead of once per gate invocation)
+_INCR_BASE_BUILT: dict[tuple[str, str], int] = {}
 
 
-def _ensure_incr_base(spark: SparkSession, sf_dir: str) -> None:
+def _ensure_incr_base(spark: SparkSession, sf_dir: str) -> int:
     """Build the day-0 state once per (session, sf): the corpus's
     bucketed LSH index and its component map — signatures computed
-    exactly once (the map's edges come from self-pairing the INDEX)."""
+    exactly once (the map's edges come from self-pairing the INDEX).
+    Returns the base index's banded-row count."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if (
-        _INCR_BASE_BUILT.get(key)
+        key in _INCR_BASE_BUILT
         and spark.catalog.tableExists(INCR_INDEX_BASE)
         and spark.catalog.tableExists(INCR_COMP_BASE)
     ):
-        return
+        return _INCR_BASE_BUILT[key]
     _drop_gate_table(spark, INCR_INDEX_BASE)
     _drop_gate_table(spark, INCR_COMP_BASE)
     corpus = dedup.neardup_fixture(spark, sf_dir)
@@ -597,7 +600,8 @@ def _ensure_incr_base(spark: SparkSession, sf_dir: str) -> None:
     )
     comp0.write.mode("overwrite").saveAsTable(INCR_COMP_BASE)
     _INCR_BASE_BUILT.clear()  # one base pair: another sf's marker is stale
-    _INCR_BASE_BUILT[key] = True
+    _INCR_BASE_BUILT[key] = spark.table(INCR_INDEX_BASE).count()
+    return _INCR_BASE_BUILT[key]
 
 
 def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,7 +655,10 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
 
     def process(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        if not batch.head(1):
+        # one count job serves both the no-data short-circuit and the
+        # row accounting (previously head(1) + a separate count())
+        n_batch = batch.count()
+        if not n_batch:
             return  # watermark/no-data batch: no state to advance here
         # foreachBatch runs in a CLONED session whose relation cache can
         # hold the index's pre-overwrite file list (the outer session
@@ -680,7 +687,7 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         sinks.write_bucketed(
             banded, INCR_INDEX_TABLE, ["band_key"], INCR_N_BUCKETS, mode="append"
         )
-        seen_rows.append(batch.count())
+        seen_rows.append(n_batch)
 
     def run_once() -> None:
         q = (
@@ -700,7 +707,7 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         # day 0 (once per session+sf): index the corpus, cluster it —
         # then copy the pristine base into this invocation's working
         # tables (the streaming runs mutate those; the base stays clean)
-        _ensure_incr_base(spark, sf_dir)
+        idx0 = _ensure_incr_base(spark, sf_dir)
         sinks.write_bucketed(
             spark.table(INCR_INDEX_BASE),
             INCR_INDEX_TABLE,
@@ -710,14 +717,27 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.table(INCR_COMP_BASE).write.mode("overwrite").saveAsTable(
             INCR_COMP_TABLE
         )
-        idx0 = spark.table(INCR_INDEX_TABLE).count()
+        # one aggregate job computes all four accounting scalars the
+        # asserts below need (previously four separate count jobs, each
+        # replaying the batch derivation); count(when) drops the other
+        # id range's rows exactly like the filters it replaces
+        stats = batch_all.agg(
+            F.count(F.when(F.col("doc_id") < 3_000_000, 1)).alias("n1"),
+            F.count(F.when(F.col("doc_id") >= 3_000_000, 1)).alias("n2"),
+            F.countDistinct(
+                F.when(F.col("doc_id") < 3_000_000, F.col("doc_id"))
+            ).alias("d1"),
+            F.countDistinct(
+                F.when(F.col("doc_id") >= 3_000_000, F.col("doc_id"))
+            ).alias("d2"),
+        ).collect()[0]
+        n1, n2, d1, d2 = stats["n1"], stats["n2"], stats["d1"], stats["d2"]
 
         write_landing_file(batch1, landing, "docs", "parquet", "20240101")
         run_once()
         write_landing_file(batch2, landing, "docs", "parquet", "20240102")
         run_once()  # same checkpoint: must see ONLY the new file
 
-        n1, n2 = batch1.count(), batch2.count()
         # process() skips no-data batches without recording them, so an
         # EMPTY corpus (both landed files 0-row) legitimately records
         # nothing — expect only the non-empty batches, in order
@@ -734,8 +754,6 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         # so exact duplicate rows in a batch (r9 dupkeys — batch-layer
         # redelivery) collapse to one signature, which is the ingest
         # contract (exactly-once per doc id, same as the events path)
-        d1 = batch1.select("doc_id").distinct().count()
-        d2 = batch2.select("doc_id").distinct().count()
         expect = idx0 + (d1 + d2) * dedup.BANDS
         if idx_n != expect:
             raise AssertionError(

@@ -110,10 +110,39 @@ def test_bm25_broadcasts_query_terms_and_stats(spark):
 
 def test_kmeans_broadcasts_centroids_every_iteration(spark):
     """Lloyd assignment joins the exploded coordinates against the K·D
-    centroid table: both iterations must broadcast the centroid side
-    (a SortMergeJoin on `d` would shuffle the corpus per iteration)."""
-    plan = _plan(spark, "kmeans_lloyd")
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    centroid table: every iteration must broadcast the centroid side
+    (a SortMergeJoin on `d` would shuffle the corpus per iteration).
+
+    r13: the loop is now localCheckpoint-truncated per iteration (the
+    final plan shows ExistingRDD scans, not the iteration subtrees), so
+    the property is asserted on the iteration building block itself —
+    ``_assign`` over the checkpointed exploded relation, for both the
+    seed centroids and an updated-centroid table (the two shapes the
+    loop produces)."""
+    from pyspark.sql import functions as F
+
+    from datapipeline_gcp_spark.functions.kmeans import (
+        K,
+        _assign,
+        _exploded_q,
+        _update,
+    )
+    from datapipeline_gcp_spark.functions.similarity import finite_vectors
+    from datapipeline_gcp_spark.schemas import load_testdata
+
+    emb = load_testdata(spark, SF_CORRECTNESS, ("embeddings",))["embeddings"]
+    ex = _exploded_q(finite_vectors(emb)).localCheckpoint()
+    seed = ex.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cent_id"), "d", F.col("qx").alias("qc")
+    )
+    it1 = _assign(ex, seed)
+    assert "BroadcastHashJoin" in it1._jdf.queryExecution().executedPlan().toString(), (
+        "iteration-1 assignment must broadcast the centroid side"
+    )
+    it2 = _assign(ex, _update(ex, it1).localCheckpoint())
+    assert "BroadcastHashJoin" in it2._jdf.queryExecution().executedPlan().toString(), (
+        "iteration-2 assignment (updated centroids) must broadcast too"
+    )
 
 
 def test_hard_negatives_broadcasts_query_side(spark):
