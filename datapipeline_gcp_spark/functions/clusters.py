@@ -89,13 +89,15 @@ def connected_components(
         # checkpoint preserves the partitioning, so each round exchanges
         # only the (node-scale) label table.
         .repartition("nbr")
-        .localCheckpoint(eager=True)
+        # lazy: the seed-sum aggregate below materializes sym and labels
+        # in one cascade instead of two eager checkpoint jobs
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select("node")
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -110,7 +112,9 @@ def connected_components(
             .unionAll(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence sum below materializes the cache —
+            # one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
@@ -154,13 +158,16 @@ def connected_components_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the seed fingerprint below materializes e; all_nodes
+        # (used only for the final left join) materializes off e's cache
+        # when the result is assembled — two eager jobs saved
+        .localCheckpoint(eager=False)
     )
     all_nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _fingerprint(df: DataFrame) -> tuple[int, int]:
@@ -209,7 +216,12 @@ def connected_components_star(
 
     fp = _fingerprint(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the fingerprint aggregate right below is the
+        # materializing action, so each round runs ONE job instead of a
+        # checkpoint job + a fingerprint job (the loop is fixed-cost
+        # dominated — ~2 aggregations over a shrinking edge list — and
+        # the round count is O(log n), so job count is the wall clock).
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_fp = _fingerprint(e)
         if new_fp == fp:
             break
@@ -781,11 +793,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = e.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).localCheckpoint()
+    oriented = (
+        e.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+        # partition by the wedge-apex key once: the o1⋈o2 self-join below
+        # then runs exchange-free on both sides (§2.4)
+        .repartition("src")
+        .localCheckpoint()
+    )
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(o2, "src").filter(
         (F.col("o1.ddst") < F.col("o2.ddst"))
@@ -819,7 +837,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by items-per-order² (TPC-H ≤ 7 items), so pair generation is
     key-local and scale-safe."""
     li = load_testdata(spark, sf_dir, ("lineitem",))["lineitem"]
-    so = li.select("l_orderkey", "l_suppkey").distinct()
+    # One exchange serves the dedup AND the per-order self-join (§2.4):
+    # hash-partitioning by l_orderkey colocates equal (orderkey, suppkey)
+    # rows, so dropDuplicates adds no second exchange, and the checkpoint
+    # preserves the partitioning so the a⋈b self-join below is
+    # exchange-free on BOTH sides. Previously the distinct exchanged on
+    # the pair and the join re-exchanged both branches on the order key
+    # (and the un-checkpointed subtree scanned lineitem once per branch).
+    so = (
+        li.select("l_orderkey", "l_suppkey")
+        .repartition("l_orderkey")
+        .dropDuplicates()
+        .localCheckpoint()
+    )
     a = so.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     b = so.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     und = (

@@ -848,6 +848,9 @@ def verified_neardup_pairs(
     joins whenever the candidate list is small, which it is by
     construction at healthy thresholds)."""
     cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col))
+    # (r13 audit: checkpointing this two-consumer shingle table A/B'd a
+    # tie — Spark already reuses the exchange across the a/b sides —
+    # so it stays a lazy plan.)
     shs = with_shingles(df, text_col, out_col="_sh").select(
         F.col(id_col),
         F.array_distinct(F.transform(F.col("_sh"), base_hash)).alias("shs"),

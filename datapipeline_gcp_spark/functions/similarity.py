@@ -123,7 +123,17 @@ def finite_vectors(
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (order-stable across engines)."""
+    """Sequential-fold dot product (order-stable across engines).
+
+    r13 optimization audit: an unrolled 64-term codegen chain
+    (``((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` via ``F.get``) was
+    prototyped on the hypothesis that the higher-order fold's
+    CodegenFallback was the pair-scoring bottleneck — it is bit-equal
+    but measured SLOWER (interleaved A/B on dedup_semantic: fold min
+    4.28 s, unrolled min 6.38 s at sf0.1; per-element GetArrayItem
+    null-checks and the 128-node expression tree beat JIT worse than
+    the fold's lambda frames). The fold stays.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
     )
