@@ -24,12 +24,22 @@ reruns/backfills byte-identical, so downstream diffing and caching work.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Scale 4 preserves 2-decimal money exactly and tolerates derived
 # values (price * (1 - discount)) to 4 places.
 _DECIMAL = "DECIMAL(18,4)"
+
+#: r14 — escape hatch back to the literal DECIMAL(18,4) accumulator for
+#: deployments whose measures fall OUTSIDE the money domain documented
+#: on :func:`money_unscaled` (values with >4 decimal digits, |x|>1e11,
+#: or per-group sums beyond 9.2e14 currency units). The default is the
+#: fast unscaled-long path, bit-equal on the documented domain (proof:
+#: tools/check_money_parity.py, OPTIMIZATION_r14.md).
+EXACT_DECIMAL_SUMS = os.environ.get("SPARK_GRAFT_EXACT_DECIMAL_SUMS", "") == "1"
 
 
 def _col(c: Column | str) -> Column:
@@ -58,10 +68,73 @@ SQL_EVENTS_NANSAFE = (
 )
 
 
+# --- r14 fast money aggregation -------------------------------------------
+#
+# SUM over DECIMAL(18,4) widens its accumulator to DECIMAL(28,4) — past
+# Spark's 18-digit compact (long-backed) representation — so every input
+# row of the old dsum paid Double.toString -> BigDecimal parse ->
+# setScale(4, HALF_UP) -> non-compact BigDecimal add into an UnsafeRow
+# byte-array slot. That chain was the dominant per-row cost of the
+# headline business KPIs (guide §5; VERDICT r13 #3). For money-domain
+# inputs the identical decimal value is reachable without any BigDecimal:
+# accumulate the UNSCALED value (x·10^4) as a plain 64-bit long and
+# rescale once per group through an exact decimal division.
+#
+# Parity proof (committed: tools/check_money_parity.py sweep over every
+# consumed (table, expression) at sf0.001/0.01/0.1 + the degenerate
+# fixtures, in both engines; summarized in OPTIMIZATION_r14.md):
+#
+# - Domain: x is the nearest double to a value v whose decimal expansion
+#   terminates within 4 fractional digits (money and money products),
+#   |v| <= 1e11. Then k := v·10^4 is an integer and the computed
+#   p = fl(fl(x·10^4) + 0.5) lies within |k|·3.5e-16 + eps of k + 0.5,
+#   which is < 0.5 away for |k| < 1.4e15 — so FLOOR(p) == k exactly, and
+#   k is also what BigDecimal HALF_UP (Spark) and binary rounding
+#   (DuckDB) produce. Ties cannot occur (a ≤4-digit v has no 5th digit).
+# - NULL/NaN/±inf/overflow: the guard maps them to NULL (NaN/inf fail
+#   the range predicate; |unscaled| >= 1e18 would overflow DECIMAL(18,4)
+#   and is excluded the same way; double granularity at 1e18 is 128, so
+#   no boundary leak). NaN/±inf cast to NULL on the exact path too (even
+#   under ANSI); true overflow is the one OUT-OF-DOMAIN divergence: the
+#   exact path RAISES under the engine's ANSI session where the guarded
+#   fast path yields NULL. No fixture or money-domain value reaches it.
+# - Finisher: SUM(long) -> DECIMAL(38,4) -> /10000 is one HALF_UP
+#   decimal division per GROUP (exact: the quotient has <=4 fractional
+#   digits <= the result scale), then one correctly-rounded cast to
+#   DOUBLE — the same single rounding the old CAST(SUM(...) AS DOUBLE)
+#   performed, valid beyond 2^53 where a double-divide would round twice.
+# - Long-overflow bound: per-group |sum| <= 9.2e18 unscaled = 9.2e14
+#   currency units. At 100 TB TPC-H (SF ~1e5) the largest headline group
+#   (country x date) sums ~1.9e12 units — 480x inside the bound. Set
+#   SPARK_GRAFT_EXACT_DECIMAL_SUMS=1 to restore the literal decimal
+#   accumulator for data outside the documented domain.
+# ---------------------------------------------------------------------------
+
+
+def money_unscaled(c: Column | str) -> Column:
+    """BIGINT unscaled value of ``CAST(c AS DECIMAL(18,4))`` for
+    money-domain doubles: ``FLOOR(x·10^4 + 0.5)``, NULL outside
+    (±10^18) — NaN, ±inf and decimal overflow map to NULL exactly like
+    the decimal cast. See the domain/parity notes above."""
+    p = _col(c) * F.lit(1e4) + F.lit(0.5)
+    return F.when((p > F.lit(-1e18)) & (p < F.lit(1e18)), F.floor(p))
+
+
+def money_total(s: Column) -> Column:
+    """Exact DOUBLE of an unscaled-long sum: one decimal division per
+    group keeps the single correctly-rounded S/10^4 even when |S| > 2^53
+    (a double divide would round twice)."""
+    return (s.cast("decimal(38,4)") / F.lit(10000)).cast("double")
+
+
 def dsum(c: Column | str) -> Column:
     """Order-independent SUM for double measures (exact decimal internally,
-    DOUBLE externally)."""
-    return F.sum(dec(c)).cast("double")
+    DOUBLE externally). Default: unscaled-long accumulation, bit-equal on
+    the money domain (see above); set SPARK_GRAFT_EXACT_DECIMAL_SUMS=1
+    for the literal DECIMAL(18,4) accumulator."""
+    if EXACT_DECIMAL_SUMS:
+        return F.sum(dec(c)).cast("double")
+    return money_total(F.sum(money_unscaled(c)))
 
 
 def davg(c: Column | str) -> Column:
@@ -121,5 +194,11 @@ def sql_dsum_diff(left: str, right: str) -> str:
 
 
 def dsum_diff(left: Column | str, right: Column | str) -> Column:
-    """Order-independent SUM(left - right) for double measures."""
-    return F.sum(dec(left) - dec(right)).cast("double")
+    """Order-independent SUM(left - right) for double measures.
+
+    Fast path: the per-row difference of unscaled longs equals the
+    unscaled difference of the DECIMAL(19,4) subtraction (exact), and is
+    NULL iff either side is NULL — identical term-skipping."""
+    if EXACT_DECIMAL_SUMS:
+        return F.sum(dec(left) - dec(right)).cast("double")
+    return money_total(F.sum(money_unscaled(left) - money_unscaled(right)))

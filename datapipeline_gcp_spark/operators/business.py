@@ -26,10 +26,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datapipeline_gcp_spark.determinism import (
+    EXACT_DECIMAL_SUMS,
     davg,
     dec,
     dsum,
     dsum_diff,
+    money_total,
+    money_unscaled,
     sql_davg,
     sql_dsum,
     sql_dsum_diff,
@@ -210,14 +213,25 @@ def _order_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: _n as DECIMAL(10,0): decimal x decimal keeps the product exact within
 #: precision 38 (18+10+1 = 29 at scale 4); a raw bigint operand would
-#: push Spark past precision 38 and trigger rounding.
+#: push Spark past precision 38 and trigger rounding. (Exact-path only.)
 def _nd() -> Column:
     return F.col("_n").cast("decimal(10,0)")
 
 
+# r14: the weighted sums follow determinism's unscaled-long fast path —
+# unscaled(dec(c) * n) == unscaled(dec(c)) * n exactly (the decimal
+# product was integer arithmetic on the unscaled value already), so the
+# per-row non-compact DECIMAL(29,4) multiply+add collapses to long
+# multiply+add. Per-row product bound: |u| <= 1e10 (money <= 1e6) times
+# lineitems-per-order (<= 7 in TPC-H) stays ~1e11 << 2^63; the group-sum
+# bound is documented in determinism.py.
+
+
 def _wsum(c: str) -> Column:
     """Weighted twin of determinism.dsum: SUM(dec(c) * _n) as double."""
-    return F.sum(dec(c) * _nd()).cast("double")
+    if EXACT_DECIMAL_SUMS:
+        return F.sum(dec(c) * _nd()).cast("double")
+    return money_total(F.sum(money_unscaled(c) * F.col("_n")))
 
 
 def _wcount(c: str) -> Column:
@@ -227,7 +241,11 @@ def _wcount(c: str) -> Column:
 
 def _wsum_diff(left: str, right: str) -> Column:
     """Weighted twin of determinism.dsum_diff."""
-    return F.sum((dec(left) - dec(right)) * _nd()).cast("double")
+    if EXACT_DECIMAL_SUMS:
+        return F.sum((dec(left) - dec(right)) * _nd()).cast("double")
+    return money_total(
+        F.sum((money_unscaled(left) - money_unscaled(right)) * F.col("_n"))
+    )
 
 
 def _b_sales_kpi_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,9 +321,17 @@ def _orderpart_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same group as two grain rows, and only distinct-counting
     collapses them the way the master-grain plan does."""
     t = load_testdata(spark, sf_dir, ("customer", "orders", "lineitem"))
+    # _q: exact decimal quantity pre-sum — on the fast path the state is
+    # the unscaled long (quantity <= 50 -> per-order-part sums are tiny);
+    # _total_quantity() rescales once per output group.
+    _q_agg = (
+        F.sum(dec("l_quantity"))
+        if EXACT_DECIMAL_SUMS
+        else F.sum(money_unscaled("l_quantity"))
+    )
     li = t["lineitem"].groupBy("l_orderkey", "l_partkey").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(dec("l_quantity")).alias("_q"),
+        _q_agg.alias("_q"),
     )
     return (
         t["orders"]
@@ -328,12 +354,19 @@ def _orderpart_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _total_quantity() -> Column:
+    """SUM of the _q pre-sums back to DOUBLE (grain-matched finisher)."""
+    if EXACT_DECIMAL_SUMS:
+        return F.sum(F.col("_q")).cast("double")
+    return money_total(F.sum(F.col("_q")))
+
+
 def _b_profitability_kpi_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _orderpart_grain(spark, sf_dir)
     return g.groupBy(
         "product_id", F.col("transaction_country").alias("country")
     ).agg(
-        F.sum(F.col("_q")).cast("double").alias("total_quantity"),
+        _total_quantity().alias("total_quantity"),
         _wsum("income").alias("total_income"),
         (_wsum("income") / _wcount("income")).alias("average_income"),
         _wsum_diff("income", "campaign_cost").alias("total_profit"),
@@ -348,7 +381,7 @@ def _b_product_performance_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("transaction_datetime").alias("date"),
     ).agg(
         F.countDistinct("transaction_id").alias("transaction_count"),
-        F.sum(F.col("_q")).cast("double").alias("total_quantity"),
+        _total_quantity().alias("total_quantity"),
         _wsum("income").alias("total_income"),
         (_wsum("income") / _wcount("income")).alias("average_income"),
         _wsum_diff("income", "campaign_cost").alias("total_profit"),

@@ -106,6 +106,20 @@ _RECHECK: dict[str, int] = {
     # (ADVICE r12: NULL max_byte, decoded-count byte_len); the
     # registered query takes the fake path, but the module changed.
     "multimodal_feature_extract": 13,
+    # r14 (VERDICT r13 #2): the r13 optimization commits (7c26e94,
+    # ad04ebc) landed AFTER r13's pin rotation, so these five rewritten
+    # paths were proven only builder-side (interleaved A/B row-identity
+    # + VERIFY_LOCAL 181/181); their last EXTERNAL green predates the
+    # rewrite. Pin at 14 so the driver window re-proves the shipped code.
+    "dedup_clusters": 14,
+    "dedup_clusters_incremental": 14,
+    "dedup_incremental": 14,
+    "graph_triangles": 14,
+    "udf_nfkc_normalize": 14,
+    # r14: every query whose money aggregates moved to the unscaled-long
+    # fast path (determinism.dsum/davg/dsum_diff + the business weighted
+    # sums) — the implementing expression changed under them. Listed at
+    # round end next to the remaining r14 rewrites; see the block below.
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing

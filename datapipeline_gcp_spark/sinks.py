@@ -27,6 +27,7 @@ import os
 import re
 import shutil
 import threading
+import warnings
 from collections import defaultdict
 from contextlib import contextmanager
 
@@ -178,7 +179,12 @@ def write_bucketed(
     fits an executor core's working memory (same arithmetic as shuffle
     partitions — at 100 TB / 1000 buckets ≈ 100 GB per bucket: too big;
     pick thousands. Bucket counts must MATCH across tables you intend
-    to co-join).
+    to co-join). Since the r13 one-file-per-bucket clustering, the
+    sizing advice is load-bearing for the WRITE too: the repartition
+    below caps write-stage parallelism at ``n_buckets`` tasks, each
+    holding one whole bucket in memory — a too-small bucket count now
+    means idle cores and fat tasks at volume, not just big files
+    (a warning fires when the mismatch is gross).
 
     The input is clustered to ``n_buckets`` partitions on the bucket
     key first: ``repartition(n, cols)`` uses the same
@@ -190,6 +196,15 @@ def write_bucketed(
     twice"). When the input is already partitioned that way (e.g. a
     bucketed-table read), the exchange is planned away.
     """
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if n_buckets * 8 <= cores:
+        warnings.warn(
+            f"write_bucketed({table!r}): n_buckets={n_buckets} caps the "
+            f"write at {n_buckets} tasks on a {cores}-slot cluster — one "
+            "task writes one whole bucket; pick a bucket count sized to "
+            "the data (see docstring), not the co-join convenience",
+            stacklevel=2,
+        )
     df = df.repartition(n_buckets, *bucket_cols)
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:

@@ -681,8 +681,17 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
         # merge first (eager — the CC fixpoint materializes the edges,
         # and its result is a localCheckpoint: safe to overwrite the
         # table it was derived from), THEN extend the index so the next
-        # batch probes against this one
-        merged = clusters.incremental_components(s.table(INCR_COMP_TABLE), edges)
+        # batch probes against this one. The FIRST merge reads the
+        # pristine day-0 base directly (r14, VERDICT r13 #6): the old
+        # base→working copy was a full table rewrite per invocation that
+        # the first merge's overwrite immediately superseded; the base
+        # itself is never mutated either way.
+        comp_src = (
+            INCR_COMP_TABLE
+            if s.catalog.tableExists(INCR_COMP_TABLE)
+            else INCR_COMP_BASE
+        )
+        merged = clusters.incremental_components(s.table(comp_src), edges)
         merged.write.mode("overwrite").saveAsTable(INCR_COMP_TABLE)
         sinks.write_bucketed(
             banded, INCR_INDEX_TABLE, ["band_key"], INCR_N_BUCKETS, mode="append"
@@ -714,13 +723,17 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             ["band_key"],
             INCR_N_BUCKETS,
         )
-        spark.table(INCR_COMP_BASE).write.mode("overwrite").saveAsTable(
-            INCR_COMP_TABLE
-        )
+        # (no component-map copy here — the first batch's merge reads
+        # INCR_COMP_BASE directly and writes the working table; r14)
         # one aggregate job computes all four accounting scalars the
         # asserts below need (previously four separate count jobs, each
         # replaying the batch derivation); count(when) drops the other
-        # id range's rows exactly like the filters it replaces
+        # id range's rows exactly like the filters it replaces — EXCEPT
+        # for NULL doc_ids: countDistinct(when(...)) skips a NULL key
+        # where the old distinct().count() counted it as one value. The
+        # fixture contract guarantees non-null doc_id (asserted below),
+        # so the fusion is exact here; a fixture change that introduces
+        # NULL ids must revisit this aggregate (ADVICE r13).
         stats = batch_all.agg(
             F.count(F.when(F.col("doc_id") < 3_000_000, 1)).alias("n1"),
             F.count(F.when(F.col("doc_id") >= 3_000_000, 1)).alias("n2"),
@@ -730,8 +743,15 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             F.countDistinct(
                 F.when(F.col("doc_id") >= 3_000_000, F.col("doc_id"))
             ).alias("d2"),
+            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_null"),
         ).collect()[0]
         n1, n2, d1, d2 = stats["n1"], stats["n2"], stats["d1"], stats["d2"]
+        if stats["n_null"]:
+            raise AssertionError(
+                f"{stats['n_null']} NULL doc_ids in the gate fixture: the "
+                "fused countDistinct(when(...)) accounting above is only "
+                "exact for non-null ids"
+            )
 
         write_landing_file(batch1, landing, "docs", "parquet", "20240101")
         run_once()
@@ -763,8 +783,15 @@ def dedup_stream_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(root, ignore_errors=True)
-    spark.catalog.refreshTable(INCR_COMP_TABLE)
-    return clusters.cluster_summary(spark.table(INCR_COMP_TABLE))
+    # an all-empty corpus legitimately records no batch, so the working
+    # map may never materialize — the day-0 base IS the answer then
+    final_comp = (
+        INCR_COMP_TABLE
+        if spark.catalog.tableExists(INCR_COMP_TABLE)
+        else INCR_COMP_BASE
+    )
+    spark.catalog.refreshTable(final_comp)
+    return clusters.cluster_summary(spark.table(final_comp))
 
 
 QUERIES = {

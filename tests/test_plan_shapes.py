@@ -145,6 +145,19 @@ def test_kmeans_broadcasts_centroids_every_iteration(spark):
     )
 
 
+def test_kmeans_final_plan_stays_checkpoint_truncated(spark):
+    """Guard on the REAL registry query (ADVICE r13): if the loop's
+    localCheckpoints are ever removed, the final plan re-inlines every
+    iteration's subtree (2^iters growth — the r13 before-plan was 859
+    lines / 42 Exchanges). The committed after-shape is ~92 lines with
+    ExistingRDD scans; a generous line budget catches the regression
+    without pinning exact operator text."""
+    plan = _plan(spark, "kmeans_lloyd")
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    n_lines = plan.count("\n")
+    assert n_lines < 250, f"kmeans_lloyd final plan blew up to {n_lines} lines"
+
+
 def test_hard_negatives_broadcasts_query_side(spark):
     plan = _plan(spark, "mining_hard_negatives")
     assert "BroadcastNestedLoopJoin" in plan, plan

@@ -6,10 +6,13 @@ Usage:
     python tools/dump_plan_files.py --out=plans/r13 --suffix=_before name [name ...]
     python tools/dump_plan_files.py --out=plans/r13 --suffix=_before --all
 
-Explain-only: builds each DataFrame and prints its physical plan without
-executing it (streaming gates and other action-driven queries cannot be
-explained this way and are skipped with a note — their evidence is the
-foreachBatch plan shape captured by their own tests).
+Mostly explain-only: builds each DataFrame and prints its physical plan
+without running the FINAL query — but queries whose builders run eager
+localCheckpoint/collect fixpoints (kmeans_lloyd, ann_ivf_topk, the
+dedup_clusters/connected-components family) DO execute real jobs during
+DataFrame construction, so ``--all`` is not free. Streaming gates and
+other action-driven queries are skipped with a note — their evidence is
+the foreachBatch plan shape captured by their own tests (ADVICE r13).
 """
 
 from __future__ import annotations
