@@ -576,15 +576,32 @@ def pagerank(
     of one per iteration), and in the ``assume_no_dangling`` case the
     node list is read straight off ``outdeg`` (its srcs are the node
     set, already distinct) instead of a union+distinct over the edge
-    list (measured 8.9 s → 6.0 s solo at sf0.1)."""
-    edges = edges.localCheckpoint()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    list (measured 8.9 s → 6.0 s solo at sf0.1).
+
+    r14: the seed checkpoints are LAZY (``eager=False``, the r13 CC
+    pattern — the ``n_nodes`` count materializes the
+    edges→outdeg→nodes cascade in one job instead of separate eager
+    checkpoint jobs), and ``edges_deg`` is built over the CHECKPOINTED
+    ``outdeg`` — previously the out-degree aggregation executed twice
+    (once inside edges_deg's eager checkpoint, once for outdeg's own).
+    A cached (``persist``) loop that preserved hash partitioning into
+    the iterations was A/B-REJECTED: it removes three per-iteration
+    exchanges from the plan (localCheckpoint scans back with
+    UnknownPartitioning on this build) but the InMemoryRelation
+    build/read overhead cost more than the 18 MB exchanges it saved
+    (old min 6.86 s vs cached 8.48 s at sf0.1, slower in 4/4
+    interleaved pairs)."""
+    edges = edges.localCheckpoint(eager=False)
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     # The per-edge (src, dst, outdeg) triple is loop-invariant — join it
     # ONCE here instead of once per iteration (hoisting a fact-scale join
     # out of the BSP loop; at 100 TB this saves iters−1 shuffles of the
     # edge table).
-    edges_deg = edges.join(outdeg, "src").localCheckpoint()
-    outdeg = outdeg.localCheckpoint()
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=False)
     if assume_no_dangling:
         # every node has an out-edge ⇒ outdeg's srcs ARE the node set —
         # already distinct by construction, no union+distinct shuffle
@@ -594,7 +611,7 @@ def pagerank(
             edges.select(F.col("src").alias("node"))
             .union(edges.select(F.col("dst").alias("node")))
             .distinct()
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     if n_nodes is None:
         n_nodes = nodes.count()
     if not n_nodes:
@@ -686,9 +703,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # both directions in ONE pass over pairs (r14): the unionAll spelling
+    # re-executed the whole lineitem⋈orders+distinct derivation once per
+    # branch (profiled: two ~22 s / 140 MB scan stages at sf0.1 for one
+    # materialization) — explode emits the same row multiset from a
+    # single subtree, so the derivation runs once.
     edges = pairs.select(
-        F.col("s").alias("src"), F.col("c").alias("dst")
-    ).unionAll(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # bidirectional edges → every node appears as a src with outdeg ≥ 1,
     # so the dangling-mass probe is provably vacuous here — skip its job
     ranks = pagerank(edges, assume_no_dangling=True)
