@@ -153,6 +153,18 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {_DECIMAL})) AS DOUBLE)"
 
 
+def sql_dsum_fast(expr: str) -> str:
+    """Spark-dialect SQL spelling of the r14 unscaled-long money sum —
+    value-identical to :func:`sql_dsum` on the money domain (see the
+    proof block above; oracle strings keep the decimal form). FLOOR on
+    DOUBLE already returns BIGINT in Spark SQL."""
+    p = f"({expr}) * 1e4 + 0.5"
+    return (
+        f"CAST(CAST(SUM(CASE WHEN {p} > -1e18 AND {p} < 1e18 "
+        f"THEN FLOOR({p}) END) AS DECIMAL(38,4)) / 10000 AS DOUBLE)"
+    )
+
+
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {_DECIMAL})) AS DOUBLE) / COUNT({expr})"
 

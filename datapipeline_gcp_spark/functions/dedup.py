@@ -210,6 +210,19 @@ def within_block_pairs(
     )
 
 
+# (r14 negative result: a keys-only twin — collect/expand only the id,
+# re-attach vd/vnorm payloads by two joins, distinct the id pairs before
+# attaching — was implemented and interleave-A/B'd on
+# embedding_cosine_neardup's shape at sf0.1 AND at a 16× sign-flip-
+# isometric embeddings fixture where payload bytes dominate: SLOWER at
+# both scales (0.60× / 0.69×, 0/6 pairs; outputs identical). The
+# payload-carrying expansion stays inside one whole-stage-codegen span
+# with zero extra exchanges, while keys-only pays two shuffle joins of
+# the payload table per consumer. The §8 "shuffle keys, attach once"
+# pattern needs payloads orders of magnitude heavier than 64 doubles
+# to invert the trade — revisit only with profile evidence.)
+
+
 def dropped_block_count(
     df: DataFrame, block_cols: list[str], max_block_size: int
 ) -> int:

@@ -16,8 +16,11 @@ projection in the reference too). ``CAST(... AS FLOAT64)`` becomes a
 deterministic decimal-internal sum cast to DOUBLE (see ``determinism``).
 
 The same query template renders for Spark SQL and for the DuckDB oracle
-(only the timestamp-format function differs), so the WITH chain is
-executed natively by both engines — no DataFrame translation layer.
+(the timestamp-format function differs, and — r14 — the money sums
+render as the unscaled-long fast form on the Spark side only, the
+decimal form in the oracle; see ``determinism.sql_dsum_fast``), so the
+WITH chain is executed natively by both engines — no DataFrame
+translation layer.
 
 Scale: the whole report is two scan→partial-agg pipelines unioned and
 re-aggregated; Spark executes it as hash aggregates with map-side
@@ -28,6 +31,8 @@ the rollups shuffle, on (country, date).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_gcp_spark.determinism import sql_dsum_fast
 
 _TEMPLATE = """
 WITH tranx AS (
@@ -40,7 +45,7 @@ WITH tranx AS (
 tranx_agg AS (
     SELECT
         country,
-        CAST(SUM(CAST(income AS DECIMAL(18,4))) AS DOUBLE) AS income,
+        {msum_income} AS income,
         CAST(COUNT(transaction_id) AS BIGINT) AS transaction_count,
         CAST(0.00 AS DOUBLE) AS cost,
         CAST(0 AS BIGINT) AS campaign_count,
@@ -60,7 +65,7 @@ campaigns_agg AS (
         country,
         CAST(0.00 AS DOUBLE) AS income,
         CAST(0 AS BIGINT) AS transaction_count,
-        CAST(SUM(CAST(cost AS DECIMAL(18,4))) AS DOUBLE) AS cost,
+        {msum_cost} AS cost,
         CAST(COUNT(campaign_id) AS BIGINT) AS campaign_count,
         date
     FROM campaigns
@@ -117,8 +122,23 @@ def render(
         fmt = "date_time"
     else:
         fmt = _SPARK_FMT if dialect == "spark" else _DUCKDB_FMT
+    # Money sums: the Spark dialect renders the r14 unscaled-long fast
+    # form (bit-equal on the money domain — determinism.sql_dsum_fast;
+    # the oracle/DuckDB dialect keeps the literal decimal accumulator,
+    # which is exactly what the hash comparison then proves). as_landed
+    # keeps the literal CAST chain on BOTH engines — its point is
+    # byte-fidelity with the reference's string-typed landing SQL.
+    def _msum(expr: str) -> str:
+        if dialect == "spark" and not as_landed:
+            return sql_dsum_fast(expr)
+        return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
     return _TEMPLATE.format(
-        fmt_dt=fmt, transactions_src=transactions_src, campaigns_src=campaigns_src
+        fmt_dt=fmt,
+        transactions_src=transactions_src,
+        campaigns_src=campaigns_src,
+        msum_income=_msum("income"),
+        msum_cost=_msum("cost"),
     )
 
 
