@@ -78,8 +78,14 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     words = _word_symbols(docs).localCheckpoint()
     merges: list[tuple] = []
     for r in range(1, n_merges + 1):
-        t = F.split(F.trim(F.col("s")), " ")
-        pairs = words.select(
+        # materialize the symbol split in its own projection (r14): the
+        # inline form re-evaluated split(trim(s)) once per element via
+        # the lambda's element_at — O(len²) splitting per word per round
+        # (the dedup.shingles / quality.py trap)
+        t = F.col("_t")
+        pairs = words.withColumn(
+            "_t", F.split(F.trim(F.col("s")), " ")
+        ).select(
             "freq",
             F.explode(
                 F.transform(

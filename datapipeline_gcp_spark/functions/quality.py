@@ -60,14 +60,21 @@ def hashed_quality_scores(
     ∈ [−1, 1] is the bucket-weight mean normalized by the max weight
     and ``keep`` applies the threshold.
     """
-    tokens = F.split(F.lower(F.col(text_col)), " ")
+    # materialize the token split in its own projection FIRST (r14): the
+    # bigram lambda's element_at(tokens, i+2) otherwise re-evaluates the
+    # whole split(lower(text)) expression once PER BIGRAM ELEMENT —
+    # O(len²) tokenization per document (the same inline-expression trap
+    # dedup.shingles documents; interleaved A/B at sf0.1: 1.8× on mins).
+    tokens = F.col("_toks")
     # bigram i joins token i with token i+1 (0-based transform index,
     # 1-based element_at)
     bigrams = F.transform(
         F.slice(tokens, 1, F.greatest(F.size(tokens) - 1, F.lit(0))),
         lambda x, i: F.concat(x, F.lit("_"), F.element_at(tokens, i + 2)),
     )
-    feats = df.select(
+    feats = df.withColumn(
+        "_toks", F.split(F.lower(F.col(text_col)), " ")
+    ).select(
         id_col, *carry_cols, F.explode(F.concat(tokens, bigrams)).alias("f")
     )
     bucket = _md5int(F.col("f")) % N_BUCKETS
