@@ -98,7 +98,9 @@ _RECHECK: dict[str, int] = {
     "events_stream_crossrun_redelivery_gate": 13,
     "events_stream_idempotent_replay_gate": 13,
     "multimodal_stream_ingest_gate": 13,
-    "dedup_stream_incremental_gate": 13,
+    # (13 → 14: r14 folded the gate's day-0 component-map copy into the
+    # first merge — rewritten again after its r13 green.)
+    "dedup_stream_incremental_gate": 14,
     # r13: the sessionizer's entry now parses gap/watermark for the
     # ms-grid warning (VERDICT r12 #6) — same module + call path.
     "events_stream_stateful_session_gate": 13,
@@ -117,9 +119,37 @@ _RECHECK: dict[str, int] = {
     "graph_triangles": 14,
     "udf_nfkc_normalize": 14,
     # r14: every query whose money aggregates moved to the unscaled-long
-    # fast path (determinism.dsum/davg/dsum_diff + the business weighted
-    # sums) — the implementing expression changed under them. Listed at
-    # round end next to the remaining r14 rewrites; see the block below.
+    # fast path (determinism.dsum/davg/dsum_diff fast forms, the
+    # business weighted sums, and the report template's Spark-dialect
+    # rendering) — the implementing expression changed under them.
+    "b_sales_kpi": 14,
+    "b_performance_metrics": 14,
+    "b_profitability_kpi": 14,
+    "b_product_performance": 14,
+    "rollup_agg": 14,
+    "cube_agg": 14,
+    "pivot_agg": 14,
+    "supplier_service_quality": 14,
+    "orders_monthly_seasonality": 14,
+    "customers_rfm_segments": 14,
+    "customers_rfm_segments_cuts": 14,
+    "case_when_projection": 14,
+    "join_composite_key": 14,
+    "range_join_events": 14,
+    "orders_partition_pruned_join": 14,
+    "events_tumbling_window": 14,
+    "events_sliding_window": 14,
+    "events_session_window": 14,
+    "events_stream_tumbling_gate": 14,
+    "events_stream_session_gate": 14,
+    "cte_revenue_report": 14,
+    # r14: pagerank loop (lazy seed checkpoints + one-pass edge build),
+    # the incremental gate's folded day-0 copy, and the O(len²)
+    # tokenization fixes.
+    "graph_pagerank": 14,
+    "quality_quantile_norm": 14,
+    "quality_linear_score": 14,
+    "bpe_train_merges": 14,
 }
 
 #: Newly-registered queries that must NOT jump ahead of the existing
